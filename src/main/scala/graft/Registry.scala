@@ -1,0 +1,23 @@
+package graft
+
+import graft.operators._
+
+/** Single source of truth for the declared engine surface (SURVEY.md §2.6).
+  * SparkEntry derives both `queries` and `oracleSql` from this list, so a
+  * query and its oracle can never go out of sync by construction.
+  */
+object Registry {
+  val all: Seq[GQ] =
+    Relational.queries ++
+      Joins.queries ++
+      Aggregates.queries ++
+      SetOps.queries ++
+      Windows.queries ++
+      EventsOps.queries ++
+      TextOps.queries ++
+      Similarity.queries
+
+  lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
+
+  require(all.size == byName.size, "duplicate query names in Registry")
+}

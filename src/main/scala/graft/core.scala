@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared engine query: a Spark plan builder plus (optionally) the
+  * ANSI/DuckDB oracle SQL the driver hash-compares against (SURVEY.md §2.5/§2.6).
+  * `oracle=None` ⇒ driver records a weaker rows-only check, so such queries
+  * must always return >0 rows.
+  */
+final case class GQ(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Parquet table loaders for the driver test data (TESTDATA.md).
+  *
+  * All reads are plain `spark.read.parquet` — schema comes from the parquet
+  * footer (pinned by the driver, never inferred from data), so Catalyst gets
+  * full pushdown/pruning. The single exception is `events`, whose `ts` column
+  * is parquet TIMESTAMP(NANOS): Spark 4.1.2 refuses it unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, under which `ts` surfaces as
+  * LongType epoch-nanoseconds (SURVEY.md §2.5 R5). All time math on events is
+  * exact integer math over those nanos.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet: nanos-timestamp shim, kept in exactly one place. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+}
+
+/** Determinism-contract helpers (SURVEY.md §2.5).
+  *
+  * R2: money math is done on DECIMAL(18,2) (products: scale 4) — exact and
+  * aggregation-order-independent in both Spark and DuckDB — then the final
+  * aggregate is cast to DOUBLE for a stable output representation.
+  */
+object C {
+  val Dec2: DecimalType = DecimalType(18, 2)
+
+  /** Exact 2-dp decimal view of a double column carrying ≤2 decimals. */
+  def dec2(c: Column): Column = c.cast(Dec2)
+
+  /** SUM over exact decimals, emitted as DOUBLE (R2). */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** extendedprice * (1 - discount) in exact decimal (scale 4). */
+  def revenue(price: Column, disc: Column): Column =
+    dec2(price) * (lit(1).cast(Dec2) - dec2(disc))
+
+  /** SUM of revenue, emitted as DOUBLE (R2). */
+  def sumRevenue(price: Column, disc: Column): Column =
+    sum(revenue(price, disc)).cast(DoubleType)
+
+  /** Matching DuckDB oracle fragments — keep the SQL text next to the Spark
+    * expression so they drift together or not at all. */
+  val sqlRevenue: String =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+  def sqlSumDec2(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+}

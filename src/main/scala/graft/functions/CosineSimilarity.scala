@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Native Catalyst cosine-similarity over two `ArrayType(FloatType)` columns.
+  *
+  * A codegen'd expression instead of a Scala UDF (SURVEY.md §7.3): no
+  * Row↔Scala boxing, no Seq[Float] materialization per row, stays inside
+  * whole-stage codegen. Math is done in double with strict left-to-right
+  * accumulation in element order, so the result is deterministic and
+  * identical between the interpreted and generated paths.
+  *
+  * Returns 0.0 when either vector has zero norm; null on null input.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv; nx += xv * xv; ny += yv * yv
+      i += 1
+    }
+    val den = math.sqrt(nx) * math.sqrt(ny)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val den = ctx.freshName("den")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xv = (double) $a.getFloat($i);
+         |  final double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |final double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object vec {
+  /** Registers `cosine_sim` in the session's function registry (idempotent)
+    * so the native expression is reachable from both the Column API and SQL.
+    */
+  def register(spark: SparkSession): Unit =
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "built-in")
+
+  /** Column-API entry point over attribute names: `vec.cosine(spark, "a", "b")`. */
+  def cosine(spark: SparkSession, a: String, b: String): Column = {
+    register(spark)
+    expr(s"cosine_sim(`$a`, `$b`)")
+  }
+}

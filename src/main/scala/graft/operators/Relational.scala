@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{C, GQ, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scan / filter / projection / scalar-expression operators.
+  *
+  * Generalizes the reference's record-shredding projections and null filters
+  * (/root/reference/spotify-etl.py:76-84, :100-106, :167) and its terminal
+  * cast-all-to-string (:211) onto the driver's TPC-H-ish tables. All plans are
+  * single-stage scans: Catalyst pushes the filters and the column selection
+  * into the parquet reader, so at 100 TB these are pure scan-bandwidth ops
+  * with no shuffle (the final ORDER BY exists only for the determinism
+  * contract R1 and is dropped by `.count()`-style actions).
+  */
+object Relational {
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_scan_projection",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    GQ(
+      "q_filter_predicate",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+          .select(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity > 30
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    GQ(
+      "q_project_expr",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            C.revenue(col("l_extendedprice"), col("l_discount")).cast(DoubleType).as("revenue"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some(s"""SELECT l_orderkey, l_linenumber, CAST(${C.sqlRevenue} AS DOUBLE) AS revenue
+              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    GQ(
+      "q_string_funcs",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            upper(col("c_name")).as("name_upper"),
+            substring(col("c_name"), 1, 8).as("name_pre8"),
+            length(col("c_name")).cast(LongType).as("name_len"),
+            concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, upper(c_name) AS name_upper,
+             |substring(c_name, 1, 8) AS name_pre8,
+             |length(c_name) AS name_len,
+             |concat(c_mktsegment, '#', c_name) AS tagged
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    GQ(
+      "q_date_funcs",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast(LongType).as("o_year"),
+            month(col("o_orderdate")).cast(LongType).as("o_month"),
+            dayofmonth(col("o_orderdate")).cast(LongType).as("o_day"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS o_year,
+             |month(o_orderdate) AS o_month, day(o_orderdate) AS o_day
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    GQ(
+      "q_math_funcs",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(C.dec2(col("l_extendedprice")), 1).cast(DoubleType).as("price_r1"),
+            abs(C.dec2(col("l_discount")) - lit(0.05).cast(C.Dec2)).cast(DoubleType).as("disc_dev"),
+            floor(col("l_quantity")).cast(LongType).as("qty_floor"),
+            ceil(col("l_quantity")).cast(LongType).as("qty_ceil"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+             |CAST(abs(CAST(l_discount AS DECIMAL(18,2)) - CAST(0.05 AS DECIMAL(18,2))) AS DOUBLE) AS disc_dev,
+             |CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+             |CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+    GQ(
+      "q_array_ops",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_words"),
+            array_join(slice(split(col("text"), " "), 1, 3), " ").as("first3"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |len(string_split(text, ' ')) AS n_words,
+             |array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    GQ(
+      "q_cast_all_string",
+      (s, d) => {
+        val n = Tables.t(s, d, "nation")
+        n.select(n.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
+          .orderBy(col("n_nationkey").cast(IntegerType))
+      },
+      Some("""SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+             |CAST(n_name AS VARCHAR) AS n_name,
+             |CAST(n_regionkey AS VARCHAR) AS n_regionkey
+             |FROM nation ORDER BY CAST(n_nationkey AS INTEGER)""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.functions._
+
+/** Set operators + global sort/limit.
+  *
+  * `q_union_distinct` is the direct descendant of the reference's only set
+  * operation: the union-distinct of playlist-track ids and saved-track ids,
+  * done explicitly to avoid duplicate downstream fetches
+  * (/root/reference/spotify-etl.py:247-250).
+  *
+  * Scale posture: union is partition-concatenation (no shuffle); the
+  * `.distinct()` / `intersect` / `except` dedup is one hash shuffle on the
+  * key. `q_sort_limit` compiles to `TakeOrderedAndProject` — per-partition
+  * top-k then a k-row driver merge, never a global sort of 100 TB.
+  */
+object SetOps {
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_union_distinct",
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(Tables.t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    GQ(
+      "q_intersect",
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(Tables.t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    GQ(
+      "q_except",
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(Tables.t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)
+    ),
+    GQ(
+      "q_sort_limit",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(10),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             |LIMIT 10""".stripMargin)
+    )
+  )
+}

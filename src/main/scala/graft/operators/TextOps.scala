@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + exact-dedup operators over the `documents` table — the
+  * LLM-training-pipeline surface (north star), absent from the reference
+  * (its closest text op is the array→string flatten at
+  * /root/reference/spotify-etl.py:199).
+  *
+  * Scale posture: `q_dedup_exact` is a hash shuffle keyed on the full text —
+  * at 100 TB you'd key on a content digest instead (same plan shape, 16-byte
+  * keys); `q_dedup_fingerprint` below is exactly that digest. `q_text_tokens`
+  * is explode → partial hash agg, so the shuffle carries (word, partial
+  * count), bounded by vocabulary size, not corpus size.
+  */
+object TextOps {
+
+  /** Tiny stopword list; present in the corpus vocabulary ("the", "a"). */
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_dedup_exact",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT MIN(doc_id) AS doc_id FROM documents
+             |GROUP BY text ORDER BY doc_id""".stripMargin)
+    ),
+    GQ(
+      "q_text_tokens",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(20),
+      Some("""SELECT word, COUNT(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin)
+    ),
+    GQ(
+      "q_text_lang",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .filter(col("lang").isin("en", "es"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("lang"), col("source")),
+      Some("""SELECT lang, source, COUNT(*) AS cnt FROM documents
+             |WHERE lang IN ('en', 'es')
+             |GROUP BY lang, source ORDER BY lang, source""".stripMargin)
+    ),
+    // Quality scoring: token count, char length, stopword ratio. The ratio is
+    // a single IEEE division of two exact integers — bit-stable cross-engine.
+    GQ(
+      "q_text_quality",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val stops = filter(words, w => w.isInCollection(Stopwords))
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(words).cast(LongType).as("n_words"),
+            length(col("text")).cast(LongType).as("n_chars"),
+            size(stops).cast(LongType).as("n_stop"),
+            (size(stops).cast(DoubleType) / size(words).cast(DoubleType)).as("stop_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+              |len(string_split(text, ' ')) AS n_words,
+              |length(text) AS n_chars,
+              |len(list_filter(string_split(text, ' '),
+              |  w -> w IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+              |CAST(len(list_filter(string_split(text, ' '),
+              |  w -> w IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE)
+              |  / len(string_split(text, ' ')) AS stop_ratio
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // Token counting two ways: whitespace split vs a BPE-ish regex token pass
+    // ([a-z0-9]+ runs), plus chars-per-token (single division, bit-stable).
+    GQ(
+      "q_text_token_count",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("ws_tokens"),
+            size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+              .cast(LongType).as("re_tokens"),
+            (length(col("text")).cast(DoubleType) /
+              size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+                .cast(DoubleType)).as("chars_per_token"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |len(string_split(text, ' ')) AS ws_tokens,
+             |len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+             |CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+'))
+             |  AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // Content fingerprint (md5 digest + 2-hex-char shard bucket): the
+    // scale-out key for exact dedup — 100 TB dedup shuffles these 16-byte
+    // digests, not document bodies.
+    GQ(
+      "q_text_fingerprint",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(col("text").cast(BinaryType)).as("fp"),
+            substring(md5(col("text").cast(BinaryType)), 1, 2).as("shard"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 2) AS shard
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.{C, GQ, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function operators: ranking, running frames, top-k per group.
+  *
+  * Scale posture: each window is one shuffle on its PARTITION BY key followed
+  * by an in-partition sort; the top-k queries filter on row_number immediately
+  * so only k rows per group survive past the window. Window order keys always
+  * include a unique tie-breaker (R1) so rank == row_number deterministically.
+  */
+object Windows {
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 5)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("rn"))
+          .orderBy(col("o_orderpriority"), col("rn"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, rn FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin)
+    ),
+    GQ(
+      "q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, d, "orders")
+          .withColumn("running", sum(C.dec2(col("o_totalprice"))).over(w).cast(DoubleType))
+          .select(col("o_custkey"), col("o_orderkey"), col("running"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+    GQ(
+      "q_topk_per_group",
+      (s, d) => {
+        val joined = Tables.t(s, d, "customer")
+          .join(Tables.t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        joined
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("o_orderkey"), col("rn"))
+          .orderBy(col("c_mktsegment"), col("rn"))
+      },
+      Some("""SELECT c_mktsegment, o_orderkey, rn FROM (
+             |  SELECT c_mktsegment, o_orderkey,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM customer JOIN orders ON c_custkey = o_custkey)
+             |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)
+    )
+  )
+}
