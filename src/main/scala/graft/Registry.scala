@@ -15,7 +15,10 @@ object Registry {
       Windows.queries ++
       EventsOps.queries ++
       TextOps.queries ++
-      Similarity.queries
+      Similarity.queries ++
+      Dedup.queries ++
+      Ann.queries ++
+      Multimodal.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.vec
+import graft.{GQ, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search — the scale path for similarity
+  * (`Similarity.q_sim_cosine` is the brute-force baseline).
+  *
+  * IVF (inverted-file) flavor: a fixed small set of coarse centroids (here
+  * the first 16 vectors — at 100 TB these come from a k-means sample), every
+  * vector is assigned to its best centroid in one broadcast pass, and a query
+  * probes only its own cell. Plan shape at scale: broadcast 16 centroids →
+  * one scan to assign (16 cosines/row, no shuffle) → shuffle on cell id →
+  * per-cell top-k window. The candidate set per query is |cell| ≈ N/16
+  * instead of N, and nothing is ever all-pairs.
+  *
+  * Cell assignments and neighbor ranks hash on engine-side float math → no
+  * cross-engine oracle (rows-only check; output is top-3 per query over 5
+  * queries, never empty).
+  */
+object Ann {
+
+  private val NumCentroids = 16
+  private val NumQueries = 5
+  private val TopK = 3
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_sim_ann_ivf",
+      (s, d) => {
+        val e = Tables.t(s, d, "embeddings")
+        val centroids = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+        // assign: argmax-cosine centroid per vector (broadcast, no shuffle)
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("cid"))
+        val assigned = e.crossJoin(broadcast(centroids))
+          .select(
+            col("vec_id"), col("embedding"), col("cid"),
+            vec.cosine(s, "embedding", "cent").as("c_cos"))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        // probe: queries search only their own cell
+        val q = assigned.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cid"))
+        val cand = assigned
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("n_cos").desc, col("neighbor_id"))
+        q.join(cand, "cid")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(
+            col("query_id"), col("neighbor_id"),
+            vec.cosine(s, "qe", "ne").as("n_cos"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("n_cos"), 3).as("cos_sim"), col("rn").cast("bigint").as("rn"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      None
+    )
+  )
+}

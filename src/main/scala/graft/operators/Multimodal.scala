@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded / feature-extracted in distributed batch passes.
+  *
+  * The Spark-side machinery is real — schema, partition-parallel iterator
+  * processing, typed Datasets — while the codec itself is a clearly-marked
+  * deterministic STUB (`FakeCodec`): no image/audio libraries exist in this
+  * environment. Swapping `FakeCodec` for a real JNI/Java decoder changes no
+  * plan shape: decode stays a narrow `mapPartitions` (no shuffle), features
+  * stay fixed-width float vectors that flow into the Ann/Similarity
+  * operators.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (the multimodal schema). */
+  case class MediaRecord(doc_id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded features: per-frame samples + a fixed-width embedding. */
+  case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Int,
+      n_frames: Int,
+      frame_digests: Array[Long],
+      feature: Array[Float])
+
+  /** STUB codec — deterministic fake standing in for an image/audio decoder.
+    * Real implementation would go through javax.imageio / ffmpeg bindings;
+    * everything around it (batching, partitioning, schema) is production
+    * shape.
+    */
+  object FakeCodec {
+    val FrameSize = 32
+    val FeatureDim = 8
+
+    /** "Frames": consecutive FrameSize-byte windows, digested to a long. */
+    def frames(payload: Array[Byte]): Array[Long] =
+      payload.grouped(FrameSize).map { w =>
+        w.foldLeft(1125899906842597L)((h, b) => h * 31 + b)
+      }.toArray
+
+    /** "Embedding": fold bytes into a fixed-width float vector. */
+    def feature(payload: Array[Byte]): Array[Float] = {
+      val acc = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        acc(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** documents.text reinterpreted as a binary media payload + metadata —
+    * the ingest step a real pipeline does when loading image/audio bytes. */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("kind"),
+        col("text").cast(BinaryType).as("media"))
+      .as[MediaRecord]
+  }
+
+  /** Distributed decode: narrow mapPartitions, iterator-to-iterator (no
+    * per-partition materialization), so memory is bounded by one record and
+    * the pass pipelines with the scan. */
+  def decode(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val fr = FakeCodec.frames(r.media)
+        MediaFeatures(r.doc_id, r.kind, r.media.length, fr.length, fr,
+          FakeCodec.feature(r.media))
+      }
+    }
+  }
+
+  val queries: Seq[GQ] = Seq(
+    // Binary-column metadata extraction — the oracle-checkable slice of the
+    // pipeline (byte length, content digest, head bytes as hex).
+    GQ(
+      "q_multimodal_meta",
+      (s, d) => {
+        val blob = col("text").cast(BinaryType)
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            length(blob).cast(LongType).as("n_bytes"),
+            md5(blob).as("fp"),
+            substring(hex(blob), 1, 16).as("head_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |md5(text) AS fp,
+             |substring(hex(encode(text)), 1, 16) AS head_hex
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // Full decode pipeline through the stub codec: deterministic counts +
+    // digest aggregates per kind (no oracle — engine-side codec).
+    GQ(
+      "q_multimodal_decode",
+      (s, d) =>
+        decode(asMedia(s, d)).toDF()
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n_media"),
+            sum(col("n_frames").cast(LongType)).as("total_frames"),
+            sum(col("n_bytes").cast(LongType)).as("total_bytes"))
+          .orderBy(col("kind")),
+      None
+    )
+  )
+}

@@ -20,6 +20,12 @@ object TextOps {
   /** Tiny stopword list; present in the corpus vocabulary ("the", "a"). */
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** Marker tokens per candidate language for the lang-id heuristic. */
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "es", "una"))
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_dedup_exact",
@@ -104,6 +110,37 @@ object TextOps {
              |CAST(length(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+'))
              |  AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // Language-ID heuristic: marker-token hit counts per candidate language
+    // with a fixed-precedence argmax. (On this synthetic corpus every doc is
+    // English-ish word soup, so the interesting output is the score columns;
+    // the argmax machinery is what a real lang-id pass runs per document.)
+    GQ(
+      "q_text_langid",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        def hits(markers: Seq[String]) =
+          size(filter(words, w => w.isInCollection(markers))).cast(LongType)
+        val sEn = hits(LangMarkers("en"))
+        val sDe = hits(LangMarkers("de"))
+        val sEs = hits(LangMarkers("es"))
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"),
+            when(sEn >= sDe && sEn >= sEs, "en")
+              .when(sDe >= sEs, "de")
+              .otherwise("es").as("pred_lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def h(lang: String) =
+          s"len(list_filter(string_split(text, ' '), w -> w IN (${LangMarkers(lang).map(w => s"'$w'").mkString(", ")})))"
+        s"""SELECT doc_id, ${h("en")} AS s_en, ${h("de")} AS s_de, ${h("es")} AS s_es,
+           |CASE WHEN ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("es")} THEN 'en'
+           |     WHEN ${h("de")} >= ${h("es")} THEN 'de' ELSE 'es' END AS pred_lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
     ),
     // Content fingerprint (md5 digest + 2-hex-char shard bucket): the
     // scale-out key for exact dedup — 100 TB dedup shuffles these 16-byte
