@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed golden results on MiniData for representative operators —
+  * the values below were derived on paper from the fixture rows, so they
+  * check semantics, not just reproducibility (SURVEY.md §5.2-2).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val dir = MiniData.dir
+
+  private def rows(name: String): Seq[Seq[Any]] =
+    Registry.byName(name).run(spark, dir).collect().toSeq.map(_.toSeq)
+
+  test("q_agg_hash: TPC-H Q1 shape, exact decimal money math") {
+    assert(rows("q_agg_hash") === Seq(
+      Seq("A", "F", 36.0, 2000.0, 1800.0, 1L),
+      Seq("A", "O", 55.0, 950.0, 864.5, 1L),
+      Seq("N", "O", 43.0, 1600.0, 1599.0, 2L),
+      Seq("R", "F", 56.0, 3000.0, 2870.0, 3L),
+      Seq("R", "O", 29.0, 600.0, 564.0, 1L)))
+  }
+
+  test("set ops over customer/supplier nationkeys") {
+    assert(rows("q_union_distinct") === Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
+    assert(rows("q_intersect") === Seq(Seq(1), Seq(3)))
+    assert(rows("q_except") === Seq(Seq(0), Seq(2)))
+  }
+
+  test("join family: anti finds the orderless customer, semi the F-status ones") {
+    assert(rows("q_join_anti") === Seq(Seq(5L)))
+    assert(rows("q_join_semi") === Seq(Seq(1L), Seq(2L)))
+    assert(rows("q_join_left_outer") === Seq(
+      Seq(1L, 2L), Seq(2L, 2L), Seq(3L, 1L), Seq(4L, 1L), Seq(5L, 0L)))
+    // ASIA has no nations -> absent from the inner broadcast join
+    assert(rows("q_join_broadcast") === Seq(Seq("AFRICA", 2L), Seq("AMERICA", 2L)))
+  }
+
+  test("q_join_theta: equi key + range residual") {
+    // qualifying (l_partkey, l_quantity) pairs: (1,17),(3,40),(1,8),(3,55)
+    assert(rows("q_join_theta") === Seq(Seq("Brand#1", 4L)))
+  }
+
+  test("q_dedup_exact keeps min doc_id per distinct text") {
+    assert(rows("q_dedup_exact") === Seq(Seq(1L), Seq(3L), Seq(4L), Seq(5L), Seq(6L)))
+  }
+
+  test("q_sim_cosine: known geometry (parallel=1.0, orthogonal=0.0)") {
+    assert(rows("q_sim_cosine") === Seq(
+      Seq(5L, 1.0), Seq(2L, 0.707), Seq(4L, 0.216), Seq(1L, 0.0), Seq(3L, 0.0)))
+  }
+
+  test("q_dedup_jaccard_words: identical docs score jaccard 1.0 first") {
+    assert(rows("q_dedup_jaccard_words").head === Seq(1L, 2L, 1.0))
+  }
+
+  test("q_time_tumbling: exact integer hour buckets over nanos") {
+    assert(rows("q_time_tumbling") === Seq(
+      Seq(1704067200L, "click", 1L, 0.25),
+      Seq(1704067200L, "error", 1L, 1.5),
+      Seq(1704067200L, "purchase", 1L, 185.22),
+      Seq(1704070800L, "purchase", 1L, 99.99),
+      Seq(1704070800L, "signup", 1L, 0.0),
+      Seq(1704070800L, "view", 1L, 2.75)))
+  }
+
+  test("q_window_lag: per-user chain with null head") {
+    assert(rows("q_window_lag") === Seq(
+      Seq(10L, 1L, null), Seq(10L, 2L, 185.22), Seq(10L, 4L, 1.5),
+      Seq(11L, 3L, null), Seq(11L, 6L, 0.25),
+      Seq(12L, 5L, null)))
+  }
+
+  test("q_text_langid: marker argmax with en-first tie precedence") {
+    val byDoc = rows("q_text_langid").map(r => r.head -> (r(1), r(2), r(3), r(4))).toMap
+    assert(byDoc(1L) === ((1L, 0L, 0L, "en")))
+    assert(byDoc(3L) === ((0L, 5L, 0L, "de")))
+    assert(byDoc(4L) === ((0L, 0L, 6L, "es")))
+    assert(byDoc(5L) === ((0L, 0L, 0L, "en"))) // all-zero tie -> en precedence
+  }
+
+  test("native cosine_sim expression: null and zero-norm edges") {
+    graft.functions.vec.register(spark)
+    val out = spark.sql(
+      """SELECT cosine_sim(CAST(array(0.0, 0.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS zero_norm,
+        |       cosine_sim(CAST(NULL AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0) AS ARRAY<FLOAT>)) AS null_in,
+        |       cosine_sim(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS same""".stripMargin)
+      .collect().head
+    assert(out.getDouble(0) === 0.0)
+    assert(out.isNullAt(1))
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
+  }
+}
