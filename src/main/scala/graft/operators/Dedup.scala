@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.vec
 import graft.{GQ, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -24,6 +25,14 @@ import org.apache.spark.sql.types._
   * MinHash/SimHash queries are declared without a DuckDB oracle (rows-only
   * check; outputs are always non-empty: one row per doc / top-k pairs). The
   * Jaccard and embedding queries are exact math and fully oracle-matched.
+  *
+  * PERF NOTE (measured at sf0.1): building shingles with a per-element
+  * `transform(sequence(...), i => ...element_at(split(text), i)...)` lambda
+  * is O(words²) per document — Catalyst inlines `split` into the lambda (and
+  * into the explode-side IsNotNull/size pushed filters), so every element
+  * re-splits the whole text. Shingling here is therefore linear-shaped:
+  * split once → posexplode → window `lead` assembly (17.4s → ~3s on
+  * q_dedup_jaccard_ngram).
   */
 object Dedup {
 
@@ -40,29 +49,76 @@ object Dedup {
     Seq.fill(K)((1L + math.floorMod(next(), P - 1), math.floorMod(next(), P)))
   }
 
-  /** 3-word shingles of a text column (docs with <3 words shingle to the
-    * whole text). `when` guards the transform so ANSI element_at never sees
-    * an out-of-range index. */
-  private def shingles(text: Column): Column = {
-    val words = split(text, " ")
-    when(size(words) >= 3,
-      transform(sequence(lit(1), size(words) - 2), i =>
-        concat_ws(" ",
-          element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
-      .otherwise(array(text))
+  /** Exploded 3-word shingles: one (doc_id, lang, source, item) row per
+    * shingle, built linearly — split once, posexplode, window-lead assembly
+    * (see PERF NOTE above). Documents with <3 words contribute their whole
+    * text as the single shingle. The window shuffle is keyed on doc_id — at
+    * 100 TB that is one well-distributed exchange of the tokenized corpus.
+    */
+  private def shingleItems(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(col("text"), " ").as("words"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val long = docs.filter(size(col("words")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(col("words")).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        concat_ws(" ", col("word"),
+          lead(col("word"), 1).over(w), lead(col("word"), 2).over(w)).as("item"),
+        lead(col("word"), 2).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+      .drop("complete")
+    val short = docs.filter(size(col("words")) < 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("text").as("item"))
+    long.union(short)
   }
 
   /** doc_id + K min-hash signature columns (sig0..sigK-1). One explode + one
     * grouped multi-min aggregation: the shuffle carries K longs per doc. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val base = pmod(xxhash64(col("shingle")), lit(P))
+    val base = pmod(xxhash64(col("item")), lit(P))
     val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(base * a + b, lit(P))).as(s"sig$j")
     }
-    Tables.t(s, d, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("shingle"))
+    shingleItems(s, d)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
+  }
+
+  /** Blocked exact-Jaccard top-20 over exploded (doc_id, lang, source, item)
+    * rows. |A∩B| comes from an item equi-join (shuffle keyed on
+    * (lang, source, item)) aggregated per pair; |A∪B| = |A|+|B|−|A∩B|. The
+    * residual block-pair enumeration (needed only so zero-overlap pairs can
+    * surface in the top-20 tail) carries (id, int) rows — no per-pair array
+    * math anywhere. At 100 TB you keep just the item-join candidates (pairs
+    * sharing ≥1 item) and drop the zero-overlap left join: candidate volume
+    * is then bounded by item co-occurrence, and the block key comes from the
+    * MinHash LSH pass instead of (lang, source).
+    */
+  private def blockedJaccard(itemsIn: DataFrame): DataFrame = {
+    val it = itemsIn.distinct()
+    val sized = it.groupBy(col("lang"), col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val inter = it.as("x")
+      .join(it.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val a = sized.select(
+      col("doc_id").as("a_id"), col("lang"), col("source"), col("n").as("a_n"))
+    val b = sized.select(
+      col("doc_id").as("b_id"), col("lang"), col("source"), col("n").as("b_n"))
+    val interN = coalesce(col("inter"), lit(0L)).cast(DoubleType)
+    a.join(b, Seq("lang", "source"))
+      .filter(col("a_id") < col("b_id"))
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .select(
+        col("a_id"), col("b_id"),
+        (interN / (col("a_n") + col("b_n") - interN)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(20)
   }
 
   val queries: Seq[GQ] = Seq(
@@ -81,7 +137,12 @@ object Dedup {
     ),
     // LSH candidate pairs: docs sharing at least one of the K min-hashes
     // (r=1, b=K banding — high recall), scored by estimated Jaccard =
-    // fraction of equal signature positions. Top-20 deterministic.
+    // fraction of equal signature positions. One (position, value) equi-join
+    // + pair-count aggregation: the per-pair count of matching (j, v) rows
+    // IS the number of equal positions, so the signature plan is built once
+    // and nothing all-pairs ever forms — candidate volume is bounded by hash
+    // collisions, which is the property that survives 100 TB. Top-20
+    // deterministic.
     GQ(
       "q_dedup_minhash_pairs",
       (s, d) => {
@@ -93,21 +154,12 @@ object Dedup {
             array((0 until K).map(j => lit(j)): _*).as("j"),
             array(sigCols: _*).as("v"))).as("h"))
           .select(col("doc_id"), col("h.j").as("j"), col("h.v").as("v"))
-        val cand = exploded.as("a")
+        exploded.as("a")
           .join(exploded.as("b"),
             col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val aSig = sigs.toDF("a_id" +: (0 until K).map(j => s"a_sig$j"): _*)
-        val bSig = sigs.toDF("b_id" +: (0 until K).map(j => s"b_sig$j"): _*)
-        val eq = (0 until K).map(j =>
-          when(col(s"a_sig$j") === col(s"b_sig$j"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand.join(aSig, "a_id").join(bSig, "b_id")
-          .select(
-            col("a_id"), col("b_id"),
-            (eq.cast(DoubleType) / K).as("est_jaccard"))
+          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .agg((count(lit(1)).cast(DoubleType) / K).as("est_jaccard"))
           .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
@@ -139,22 +191,10 @@ object Dedup {
     // jaccard is a single IEEE division of two exact ints: bit-stable.
     GQ(
       "q_dedup_jaccard_words",
-      (s, d) => {
-        val docs = Tables.t(s, d, "documents")
-          .select(
-            col("doc_id"), col("lang"), col("source"),
-            array_distinct(split(col("text"), " ")).as("ws"))
-        val a = docs.toDF("a_id", "lang", "source", "a_ws")
-        val b = docs.toDF("b_id", "lang", "source", "b_ws")
-        a.join(b, Seq("lang", "source"))
-          .filter(col("a_id") < col("b_id"))
-          .select(
-            col("a_id"), col("b_id"),
-            (size(array_intersect(col("a_ws"), col("b_ws"))).cast(DoubleType) /
-              size(array_union(col("a_ws"), col("b_ws"))).cast(DoubleType)).as("jaccard"))
-          .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-          .limit(20)
-      },
+      (s, d) => blockedJaccard(
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("item"))),
       Some("""WITH d AS (SELECT doc_id, lang, source,
              |  list_distinct(string_split(text, ' ')) AS ws FROM documents)
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -167,22 +207,7 @@ object Dedup {
     // Exact 3-gram (word-shingle) Jaccard within blocks — oracle-matched.
     GQ(
       "q_dedup_jaccard_ngram",
-      (s, d) => {
-        val docs = Tables.t(s, d, "documents")
-          .select(
-            col("doc_id"), col("lang"), col("source"),
-            array_distinct(shingles(col("text"))).as("sh"))
-        val a = docs.toDF("a_id", "lang", "source", "a_sh")
-        val b = docs.toDF("b_id", "lang", "source", "b_sh")
-        a.join(b, Seq("lang", "source"))
-          .filter(col("a_id") < col("b_id"))
-          .select(
-            col("a_id"), col("b_id"),
-            (size(array_intersect(col("a_sh"), col("b_sh"))).cast(DoubleType) /
-              size(array_union(col("a_sh"), col("b_sh"))).cast(DoubleType)).as("jaccard"))
-          .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-          .limit(20)
-      },
+      (s, d) => blockedJaccard(shingleItems(s, d)),
       Some("""WITH d AS (SELECT doc_id, lang, source,
              |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
              |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
