@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's `main()` DAG (spotify-etl.py:217-289) as lazy DataFrame
+  * composition. Stages:
+  *
+  *  1. independent extracts — playlists, recent, followed (reference
+  *     gathers them concurrently, :230-234; here they are independent lazy
+  *     plans whose jobs the sink actions launch);
+  *  2. data-dependent fan-out — playlist ids feed the per-playlist tracks
+  *     fetch (:238-243). The reference pulls ids to a driver list; at scale
+  *     the id set stays a Dataset and the fetch runs in `mapPartitions`
+  *     (SURVEY.md §7.5 / P8);
+  *  3. union + DISTINCT of track ids so no audio-features batch is fetched
+  *     twice — the reference's one explicit semantic optimization
+  *     (:247-251, C2) — then the ≤100-id batched lookup (:253);
+  *  4. staging (ingest_date + all-string cast) and six replace-mode loads
+  *     (:264-280).
+  *
+  * `run` returns the six staged frames keyed by their reference table names
+  * (:272-279) so callers (tests, or a real JDBC deployment) own the final
+  * write action.
+  */
+final class SpotifyPipeline(source: SpotifySource) {
+
+  def run(spark: SparkSession, ingestTs: Timestamp): Map[String, DataFrame] = {
+    import spark.implicits._
+
+    // stage 1: independent extracts
+    val playlists = source.playlists(spark)
+    val recent = source.recentTracks(spark)
+    val followed = source.followedArtists(spark)
+
+    // stage 2: data-dependent fan-out (ids stay distributed)
+    val playlistIds = playlists.select(col("id")).as[String]
+    val playlistTracks = source.playlistTracks(spark, playlistIds)
+
+    // stage 3: saved tracks, then union-distinct of ids -> batched lookup
+    val saved = source.savedTracks(spark)
+    val trackIds = playlistTracks.select(col("id"))
+      .union(saved.select(col("id"))) // C2 (spotify-etl.py:250)
+      .filter(col("id").isNotNull) // null-id filter (spotify-etl.py:251)
+      .distinct()
+      .as[String]
+    val audio = source.audioFeatures(spark, trackIds)
+
+    // stage 4: staging; the caller runs the JdbcReplaceSink.write actions
+    Map(
+      "playlists" -> playlists,
+      "playlists_tracks" -> playlistTracks,
+      "saved_tracks" -> saved,
+      "recent_tracks" -> recent,
+      "followed_artists" -> followed,
+      "audio_features" -> audio
+    ).map { case (name, df) => name -> JdbcReplaceSink.stage(df, ingestTs) }
+  }
+}

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import graft.TestSpark
+import org.scalatest.BeforeAndAfterEach
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stub-driven connector tests (SURVEY.md §5.2-5): pagination cursoring,
+  * 429 retry with Retry-After, ≤100-id batching incl. the tail batch, the
+  * null-track filter, and the union-distinct fetch-dedup — the behaviors the
+  * reference implements at /root/reference/spotify-etl.py:47-62, :72-75,
+  * :106, :151-166, :247-251.
+  */
+object FakeHttp {
+  // static so executor-side lookups share state with the driver (local mode)
+  val requests = new ConcurrentLinkedQueue[String]()
+  @volatile var routes: String => HttpResponse = _ => HttpResponse(404, "{}")
+
+  def reset(r: String => HttpResponse): Unit = { requests.clear(); routes = r }
+  def requested: Seq[String] = requests.asScala.toSeq
+}
+
+final class FakeHttpClient extends HttpClient {
+  override def get(url: String, headers: Map[String, String]): HttpResponse = {
+    FakeHttp.requests.add(url)
+    FakeHttp.routes(url)
+  }
+}
+
+class SpotifySourceSpec extends AnyFunSuite with BeforeAndAfterEach {
+  private val spark = TestSpark.spark
+  private val Base = "https://api.spotify.com/v1"
+
+  private def track(id: String, name: String): String =
+    s"""{"id": "$id", "name": "$name", "artists": [{"name": "artist-$id"}, {"name": "other"}],
+       |"album": {"name": "album-$id"}}""".stripMargin
+
+  private def ok(body: String) = HttpResponse(200, body)
+
+  private val fixtures: Map[String, String] = Map(
+    s"$Base/me/playlists" ->
+      s"""{"items": [{"id": "p1", "href": "h1", "name": "Mix 1",
+         |  "owner": {"display_name": "alice"}, "public": true,
+         |  "collaborative": false, "tracks": {"total": 2}}],
+         |"next": "$Base/me/playlists?offset=1"}""".stripMargin,
+    s"$Base/me/playlists?offset=1" ->
+      s"""{"items": [{"id": "p2", "href": "h2", "name": "Mix 2",
+         |  "owner": {"display_name": "bob"}, "public": false,
+         |  "collaborative": true, "tracks": {"total": 1}}],
+         |"next": null}""".stripMargin,
+    s"$Base/playlists/p1/tracks" ->
+      s"""{"items": [{"track": ${track("t1", "Song 1")}},
+         |{"track": null},
+         |{"track": ${track("t2", "Song 2")}}], "next": null}""".stripMargin,
+    s"$Base/playlists/p2/tracks" ->
+      s"""{"items": [{"track": ${track("t3", "Song 3")}}], "next": null}""".stripMargin,
+    s"$Base/me/tracks" ->
+      s"""{"items": [
+         |{"added_at": "2024-01-05T10:00:00Z", "track": ${track("t2", "Song 2")}},
+         |{"added_at": "2024-01-06T11:30:00Z", "track": ${track("t4", "Song 4")}}],
+         |"next": null}""".stripMargin,
+    s"$Base/me/player/recently-played" ->
+      s"""{"items": [{"played_at": "2024-02-01T08:00:00Z",
+         |  "track": ${track("t1", "Song 1")}}]}""".stripMargin,
+    s"$Base/me/following?type=artist" ->
+      """{"artists": {"items": [
+        |{"id": "a1", "name": "Artist 1", "genres": ["rock", "indie"],
+        |  "popularity": 55, "followers": {"total": 1000}},
+        |{"id": "a2", "name": "Artist 2", "genres": [],
+        |  "popularity": 20, "followers": {"total": 5}}]}}""".stripMargin
+  )
+
+  /** audio-features: synthesize one object per requested id. */
+  private def route(url: String): HttpResponse =
+    if (url.startsWith(s"$Base/audio-features?ids=")) {
+      val ids = url.substring(s"$Base/audio-features?ids=".length).split(",")
+      val objs = ids.map(id =>
+        s"""{"id": "$id", "danceability": 0.5, "energy": 0.7, "tempo": 120.0,
+           |"key": 5, "duration_ms": 180000}""".stripMargin)
+      ok(s"""{"audio_features": [${objs.mkString(",")}]}""")
+    } else fixtures.get(url).map(ok).getOrElse(HttpResponse(404, "{}"))
+
+  override def beforeEach(): Unit = FakeHttp.reset(route)
+
+  private def source(par: Int = 2) =
+    new SpotifySource(new FakeHttpClient, Base, Map("Authorization" -> "Bearer x"), par)
+
+  test("playlists: cursor pagination follows next until null (S2)") {
+    val df = source().playlists(spark)
+    val rows = df.orderBy("id").collect().map(_.toSeq)
+    assert(rows === Seq(
+      Seq("p1", "h1", "Mix 1", "alice", true, false, 2),
+      Seq("p2", "h2", "Mix 2", "bob", false, true, 1)))
+    assert(FakeHttp.requested.count(_.contains("/me/playlists")) === 2)
+  }
+
+  test("playlistTracks: executor fan-out, null-track filter, injected key (S3/P3/P5)") {
+    import spark.implicits._
+    val df = source().playlistTracks(spark, Seq("p1", "p2").toDS())
+    val rows = df.orderBy("id").collect().map(_.toSeq)
+    assert(rows === Seq(
+      Seq("t1", "Song 1", "artist-t1", "album-t1", "p1"),
+      Seq("t2", "Song 2", "artist-t2", "album-t2", "p1"),
+      Seq("t3", "Song 3", "artist-t3", "album-t3", "p2")))
+  }
+
+  test("savedTracks parses added_at as timestamp (S4)") {
+    val rows = source().savedTracks(spark).orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("t2", "t4"))
+    assert(rows.head.getTimestamp(4) === Timestamp.valueOf("2024-01-05 10:00:00"))
+  }
+
+  test("audioFeatures batches ids by 100 including the tail (S5/C3)") {
+    import spark.implicits._
+    val ids = (1 to 250).map(i => s"tr$i")
+    val df = source(par = 1).audioFeatures(spark, ids.toDS())
+    assert(df.count() === 250)
+    val batchSizes = FakeHttp.requested
+      .filter(_.contains("audio-features"))
+      .map(_.split("ids=")(1).split(",").length)
+      .sorted
+    assert(batchSizes === Seq(50, 100, 100))
+  }
+
+  test("followedArtists flattens genres to a delimited string (S7/P4)") {
+    val rows = source().followedArtists(spark).orderBy("id").collect().map(_.toSeq)
+    assert(rows === Seq(
+      Seq("a1", "Artist 1", "rock, indie", 55, 1000),
+      Seq("a2", "Artist 2", "", 20, 5)))
+  }
+
+  test("RateLimitedClient: 429 retries honor Retry-After, then succeed (S8)") {
+    var calls = 0
+    val sleeps = Seq.newBuilder[Long]
+    val flaky = new HttpClient {
+      override def get(url: String, headers: Map[String, String]): HttpResponse = {
+        calls += 1
+        if (calls <= 2) HttpResponse(429, "", Map("Retry-After" -> "3"))
+        else HttpResponse(200, "ok")
+      }
+    }
+    val client = new RateLimitedClient(flaky, minIntervalMs = 0, maxRetries = 5,
+      sleeper = sleeps += _)
+    assert(client.get("u", Map.empty).status === 200)
+    assert(calls === 3)
+    assert(sleeps.result().count(_ === 3000L) === 2)
+  }
+
+  test("RateLimitedClient gives up after maxRetries") {
+    val always429 = new HttpClient {
+      override def get(url: String, headers: Map[String, String]) =
+        HttpResponse(429, "", Map("Retry-After" -> "1"))
+    }
+    val client = new RateLimitedClient(always429, minIntervalMs = 0, maxRetries = 2,
+      sleeper = _ => ())
+    assert(client.get("u", Map.empty).status === 429)
+  }
+
+  test("nextCursor: null, missing, and present cursors") {
+    assert(SpotifySource.nextCursor("""{"next": null}""") === None)
+    assert(SpotifySource.nextCursor("""{}""") === None)
+    assert(SpotifySource.nextCursor("""{"next": "u2"}""") === Some("u2"))
+  }
+
+  test("pipeline: six staged tables; union-distinct fetches each id once (C2)") {
+    val ts = Timestamp.valueOf("2024-03-01 00:00:00")
+    val tables = new SpotifyPipeline(source()).run(spark, ts)
+    assert(tables.keySet === Set("playlists", "playlists_tracks", "saved_tracks",
+      "recent_tracks", "followed_artists", "audio_features"))
+
+    val counts = tables.map { case (k, df) => k -> df.count() }
+    assert(counts === Map(
+      "playlists" -> 2L, "playlists_tracks" -> 3L, "saved_tracks" -> 2L,
+      "recent_tracks" -> 1L, "followed_artists" -> 2L, "audio_features" -> 4L))
+
+    // every column stringly-typed + ingest_date appended (P6/P7)
+    for ((name, df) <- tables) {
+      assert(df.schema.fields.forall(_.dataType.typeName == "string"), name)
+      assert(df.columns.last === "ingest_date", name)
+    }
+
+    // the union-distinct means ids {t1..t4} are each looked up exactly once
+    val fetched = FakeHttp.requested
+      .filter(_.contains("audio-features"))
+      .flatMap(_.split("ids=")(1).split(","))
+    assert(fetched.sorted === Seq("t1", "t2", "t3", "t4"))
+  }
+}
