@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Structured Streaming surface over event streams (the streaming analog of
+  * `graft.operators.EventsOps`; the reference is strictly batch —
+  * SURVEY.md §1.1 — so this is engine extension, exercised in unit tests
+  * because the driver harness is batch-only).
+  *
+  * All transforms take an un-sunk streaming DataFrame/Dataset (e.g. from
+  * `spark.readStream` or a MemoryStream) and return a lazy result the caller
+  * wires to `writeStream`. Scale posture: every aggregation is keyed on
+  * (window, low-cardinality key) or user_id — state is bounded by watermark
+  * eviction, the thing that makes month-long streams viable; without it
+  * state grows with event-time spread and the job eventually OOMs.
+  */
+object EventStreams {
+
+  /** An event record for the typed APIs. */
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Per-user running aggregate emitted by [[userTotals]]. */
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Tumbling event-time windows with late-data drop: the streaming form of
+    * `q_time_tumbling` (R2 decimal math kept identical). Append-mode sinks
+    * emit each window once, when the watermark passes its end. */
+  def tumbling(events: DataFrame, every: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), every), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding windows (length/slide), same state contract as [[tumbling]]. */
+  def sliding(events: DataFrame, length: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("cnt"))
+
+  /** Event-time session windows per user: a session closes after `gap` of
+    * silence, and its state is evictable once the watermark passes. */
+  def sessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup (north-star dedup, streaming form): first
+    * occurrence of each event_id wins; duplicate arrivals inside the
+    * watermark horizon are dropped, and the dedup state itself is evicted
+    * past the watermark — the property that lets this run forever. */
+  def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: per-user lifetime totals
+    * (update-mode). The state object is a constant-size pair per user —
+    * the general pattern for stateful enrichment Spark has no built-in for. */
+  def userTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var v = BigDecimal(v0)
+          batch.foreach { e => n += 1; v += BigDecimal(e.value) }
+          state.update((n, v.toDouble))
+          UserTotal(uid, n, v.toDouble)
+      }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.TestSpark
+import graft.streaming.EventStreams.{Event, UserTotal}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming behavior: window emission on watermark passage,
+  * late-data drop, streaming dedup, and custom keyed state — driven through
+  * MemoryStream batches exactly as micro-batches arrive in production.
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, uid: Long = 1L, typ: String = "click",
+      v: Double = 1.0): Event = Event(id, ts(t), uid, typ, v)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("tumbling: append emits a window only after the watermark passes it; late data dropped") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumbling(in.toDF(), every = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ev(1, "2024-01-01 00:05:00", v = 2.0),
+        ev(2, "2024-01-01 00:20:00", v = 3.0))
+      q.processAllAvailable()
+      // watermark still inside hour 0 -> nothing emitted yet
+      assert(spark.table("tumb").count() === 0)
+
+      // an event far past hour 0 advances the watermark beyond 01:00
+      in.addData(ev(3, "2024-01-01 02:00:00", v = 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("tumb").collect().map(_.toSeq)
+      assert(closed === Array(Seq(
+        ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "click", 2L, 5.0)))
+
+      // this event's window is already closed -> silently dropped
+      in.addData(ev(4, "2024-01-01 00:30:00", v = 100.0))
+      in.addData(ev(5, "2024-01-01 04:00:00"))
+      q.processAllAvailable()
+      val after = spark.table("tumb").collect().map(_.toSeq)
+      assert(!after.exists(r => r(3) == 3L), "late event must not reopen hour 0")
+    }
+  }
+
+  test("sessions: gap splits user activity into separate session windows") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessions(in.toDF(), gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ev(1, "2024-01-01 00:00:00", uid = 7, v = 1.0),
+        ev(2, "2024-01-01 00:10:00", uid = 7, v = 2.0), // same session
+        ev(3, "2024-01-01 03:00:00", uid = 7, v = 4.0)) // new session after gap
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 09:00:00", uid = 8)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sess").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(_._2)
+      assert(sessions.toSeq === Seq((7L, 1L, 4.0), (7L, 2L, 3.0)))
+    }
+  }
+
+  test("dedup drops duplicate event_ids across micro-batches") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedup(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, "2024-01-01 00:00:00"), ev(2, "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 00:00:30"), ev(3, "2024-01-01 00:02:00")) // 1 is a dup
+      q.processAllAvailable()
+      assert(spark.table("dd").select("event_id").as[Long].collect().sorted
+        === Array(1L, 2L, 3L))
+    }
+  }
+
+  test("userTotals: mapGroupsWithState accumulates per-user state across batches") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.userTotals(in.toDS())
+      .writeStream.format("memory").queryName("ut").outputMode("update").start()
+    withQuery(q) {
+      in.addData(ev(1, "2024-01-01 00:00:00", uid = 1, v = 1.5),
+        ev(2, "2024-01-01 00:01:00", uid = 2, v = 2.0))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 00:02:00", uid = 1, v = 2.5))
+      q.processAllAvailable()
+      // last update per user wins
+      val latest = spark.table("ut").as[UserTotal].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(latest(1L) === UserTotal(1L, 2L, 4.0))
+      assert(latest(2L) === UserTotal(2L, 1L, 2.0))
+    }
+  }
+}
