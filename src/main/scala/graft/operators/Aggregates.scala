@@ -45,6 +45,50 @@ object Aggregates {
       Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     ),
+    // Pivot (wide aggregation): returnflag counts spread across columns.
+    // Values are pinned (`Seq("A","N","R")`) — a two-pass value discovery
+    // would be an extra full scan at 100 TB. Absent combinations count 0
+    // (coalesce), matching SQL FILTER semantics.
+    GQ(
+      "q_pivot",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(count(lit(1)))
+          .select(
+            col("l_linestatus"),
+            coalesce(col("A"), lit(0L)).as("n_a"),
+            coalesce(col("N"), lit(0L)).as("n_n"),
+            coalesce(col("R"), lit(0L)).as("n_r"))
+          .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+             |COUNT(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+             |COUNT(*) FILTER (WHERE l_returnflag = 'N') AS n_n,
+             |COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_r
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    ),
+    // Discrete percentiles: percentile_disc picks an actual data value (no
+    // interpolation), so doubles compare bit-stable cross-engine (R7).
+    GQ(
+      "q_agg_percentile",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("graft_orders_pct")
+        s.sql("""SELECT o_orderstatus,
+                |percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+                |percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+                |MIN(o_totalprice) AS min_price,
+                |MAX(o_totalprice) AS max_price
+                |FROM graft_orders_pct
+                |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+             |percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90,
+             |MIN(o_totalprice) AS min_price,
+             |MAX(o_totalprice) AS max_price
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
     GQ(
       "q_agg_rollup",
       (s, d) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{C, GQ, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators.
@@ -96,6 +97,43 @@ object Joins {
              |FROM lineitem JOIN part
              |  ON l_partkey = p_partkey AND l_quantity > p_size
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+    // As-of join (time-series point-in-time lookup — an operator Spark has
+    // no built-in for, composed per SURVEY.md preference (a): for each
+    // purchase, the latest click by the same user at-or-before it. Instead
+    // of a per-row range probe this is ONE pass: tag both sides, sort within
+    // user by (ts, side) — clicks first at equal ts, matching ASOF's `<=` —
+    // and carry the last click ts forward with an ignore-nulls running
+    // `last`. At 100 TB that is a single shuffle+sort on user_id, the same
+    // cost as any windowed query, vs. a quadratic range join. Output ts is
+    // epoch-MICROS BIGINT: DuckDB reads the nanos parquet column at µs
+    // resolution (its epoch_ns is µs-truncated), and µs also stays inside
+    // pandas' float64-exact int range (R4). Null when the user never
+    // clicked before; nanos keep full resolution inside the window order.
+    GQ(
+      "q_join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(
+            col("event_id"), col("user_id"), col("ts"),
+            (col("event_type") === "click").as("is_click"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("click_ts",
+            last(when(col("is_click"), col("ts")), ignoreNulls = true).over(w))
+          .filter(!col("is_click"))
+          .select(col("event_id"), col("user_id"),
+            expr("click_ts DIV 1000").as("click_ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |            WHERE event_type = 'purchase'),
+             |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_ts_us
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+             |ORDER BY event_id""".stripMargin)
     ),
     GQ(
       "q_join_multiway",

@@ -122,6 +122,23 @@ object Relational {
              |CAST(n_name AS VARCHAR) AS n_name,
              |CAST(n_regionkey AS VARCHAR) AS n_regionkey
              |FROM nation ORDER BY CAST(n_nationkey AS INTEGER)""".stripMargin)
+    ),
+    // Uncorrelated scalar subquery: customers richer than every supplier.
+    // The subquery is a one-row broadcast — at 100 TB the inner MAX is a
+    // partial/final agg whose single value feeds the scan filter; raw-double
+    // comparison, no arithmetic, so bit-stable (R7).
+    GQ(
+      "q_scalar_subquery",
+      (s, d) => {
+        Tables.t(s, d, "customer").createOrReplaceTempView("graft_customer_ss")
+        Tables.t(s, d, "supplier").createOrReplaceTempView("graft_supplier_ss")
+        s.sql("""SELECT c_custkey FROM graft_customer_ss
+                |WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM graft_supplier_ss)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier)
+             |ORDER BY c_custkey""".stripMargin)
     )
   )
 }

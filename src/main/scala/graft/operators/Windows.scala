@@ -50,6 +50,29 @@ object Windows {
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
+    // RANGE frame over event time: 30-day rolling revenue per customer. The
+    // frame is value-defined (all orders within 30 days by o_orderdate), so
+    // rows sharing an order date share a frame — deterministic without a
+    // tie-break inside the frame clause; the decimal sum keeps it exact (R2).
+    GQ(
+      "q_window_range",
+      (s, d) => {
+        Tables.t(s, d, "orders").createOrReplaceTempView("graft_orders_range")
+        s.sql("""SELECT o_custkey, o_orderkey,
+                |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                |  PARTITION BY o_custkey ORDER BY o_orderdate
+                |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                |  AS DOUBLE) AS rolling_30d
+                |FROM graft_orders_range
+                |ORDER BY o_custkey, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate
+             |  RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+             |  AS DOUBLE) AS rolling_30d
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
     GQ(
       "q_topk_per_group",
       (s, d) => {
