@@ -1,7 +1,9 @@
 package graft.operators
 
-import graft.functions.vec
+import graft.functions.{vec, VectorCentroid}
 import graft.{GQ, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,23 +28,30 @@ object Ann {
   private val NumQueries = 5
   private val TopK = 3
 
+  /** Cell assignment: argmax-cosine centroid per vector. The centroids
+    * broadcast (16 rows), so assignment is a single no-shuffle scan doing 16
+    * cosines per row — at 100 TB the only exchange in the whole IVF build is
+    * the later shuffle on cell id. */
+  private def assign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cid"))
+    e.crossJoin(broadcast(centroids))
+      .select(
+        col("vec_id"), col("embedding"), col("cid"),
+        vec.cosine(s, "embedding", "cent").as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_sim_ann_ivf",
       (s, d) => {
-        val e = Tables.t(s, d, "embeddings")
-        val centroids = e.filter(col("vec_id") < NumCentroids)
-          .select(col("vec_id").as("cid"), col("embedding").as("cent"))
-        // assign: argmax-cosine centroid per vector (broadcast, no shuffle)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_cos").desc, col("cid"))
-        val assigned = e.crossJoin(broadcast(centroids))
-          .select(
-            col("vec_id"), col("embedding"), col("cid"),
-            vec.cosine(s, "embedding", "cent").as("c_cos"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+        val assigned = assign(s, d)
         // probe: queries search only their own cell
         val q = assigned.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cid"))
@@ -61,6 +70,29 @@ object Ann {
             col("query_id"), col("neighbor_id"),
             round(col("n_cos"), 3).as("cos_sim"), col("rn").cast("bigint").as("rn"))
           .orderBy(col("query_id"), col("rn"))
+      },
+      None
+    ),
+    // IVF cell statistics via the custom typed UDAF: per-cell vector count
+    // and the exact-math centroid (graft.functions.VectorCentroid — the
+    // k-means refinement aggregation). The centroid accumulates quantized
+    // longs, so the emitted norm is bit-stable regardless of partitioning /
+    // merge order — a double-summing UDAF here would be nondeterministic.
+    GQ(
+      "q_sim_ann_centroids",
+      (s, d) => {
+        val centroidOf = udaf(new VectorCentroid(64))
+        assign(s, d)
+          .groupBy(col("cid"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            centroidOf(col("embedding")).as("centroid"))
+          .select(
+            col("cid"), col("n_vecs"),
+            round(sqrt(aggregate(col("centroid"), lit(0.0),
+              (acc, x) => acc + x.cast("double") * x.cast("double"))), 3)
+              .as("centroid_norm"))
+          .orderBy(col("cid"))
       },
       None
     )

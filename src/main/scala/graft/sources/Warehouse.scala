@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Layout-aware parquet persistence — the 100 TB co-location toolkit.
+  *
+  * Two levers a large deployment uses constantly, absent from the reference
+  * (whose sink is six full-replace JDBC tables, spotify-etl.py:272-280):
+  *
+  *  - **Partitioned writes**: directory-level partition pruning; a filter on
+  *    the partition column never opens non-matching files.
+  *  - **Bucketed writes**: pre-shuffled storage. Two tables bucketed on the
+  *    same key with the same bucket count join WITHOUT either side
+  *    shuffling — the single biggest exchange eliminator for repeated
+  *    fact-fact joins. Requires `saveAsTable` (bucket metadata lives in the
+  *    catalog, not the files).
+  *
+  * `WarehouseSpec` proves both properties from the physical plans.
+  */
+object Warehouse {
+
+  /** Hive-style partitioned parquet write (`path/col=value/...`). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed + in-bucket-sorted managed table keyed for shuffle-free joins
+    * and merge-friendly scans. */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+}
