@@ -45,6 +45,19 @@ object Aggregates {
       Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     ),
+    // Ordered string aggregation (collect_list → sort → join): sorting
+    // before joining makes the output independent of row arrival order —
+    // collect_list alone is nondeterministic under shuffling (R3).
+    GQ(
+      "q_string_agg",
+      (s, d) =>
+        Tables.t(s, d, "nation")
+          .groupBy(col("n_regionkey"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy(col("n_regionkey")),
+      Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    ),
     // Pivot (wide aggregation): returnflag counts spread across columns.
     // Values are pinned (`Seq("A","N","R")`) — a two-pass value discovery
     // would be an extra full scan at 100 TB. Absent combinations count 0

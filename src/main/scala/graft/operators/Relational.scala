@@ -123,6 +123,66 @@ object Relational {
              |CAST(n_regionkey AS VARCHAR) AS n_regionkey
              |FROM nation ORDER BY CAST(n_nationkey AS INTEGER)""".stripMargin)
     ),
+    // Regex scalar family (extract / replace / match) — the pattern-shredding
+    // counterpart of the reference's structural JSON shredding.
+    GQ(
+      "q_regex_funcs",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+            regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_masked"),
+            col("c_name").rlike("00$").as("ends_00"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+             |regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked,
+             |regexp_matches(c_name, '00$') AS ends_00
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    // NULL-handling scalars: nullif / coalesce / greatest — raw-double
+    // passthrough, no arithmetic, bit-stable (R7).
+    GQ(
+      "q_null_funcs",
+      (s, d) =>
+        Tables.t(s, d, "customer")
+          .select(
+            col("c_custkey"),
+            nullif(col("c_acctbal"), lit(0.0)).as("bal_nullable"),
+            coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(-999.0)).as("bal_or_default"),
+            greatest(col("c_acctbal"), lit(0.0)).as("pos_part"),
+            (col("c_acctbal") < 0).as("is_neg"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |nullif(c_acctbal, 0.0) AS bal_nullable,
+             |coalesce(nullif(c_acctbal, 0.0), -999.0) AS bal_or_default,
+             |greatest(c_acctbal, 0.0) AS pos_part,
+             |c_acctbal < 0 AS is_neg
+             |FROM customer ORDER BY c_custkey""".stripMargin)
+    ),
+    // Date arithmetic: truncation + interval add + day diff, emitted as
+    // formatted strings / integers (R4 — no timestamp columns in outputs).
+    GQ(
+      "q_date_arith",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM-dd")
+              .as("month_start"),
+            date_format(add_months(date_trunc("MONTH", col("o_orderdate")), 1),
+              "yyyy-MM-dd").as("next_month"),
+            datediff(col("o_orderdate"), lit("1995-01-01")).cast(LongType)
+              .as("days_since"))
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |strftime(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH, '%Y-%m-%d')
+             |  AS next_month,
+             |datediff('day', DATE '1995-01-01', o_orderdate) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
     // Uncorrelated scalar subquery: customers richer than every supplier.
     // The subquery is a one-row broadcast — at 100 TB the inner MAX is a
     // partial/final agg whose single value feeds the scan filter; raw-double
