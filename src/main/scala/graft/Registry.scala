@@ -18,7 +18,8 @@ object Registry {
       Similarity.queries ++
       Dedup.queries ++
       Ann.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      Fingerprint.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

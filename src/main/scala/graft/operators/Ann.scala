@@ -27,6 +27,23 @@ object Ann {
   private val NumCentroids = 16
   private val NumQueries = 5
   private val TopK = 3
+  private val NumPlanes = 12
+
+  /** Fixed pseudo-random hyperplanes for sign-LSH (splitmix walk, seed
+    * distinct from the MinHash coefficients — deterministic across JVMs);
+    * component values uniform in [-1, 1]. */
+  private def hyperplanes(s: SparkSession): DataFrame = {
+    var x = 0x243f6a8885a308d3L
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x; z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 27; z
+    }
+    val planes = (0 until NumPlanes).map { pid =>
+      (pid, Array.fill(64)(
+        (math.floorMod(next(), 2000001L) - 1000000L).toFloat / 1000000.0f))
+    }
+    s.createDataFrame(planes).toDF("pid", "plane")
+  }
 
   /** Cell assignment: argmax-cosine centroid per vector. The centroids
     * broadcast (16 rows), so assignment is a single no-shuffle scan doing 16
@@ -63,6 +80,44 @@ object Ann {
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(
             col("query_id"), col("neighbor_id"),
+            vec.cosine(s, "qe", "ne").as("n_cos"))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= TopK)
+          .select(
+            col("query_id"), col("neighbor_id"),
+            round(col("n_cos"), 3).as("cos_sim"), col("rn").cast("bigint").as("rn"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      None
+    ),
+    // Random-hyperplane LSH ANN (the "LSH-bucketed variant" beside IVF):
+    // 12 fixed pseudo-random hyperplanes give every vector a 12-bit sign
+    // bucket in ONE broadcast pass (12 dots/row, no shuffle); queries probe
+    // only their own bucket. Same plan spine as IVF — broadcast planes →
+    // scan-side bucketing → shuffle on bucket → per-bucket top-k — with
+    // buckets that need no training. Deterministic: planes derive from a
+    // fixed splitmix walk. Engine-side hashing ⇒ no oracle.
+    GQ(
+      "q_sim_ann_lsh",
+      (s, d) => {
+        val planes = hyperplanes(s)
+        val e = Tables.t(s, d, "embeddings")
+        val bucketed = e.crossJoin(broadcast(planes))
+          .select(col("vec_id"), col("embedding"), col("pid"),
+            vec.cosine(s, "embedding", "plane").as("proj"))
+          .groupBy(col("vec_id"), col("embedding"))
+          .agg(sum(expr(
+            "IF(proj > 0, shiftleft(CAST(1 AS BIGINT), pid), CAST(0 AS BIGINT))"))
+            .as("bucket"))
+        val q = bucketed.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+        val cand = bucketed
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("n_cos").desc, col("neighbor_id"))
+        q.join(cand, "bucket")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
             vec.cosine(s, "qe", "ne").as("n_cos"))
           .withColumn("rn", row_number().over(wTop))
           .filter(col("rn") <= TopK)
