@@ -86,34 +86,66 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
   }
 
+  /** Items appearing in ≥ this many docs of a block go through the bitmap
+    * path below instead of the equi-join. */
+  private val FreqDf = 32L
+
   /** Blocked exact-Jaccard top-20 over exploded (doc_id, lang, source, item)
-    * rows. |A∩B| comes from an item equi-join (shuffle keyed on
-    * (lang, source, item)) aggregated per pair; |A∪B| = |A|+|B|−|A∩B|. The
-    * residual block-pair enumeration (needed only so zero-overlap pairs can
-    * surface in the top-20 tail) carries (id, int) rows — no per-pair array
-    * math anywhere. At 100 TB you keep just the item-join candidates (pairs
-    * sharing ≥1 item) and drop the zero-overlap left join: candidate volume
-    * is then bounded by item co-occurrence, and the block key comes from the
-    * MinHash LSH pass instead of (lang, source).
+    * rows. |A∩B| is computed by a FREQUENCY-SPLIT hybrid (the fix for the
+    * measured 10×-scale blowup: a plain item equi-join is Ω(Σ df²), and
+    * stopword-like items with df≈blocksize make that quadratic in block
+    * size — 37s at 50k docs):
+    *
+    *  - RARE items (df < FreqDf): sparse equi-join keyed on
+    *    (lang, source, item), aggregated per pair — volume bounded by
+    *    Σ_rare df², small by construction.
+    *  - FREQUENT items (≤63 per block, by df rank): each gets a bit; every
+    *    doc carries one 64-bit mask, and the shared-frequent count is
+    *    `bit_count(maskA & maskB)` evaluated during the (id, int)-only
+    *    block-pair enumeration — O(1) per pair instead of one join row per
+    *    (pair, stopword).
+    *
+    * Overflow blocks (>63 frequent items) spill the excess back to the join
+    * path, so the result stays EXACT — the DuckDB oracle is unchanged.
+    * |A∪B| = |A|+|B|−|A∩B|. At 100 TB you keep just the rare-item join
+    * candidates + mask rescoring and drop the zero-overlap tail (needed here
+    * only so the top-20 can include zero-overlap pairs), with block keys
+    * from the MinHash LSH pass instead of (lang, source).
     */
   private def blockedJaccard(itemsIn: DataFrame): DataFrame = {
+    val block = Seq("lang", "source")
     val it = itemsIn.distinct()
-    val sized = it.groupBy(col("lang"), col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("n"))
-    val inter = it.as("x")
-      .join(it.as("y"),
+    val dfs = it.groupBy(col("lang"), col("source"), col("item"))
+      .agg(count(lit(1)).as("df"))
+    val wBlock = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("df").desc, col("item"))
+    val freq = dfs.filter(col("df") >= FreqDf)
+      .withColumn("bit", row_number().over(wBlock) - 1)
+      .filter(col("bit") < 63)
+      .select(col("lang"), col("source"), col("item"), col("bit"))
+    val tagged = it.join(freq, block :+ "item", "left")
+    val docs = tagged.groupBy(col("lang"), col("source"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        // bits are unique per (block, item) and items unique per doc ⇒ sum = OR
+        sum(when(col("bit").isNotNull,
+          expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("mask"))
+    val rare = tagged.filter(col("bit").isNull)
+    val rareInter = rare.as("x")
+      .join(rare.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val a = sized.select(
-      col("doc_id").as("a_id"), col("lang"), col("source"), col("n").as("a_n"))
-    val b = sized.select(
-      col("doc_id").as("b_id"), col("lang"), col("source"), col("n").as("b_n"))
-    val interN = coalesce(col("inter"), lit(0L)).cast(DoubleType)
-    a.join(b, Seq("lang", "source"))
+      .agg(count(lit(1)).as("rare_inter"))
+    val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+      col("n").as("a_n"), col("mask").as("a_mask"))
+    val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("source"),
+      col("n").as("b_n"), col("mask").as("b_mask"))
+    val interN = (coalesce(col("rare_inter"), lit(0L)) +
+      expr("CAST(bit_count(a_mask & b_mask) AS BIGINT)")).cast(DoubleType)
+    a.join(b, block)
       .filter(col("a_id") < col("b_id"))
-      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(rareInter, Seq("a_id", "b_id"), "left")
       .select(
         col("a_id"), col("b_id"),
         (interN / (col("a_n") + col("b_n") - interN)).as("jaccard"))
