@@ -113,11 +113,9 @@ object Relational {
     ),
     GQ(
       "q_cast_all_string",
-      (s, d) => {
-        val n = Tables.t(s, d, "nation")
-        n.select(n.columns.map(c => col(c).cast(StringType).as(c)).toIndexedSeq: _*)
-          .orderBy(col("n_nationkey").cast(IntegerType))
-      },
+      (s, d) =>
+        graft.sources.JdbcReplaceSink.castAllToString(Tables.t(s, d, "nation"))
+          .orderBy(col("n_nationkey").cast(IntegerType)),
       Some("""SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
              |CAST(n_name AS VARCHAR) AS n_name,
              |CAST(n_regionkey AS VARCHAR) AS n_regionkey

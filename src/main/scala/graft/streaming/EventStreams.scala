@@ -75,11 +75,14 @@ object EventStreams {
   /** Streaming exact dedup (north-star dedup, streaming form): first
     * occurrence of each event_id wins; duplicate arrivals inside the
     * watermark horizon are dropped, and the dedup state itself is evicted
-    * past the watermark — the property that lets this run forever. */
+    * past the watermark — the property that lets this run forever.
+    * NOTE: must be `dropDuplicatesWithinWatermark` — plain
+    * `dropDuplicates("event_id")` only evicts state when the event-time
+    * column is part of the key set, so its state grows unboundedly. */
   def dedup(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom keyed state via mapGroupsWithState: per-user lifetime totals
     * (update-mode). The state object is a constant-size pair per user —

@@ -38,7 +38,12 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!Files.exists(Paths.get(dst))) {
+    // events.parquet carries TIMESTAMP(NANOS) — same shim Tables.events uses
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // completion marker, not bare directory existence: a crashed build must
+    // not be mistaken for a finished one on rerun
+    val marker = Paths.get(dst, "_GRAFT_SCALE_COMPLETE")
+    if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(dst))
       val keyOf = Map(
         "documents" -> "doc_id", "embeddings" -> "vec_id",
@@ -69,6 +74,7 @@ object ScaleStress {
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
       }
+      Files.createFile(marker)
     }
 
     // warmup
