@@ -95,8 +95,7 @@ object EventsOps {
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
     ),
     // HLL sketch values are engine-specific ⇒ no cross-engine oracle
-    // (driver records rows-only). A from-scratch sketch would be a
-    // TypedImperativeAggregate; Spark's built-in HLL++ is the idiomatic path.
+    // (driver records rows-only). Built-in HLL++ is the idiomatic path...
     GQ(
       "q_approx_distinct",
       (s, d) =>
@@ -104,6 +103,20 @@ object EventsOps {
           .groupBy(col("event_type"))
           .agg(approx_count_distinct(col("user_id")).as("approx_users"))
           .orderBy(col("event_type")),
+      None
+    ),
+    // ...and this is the engine-owned sketch: the from-scratch
+    // TypedImperativeAggregate (graft.functions.HllSketch). Deterministic
+    // under any partitioning (register merge is byte-wise max).
+    GQ(
+      "q_approx_distinct_native",
+      (s, d) => {
+        graft.functions.hll.register(s)
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(expr("hll_distinct(user_id)").as("approx_users"))
+          .orderBy(col("event_type"))
+      },
       None
     )
   )
