@@ -181,6 +181,29 @@ object Relational {
              |datediff('day', DATE '1995-01-01', o_orderdate) AS days_since
              |FROM orders ORDER BY o_orderkey""".stripMargin)
     ),
+    // Correlated scalar subquery: per-customer order count compared inline.
+    // Catalyst decorrelates this into a left outer aggregate join — the
+    // subquery never executes per row, so the plan is one shuffle at any
+    // scale (verify with tools.Explain: no nested-loop anywhere).
+    GQ(
+      "q_correlated_subquery",
+      (s, d) => {
+        Tables.t(s, d, "customer").createOrReplaceTempView("graft_customer_cs")
+        Tables.t(s, d, "orders").createOrReplaceTempView("graft_orders_cs")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT COUNT(*) FROM graft_orders_cs WHERE o_custkey = c_custkey)
+                |    AS n_orders
+                |FROM graft_customer_cs
+                |WHERE (SELECT COUNT(*) FROM graft_orders_cs
+                |       WHERE o_custkey = c_custkey) >= 15
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+             |FROM customer
+             |WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+             |ORDER BY c_custkey""".stripMargin)
+    ),
     // Uncorrelated scalar subquery: customers richer than every supplier.
     // The subquery is a one-row broadcast — at 100 TB the inner MAX is a
     // partial/final agg whose single value feeds the scan filter; raw-double
