@@ -94,6 +94,48 @@ object EventsOps {
               |event_type, COUNT(*) AS cnt, ${C.sqlSumDec2("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
     ),
+    // Batch sessionization (gaps-and-islands): a session breaks after 30
+    // minutes of per-user silence; session index = running sum of break
+    // flags. All time math is exact integers — gap threshold compared on
+    // epoch-µs (ts DIV 1000) so both engines see identical values (DuckDB
+    // reads this parquet at µs resolution), outputs epoch-µs BIGINT (R4).
+    // One shuffle on user_id + in-partition sort — the batch twin of
+    // graft.streaming.EventStreams.sessions.
+    GQ(
+      "q_sessionize",
+      (s, d) => {
+        val gapUs = 30L * 60 * 1000 * 1000
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("us", expr("ts DIV 1000"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .withColumn("is_new",
+            (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+              .cast(LongType))
+          .withColumn("sid", sum(col("is_new")).over(wRun))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"),
+            max(col("us")).as("end_us"))
+          .orderBy(col("user_id"), col("sid"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, epoch_us(ts) AS us,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, us,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g)
+             |SELECT user_id, sid, COUNT(*) AS n_events,
+             |  MIN(us) AS start_us, MAX(us) AS end_us
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
+    ),
     // HLL sketch values are engine-specific ⇒ no cross-engine oracle
     // (driver records rows-only). Built-in HLL++ is the idiomatic path...
     GQ(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQ, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -141,6 +142,53 @@ object TextOps {
            |     WHEN ${h("de")} >= ${h("es")} THEN 'de' ELSE 'es' END AS pred_lang
            |FROM documents ORDER BY doc_id""".stripMargin
       }
+    ),
+    // Corpus-relative rarity scoring: per doc, how many of its distinct
+    // bigrams are hapax (appear in exactly one document) — the integer-exact
+    // core of LM-style fluency/novelty scoring (no FP log-prob sums, which
+    // would be merge-order-dependent). Bigrams build linearly via
+    // posexplode + lead (see Dedup's PERF NOTE); corpus df is one hash agg
+    // keyed on the bigram. Ratio is a single division — bit-stable (R7).
+    GQ(
+      "q_text_rarity",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val long = docs.filter(size(col("words")) >= 2)
+          .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
+          .select(col("doc_id"),
+            concat_ws(" ", col("word"), lead(col("word"), 1).over(w)).as("bg"),
+            lead(col("word"), 1).over(w).isNotNull.as("complete"))
+          .filter(col("complete"))
+          .drop("complete")
+        val short = docs.filter(size(col("words")) < 2)
+          .select(col("doc_id"), col("text").as("bg"))
+        val bgs = long.union(short).distinct()
+        val dfs = bgs.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+        bgs.join(dfs, "bg")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .withColumn("hapax_ratio",
+            col("n_hapax").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+             |           FROM documents),
+             |b AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 2
+             |        THEN list_transform(range(1, len(ws)),
+             |             i -> ws[i] || ' ' || ws[i+1])
+             |        ELSE [text] END) AS bg
+             |      FROM w),
+             |d AS (SELECT bg, COUNT(*) AS df FROM b GROUP BY bg)
+             |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |  CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             |    AS hapax_ratio
+             |FROM b JOIN d USING (bg)
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin)
     ),
     // Content fingerprint (md5 digest + 2-hex-char shard bucket): the
     // scale-out key for exact dedup — 100 TB dedup shuffles these 16-byte
