@@ -45,6 +45,28 @@ object Aggregates {
       Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     ),
+    // Boolean + bitwise aggregates — all associative/commutative integer or
+    // boolean lattice ops, exactly deterministic under any merge order.
+    GQ(
+      "q_agg_bool_bit",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("bool_and(o_totalprice > 0)").as("all_positive"),
+            expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+            expr("bit_and(o_orderkey)").as("key_and"),
+            expr("bit_or(o_orderkey)").as("key_or"),
+            expr("bit_xor(o_orderkey)").as("key_xor"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+             |bool_and(o_totalprice > 0) AS all_positive,
+             |bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+             |bit_and(o_orderkey) AS key_and,
+             |bit_or(o_orderkey) AS key_or,
+             |bit_xor(o_orderkey) AS key_xor
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
     // Ordered string aggregation (collect_list → sort → join): sorting
     // before joining makes the output independent of row arrival order —
     // collect_list alone is nondeterministic under shuffling (R3).

@@ -73,6 +73,54 @@ object Windows {
              |  AS DOUBLE) AS rolling_30d
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
+    // Distribution window functions. The window order key is unique
+    // (totalprice, orderkey), so ntile buckets and the percent_rank /
+    // cume_dist int-ratio divisions are deterministic and bit-stable.
+    GQ(
+      "q_window_dist",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_orderstatus"), col("o_orderkey"),
+            ntile(4).over(w).cast(LongType).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |ntile(4) OVER w AS quartile,
+             |percent_rank() OVER w AS pct_rank,
+             |cume_dist() OVER w AS cume
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderstatus, o_orderkey""".stripMargin)
+    ),
+    // Value-positional window functions over an explicit two-sided frame.
+    GQ(
+      "q_window_firstlast",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.t(s, d, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_ok"),
+            last(col("o_orderkey")).over(w).as("last_ok"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_orderkey) OVER w AS first_ok,
+             |last_value(o_orderkey) OVER w AS last_ok,
+             |nth_value(o_orderkey, 2) OVER w AS second_ok
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
     GQ(
       "q_topk_per_group",
       (s, d) => {

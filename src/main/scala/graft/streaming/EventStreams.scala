@@ -84,6 +84,71 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** A closed user session emitted by [[userSessionsTimeout]]. */
+  case class ClosedSession(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long,
+      session_value: Double)
+
+  /** internal state record for [[userSessionsTimeout]] (public for encoder codegen) */
+  case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+
+  /** Sessionization with custom state + EVENT-TIME TIMEOUT
+    * (flatMapGroupsWithState): a session emits exactly once, when closed —
+    * either by a same-user event arriving past the gap, or by the watermark
+    * passing sessionEnd+gap with no further events (the timeout path, which
+    * `sessions()`'s built-in session_window cannot customize). State is one
+    * constant-size record per active user, evicted on close — the shape of
+    * any long-running enrichment/CEP operator. */
+  def userSessionsTimeout(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) =
+            ClosedSession(uid, s.start, s.end, s.n, s.total)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            val wm = state.getCurrentWatermarkMs()
+            open match {
+              case Some(s) if s.end + gapMs <= wm =>
+                // already beyond the horizon — close now, no timeout needed
+                closed += close(s)
+                state.remove()
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.end + gapMs)
+              case None => state.remove()
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user lifetime totals
     * (update-mode). The state object is a constant-size pair per user —
     * the general pattern for stateful enrichment Spark has no built-in for. */

@@ -86,6 +86,42 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("userSessionsTimeout: gap closes inline; silence closes via event-time timeout") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.userSessionsTimeout(in.toDS(), gapMs = 30 * 60 * 1000,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ust").outputMode("append").start()
+    withQuery(q) {
+      // user 7: two events in one session
+      in.addData(
+        ev(1, "2024-01-01 00:00:00", uid = 7, v = 1.0),
+        ev(2, "2024-01-01 00:10:00", uid = 7, v = 2.0))
+      q.processAllAvailable()
+      assert(spark.table("ust").count() === 0) // still open
+
+      // same user past the gap -> closes the first session inline
+      in.addData(ev(3, "2024-01-01 03:00:00", uid = 7, v = 4.0))
+      q.processAllAvailable()
+      val first = spark.table("ust").as[EventStreams.ClosedSession].collect()
+      assert(first.toSeq === Seq(EventStreams.ClosedSession(
+        7L, ts("2024-01-01 00:00:00").getTime, ts("2024-01-01 00:10:00").getTime,
+        2L, 3.0)))
+
+      // a DIFFERENT user's much-later event advances the watermark; the
+      // open 03:00 session for user 7 must close via the timeout path
+      // (timeouts fire on the trigger after the watermark advances)
+      in.addData(ev(4, "2024-01-01 09:00:00", uid = 8, v = 0.5))
+      q.processAllAvailable()
+      in.addData(ev(5, "2024-01-01 09:00:01", uid = 8, v = 0.5))
+      q.processAllAvailable()
+      val sessions = spark.table("ust").as[EventStreams.ClosedSession].collect()
+        .filter(_.user_id == 7L)
+      assert(sessions.length === 2)
+      assert(sessions.exists(s =>
+        s.start_ms == ts("2024-01-01 03:00:00").getTime && s.n_events == 1L))
+    }
+  }
+
   test("userTotals: mapGroupsWithState accumulates per-user state across batches") {
     val in = MemoryStream[Event]
     val q = EventStreams.userTotals(in.toDS())
