@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.vec
 import graft.{GQ, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -115,6 +116,28 @@ object Multimodal {
             sum(col("n_frames").cast(LongType)).as("total_frames"),
             sum(col("n_bytes").cast(LongType)).as("total_bytes"))
           .orderBy(col("kind")),
+      None
+    ),
+    // End-to-end media near-dup: decode → fixed-width feature vector →
+    // cosine top-10 pairs within an id block — the full multimodal dedup
+    // pipeline (ingest, distributed decode, embedding similarity) in one
+    // plan. Swapping FakeCodec for a real decoder changes nothing here; at
+    // scale the pair stage is the Ann LSH/IVF machinery instead of a block.
+    GQ(
+      "q_multimodal_neardup",
+      (s, d) => {
+        val feats = decode(asMedia(s, d)).toDF()
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("feature"))
+        val a = feats.select(col("doc_id").as("a_id"), col("feature").as("fa"))
+        val b = feats.select(col("doc_id").as("b_id"), col("feature").as("fb"))
+        a.join(b, col("a_id") < col("b_id"))
+          .select(
+            col("a_id"), col("b_id"),
+            round(vec.cosine(s, "fa", "fb"), 3).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+          .limit(10)
+      },
       None
     )
   )
