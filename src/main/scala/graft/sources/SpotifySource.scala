@@ -168,4 +168,7 @@ object SpotifySource {
     val n = mapper.readTree(pageBody).path("next")
     if (n.isMissingNode || n.isNull) None else Some(n.asText)
   }
+
+  /** Cursor extraction for the v2 connector subpackage. */
+  def nextCursorPublic(pageBody: String): Option[String] = nextCursor(pageBody)
 }

@@ -63,6 +63,16 @@ object PipelineDemo {
       println(s"== $name (${df.count()} rows)")
       df.show(5, truncate = false)
     }
+
+    // the same fan-out endpoint through the DataSourceV2 connector
+    graft.sources.v2.HttpClients.register("demo", StubClient)
+    val v2 = spark.read.format("spotify-tracks")
+      .option("ids", "p1")
+      .option("chunk", "1")
+      .option("client", "demo")
+      .load()
+    println(s"== v2 spotify-tracks (${v2.count()} rows, ${v2.rdd.getNumPartitions} partition(s))")
+    v2.show(5, truncate = false)
     spark.stop()
   }
 }
