@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{C, GQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,6 +20,27 @@ import org.apache.spark.sql.types._
 object EventsOps {
 
   private val NanosPerHour = 3600L * 1000 * 1000 * 1000
+
+  /** Gaps-and-islands sessionization core shared by q_sessionize and
+    * q_join_interval: 30-min-gap sessions per user with exact epoch-µs
+    * bounds → (user_id, sid, n_events, start_us, end_us). */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("us", expr("ts DIV 1000"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("is_new",
+        (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
+          .cast(LongType))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"))
+  }
 
   val queries: Seq[GQ] = Seq(
     GQ(
@@ -94,6 +116,64 @@ object EventsOps {
               |event_type, COUNT(*) AS cnt, ${C.sqlSumDec2("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
     ),
+    // Interval overlap join over user sessions — the classic time-range
+    // join Spark has no operator for, composed scalably: each (≥2-event)
+    // session explodes to the hour buckets it covers, candidate pairs come
+    // from an equi-join ON BUCKET (never a cross product — at 100 TB pair
+    // volume is bounded by per-bucket concurrency), duplicates from
+    // multi-bucket spans collapse with distinct, and the exact overlap
+    // condition filters the candidates. All time math is exact epoch-µs
+    // integers. The DuckDB oracle is the direct quadratic formulation —
+    // same answer, different plan shape.
+    GQ(
+      "q_join_interval",
+      (s, d) => {
+        val sess = sessionized(s, d)
+          .filter(col("n_events") >= 2)
+          .select(col("user_id"), col("sid"), col("start_us"), col("end_us"))
+        val BucketUs = 3600L * 1000 * 1000
+        val bucketed = sess.select(
+          col("user_id"), col("sid"), col("start_us"), col("end_us"),
+          explode(sequence(
+            expr(s"start_us DIV $BucketUs"), expr(s"end_us DIV $BucketUs")))
+            .as("bucket"))
+        val a = bucketed.toDF("a_user", "a_sid", "a_start", "a_end", "bucket")
+        val b = bucketed.toDF("b_user", "b_sid", "b_start", "b_end", "bucket")
+        a.join(b, Seq("bucket"))
+          .filter(col("a_user") < col("b_user"))
+          .drop("bucket").distinct()
+          .select(
+            col("a_user"), col("b_user"), col("a_sid"), col("b_sid"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+          .filter(col("overlap_us") >= 0)
+          .orderBy(col("overlap_us").desc, col("a_user"), col("b_user"),
+            col("a_sid"), col("b_sid"))
+          .limit(20)
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, epoch_us(ts) AS us,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, us,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+             |  FROM s GROUP BY user_id, sid HAVING COUNT(*) >= 2)
+             |SELECT a.user_id AS a_user, b.user_id AS b_user,
+             |  a.sid AS a_sid, b.sid AS b_sid,
+             |  least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us)
+             |    AS overlap_us
+             |FROM sess a JOIN sess b ON a.user_id < b.user_id
+             |WHERE least(a.end_us, b.end_us) >= greatest(a.start_us, b.start_us)
+             |ORDER BY overlap_us DESC, a_user, b_user, a_sid, b_sid
+             |LIMIT 20""".stripMargin)
+    ),
     // Batch sessionization (gaps-and-islands): a session breaks after 30
     // minutes of per-user silence; session index = running sum of break
     // flags. All time math is exact integers — gap threshold compared on
@@ -103,24 +183,7 @@ object EventsOps {
     // graft.streaming.EventStreams.sessions.
     GQ(
       "q_sessionize",
-      (s, d) => {
-        val gapUs = 30L * 60 * 1000 * 1000
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, d)
-          .withColumn("us", expr("ts DIV 1000"))
-          .withColumn("prev_us", lag(col("us"), 1).over(w))
-          .withColumn("is_new",
-            (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
-              .cast(LongType))
-          .withColumn("sid", sum(col("is_new")).over(wRun))
-          .groupBy(col("user_id"), col("sid"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            min(col("us")).as("start_us"),
-            max(col("us")).as("end_us"))
-          .orderBy(col("user_id"), col("sid"))
-      },
+      (s, d) => sessionized(s, d).orderBy(col("user_id"), col("sid")),
       Some("""WITH g AS (
              |  SELECT user_id, ts, epoch_us(ts) AS us,
              |    CASE WHEN lag(ts) OVER w IS NULL
