@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
@@ -31,10 +31,17 @@ case class HllSketch(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[Array[Byte]]
+    with ExpectsInputTypes with UnaryLike[Expression] {
 
   private val p = 11
   private val m = 1 << p
+
+  // declares BIGINT input so the analyzer inserts implicit casts for
+  // narrower integrals and REJECTS non-numeric args at analysis time —
+  // without this, hll_distinct(string_col) would pass analysis and die
+  // per-task with ClassCastException
+  override def inputTypes = Seq(LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -101,6 +108,9 @@ object hll {
   def register(spark: SparkSession): Unit =
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       "hll_distinct",
-      exprs => HllSketch(exprs.head).toAggregateExpression(),
+      exprs => {
+        require(exprs.length == 1, s"hll_distinct expects 1 argument, got ${exprs.length}")
+        HllSketch(exprs.head).toAggregateExpression()
+      },
       "built-in")
 }

@@ -92,8 +92,9 @@ object Ann {
     ),
     // Random-hyperplane LSH ANN (the "LSH-bucketed variant" beside IVF):
     // 12 fixed pseudo-random hyperplanes give every vector a 12-bit sign
-    // bucket in ONE broadcast pass (12 dots/row, no shuffle); queries probe
-    // only their own bucket. Same plan spine as IVF — broadcast planes →
+    // bucket in ONE broadcast pass (12 dots/row, no shuffle); queries
+    // multi-probe — exact bucket for precision plus the 4-bit prefix cell
+    // for a recall floor. Same plan spine as IVF — broadcast planes →
     // scan-side bucketing → shuffle on bucket → per-bucket top-k — with
     // buckets that need no training. Deterministic: planes derive from a
     // fixed splitmix walk. Engine-side hashing ⇒ no oracle.
@@ -109,13 +110,24 @@ object Ann {
           .agg(sum(expr(
             "IF(proj > 0, shiftleft(CAST(1 AS BIGINT), pid), CAST(0 AS BIGINT))"))
             .as("bucket"))
+          // multi-resolution probe: the exact 12-bit bucket gives precision;
+          // the 4-bit prefix (16 coarse cells, IVF-like density ~N/16) is
+          // the recall floor that keeps the rows-only non-empty contract
+          // from riding on any particular bucket being shared
+          .withColumn("prefix", col("bucket").bitwiseAND(lit(15L)))
         val q = bucketed.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("bucket"), col("prefix"))
         val cand = bucketed
-          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket"))
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+            col("bucket"), col("prefix"))
         val wTop = Window.partitionBy(col("query_id"))
           .orderBy(col("n_cos").desc, col("neighbor_id"))
-        q.join(cand, "bucket")
+        val fine = q.join(cand.drop("prefix"), "bucket")
+          .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+        val coarse = q.join(cand.drop("bucket"), "prefix")
+          .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+        fine.union(coarse).distinct()
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
             vec.cosine(s, "qe", "ne").as("n_cos"))

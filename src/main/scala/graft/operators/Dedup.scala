@@ -50,29 +50,16 @@ object Dedup {
   }
 
   /** Exploded 3-word shingles: one (doc_id, lang, source, item) row per
-    * shingle, built linearly — split once, posexplode, window-lead assembly
-    * (see PERF NOTE above). Documents with <3 words contribute their whole
-    * text as the single shingle. The window shuffle is keyed on doc_id — at
-    * 100 TB that is one well-distributed exchange of the tokenized corpus.
+    * shingle via the shared linear builder (Grams.kgramRows — see PERF NOTE
+    * above). Documents with <3 words contribute their whole text as the
+    * single shingle. The window shuffle is keyed on doc_id — at 100 TB that
+    * is one well-distributed exchange of the tokenized corpus.
     */
-  private def shingleItems(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.t(s, d, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        split(col("text"), " ").as("words"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val long = docs.filter(size(col("words")) >= 3)
-      .select(col("doc_id"), col("lang"), col("source"),
-        posexplode(col("words")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("lang"), col("source"),
-        concat_ws(" ", col("word"),
-          lead(col("word"), 1).over(w), lead(col("word"), 2).over(w)).as("item"),
-        lead(col("word"), 2).over(w).isNotNull.as("complete"))
-      .filter(col("complete"))
-      .drop("complete")
-    val short = docs.filter(size(col("words")) < 3)
-      .select(col("doc_id"), col("lang"), col("source"), col("text").as("item"))
-    long.union(short)
-  }
+  private def shingleItems(s: SparkSession, d: String): DataFrame =
+    Grams.kgramRows(
+      Tables.t(s, d, "documents"), 3, Seq("lang", "source"),
+      ws => concat_ws(" ", ws: _*), identity)
+      .drop("pos")
 
   /** doc_id + K min-hash signature columns (sig0..sigK-1). One explode + one
     * grouped multi-min aggregation: the shuffle carries K longs per doc. */

@@ -24,34 +24,32 @@ object Fingerprint {
   private val K = 3 // words per gram
   private val W = 4 // grams per winnow window
 
-  /** (doc_id, pos, gram_hash) for docs with ≥ K words; shorter docs hash the
-    * whole text as their single gram. */
-  private def gramHashes(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.t(s, d, "documents")
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
-    val wPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val long = docs.filter(size(col("words")) >= K)
-      .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(col("word"),
-          lead(col("word"), 1).over(wPos), lead(col("word"), 2).over(wPos)).as("gh"),
-        lead(col("word"), K - 1).over(wPos).isNotNull.as("complete"))
-      .filter(col("complete"))
-      .drop("complete")
-    val short = docs.filter(size(col("words")) < K)
-      .select(col("doc_id"), lit(0).as("pos"), xxhash64(col("text")).as("gh"))
-    long.union(short)
-  }
+  /** (doc_id, pos, gh) gram hashes via the shared linear builder; docs with
+    * < K words hash the whole text as their single gram. */
+  private def gramHashes(s: SparkSession, d: String): DataFrame =
+    Grams.kgramRows(
+      Tables.t(s, d, "documents"), K, Seq(),
+      ws => xxhash64(ws: _*), t => xxhash64(t))
+      .withColumnRenamed("item", "gh")
 
   val queries: Seq[GQ] = Seq(
     // Per-doc winnowed fingerprint summary: fingerprint count + set digest.
     GQ(
       "q_text_winnow",
       (s, d) => {
+        val wDoc = Window.partitionBy(col("doc_id"))
         val wRoll = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
           .rowsBetween(0, W - 1)
+        // FULL windows only, per the MOSS scheme — a trailing partial window
+        // would always select the doc's final gram as a spurious
+        // fingerprint. Docs with fewer than W grams keep their pos-0 window
+        // (the minimum over everything they have).
         val winnowed = gramHashes(s, d)
-          .select(col("doc_id"), min(col("gh")).over(wRoll).as("fp"))
+          .withColumn("max_pos", max(col("pos")).over(wDoc))
+          .withColumn("fp", min(col("gh")).over(wRoll))
+          .filter(col("pos") + (W - 1) <= col("max_pos") ||
+            (col("max_pos") < W - 1 && col("pos") === 0))
+          .select(col("doc_id"), col("fp"))
           .distinct()
         winnowed
           .groupBy(col("doc_id"))

@@ -152,19 +152,12 @@ object TextOps {
     GQ(
       "q_text_rarity",
       (s, d) => {
-        val docs = Tables.t(s, d, "documents")
-          .select(col("doc_id"), col("text"), split(col("text"), " ").as("words"))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        val long = docs.filter(size(col("words")) >= 2)
-          .select(col("doc_id"), posexplode(col("words")).as(Seq("pos", "word")))
-          .select(col("doc_id"),
-            concat_ws(" ", col("word"), lead(col("word"), 1).over(w)).as("bg"),
-            lead(col("word"), 1).over(w).isNotNull.as("complete"))
-          .filter(col("complete"))
-          .drop("complete")
-        val short = docs.filter(size(col("words")) < 2)
-          .select(col("doc_id"), col("text").as("bg"))
-        val bgs = long.union(short).distinct()
+        val bgs = Grams.kgramRows(
+          Tables.t(s, d, "documents"), 2, Seq(),
+          ws => concat_ws(" ", ws: _*), identity)
+          .drop("pos")
+          .withColumnRenamed("item", "bg")
+          .distinct()
         val dfs = bgs.groupBy(col("bg")).agg(count(lit(1)).as("df"))
         bgs.join(dfs, "bg")
           .groupBy(col("doc_id"))

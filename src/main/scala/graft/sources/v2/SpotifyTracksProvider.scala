@@ -109,8 +109,12 @@ private class TracksReader(ids: Seq[String], clientKey: String, baseUrl: String)
   private val rows: Iterator[InternalRow] = ids.iterator.flatMap { pid =>
     Iterator.unfold(Option(s"$baseUrl/playlists/$pid/tracks")) {
       case Some(url) =>
-        val body = client.get(url, Map.empty).body
-        Some((body, SpotifySource.nextCursorPublic(body)))
+        val r = client.get(url, Map.empty)
+        // fail the task loudly: an error body has no "items", and treating
+        // it as an empty page would silently drop the whole playlist
+        if (r.status < 200 || r.status >= 300)
+          sys.error(s"spotify-tracks scan: HTTP ${r.status} for $url")
+        Some((r.body, SpotifySource.nextCursorPublic(r.body)))
       case None => None
     }.flatMap { body =>
       val items = mapper.readTree(body).path("items")

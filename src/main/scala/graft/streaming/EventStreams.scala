@@ -118,23 +118,26 @@ object EventStreams {
             state.remove()
             Iterator.single(close(s))
           } else {
+            // Gaps-and-islands fold over the state session + this batch's
+            // events AS SORTED INTERVAL PIECES: out-of-order (but
+            // in-watermark) arrivals merge correctly in both directions —
+            // an event just before the open session's start lowers the
+            // start, and older islands sessionize among themselves instead
+            // of each becoming a spurious singleton.
+            val pieces = (state.getOption.toSeq ++
+              batch.map(e => OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
+              .sortBy(s => (s.start, s.end))
+            val merged = pieces.foldLeft(List.empty[OpenSession]) {
+              case (h :: t, p) if p.start <= h.end + gapMs =>
+                OpenSession(h.start, math.max(h.end, p.end),
+                  h.n + p.n, h.total + p.total) :: t
+              case (acc, p) => p :: acc
+            }.reverse
             val closed = Seq.newBuilder[ClosedSession]
-            var open = state.getOption
-            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1,
-                    s.total + e.value))
-                case Some(s) =>
-                  closed += close(s)
-                  open = Some(OpenSession(t, t, 1, e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1, e.value))
-              }
-            }
+            // every island except the newest is closed by construction
+            merged.dropRight(1).foreach(s => closed += close(s))
             val wm = state.getCurrentWatermarkMs()
-            open match {
+            merged.lastOption match {
               case Some(s) if s.end + gapMs <= wm =>
                 // already beyond the horizon — close now, no timeout needed
                 closed += close(s)

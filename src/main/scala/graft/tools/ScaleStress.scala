@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleStress [copies]
   */
 object ScaleStress {
-  private val Scaled = Seq("documents", "embeddings", "lineitem", "orders", "customer")
-  private val Passthrough = Seq("region", "nation", "supplier", "part", "events")
+  private val Scaled =
+    Seq("documents", "embeddings", "lineitem", "orders", "customer", "events")
+  private val Passthrough = Seq("region", "nation", "supplier", "part")
 
   private val Stressed = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_pairs",
@@ -48,7 +49,7 @@ object ScaleStress {
       val keyOf = Map(
         "documents" -> "doc_id", "embeddings" -> "vec_id",
         "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-        "customer" -> "c_custkey")
+        "customer" -> "c_custkey", "events" -> "event_id")
       for (t <- Scaled) {
         val base = spark.read.parquet(s"$src/$t.parquet")
         val key = keyOf(t)
@@ -59,11 +60,17 @@ object ScaleStress {
         // orders/lineitem share o_orderkey=l_orderkey; customer keys feed
         // o_custkey — offset those foreign keys identically
         val fixed = t match {
-          case "lineitem" => copiesDF
           case "orders" =>
             (0 until copies).map { i =>
               base.withColumn("o_orderkey", col("o_orderkey") + lit(i * offset))
                 .withColumn("o_custkey", col("o_custkey") + lit(i * offset))
+            }.reduce(_ unionByName _)
+          // distinct users per copy so per-user session/window state scales
+          // with the data instead of deepening one user's history
+          case "events" =>
+            (0 until copies).map { i =>
+              base.withColumn("event_id", col("event_id") + lit(i * offset))
+                .withColumn("user_id", col("user_id") + lit(i * offset))
             }.reduce(_ unionByName _)
           case _ => copiesDF
         }
@@ -80,14 +87,21 @@ object ScaleStress {
     // warmup
     Stressed.foreach(n => try Registry.byName(n).run(spark, dst).count()
       catch { case e: Throwable => println(s"[scale] $n FAILED: ${e.getMessage}") })
-    val timings = Stressed.map { n =>
+    val timings = Stressed.flatMap { n =>
       val t0 = System.nanoTime()
-      val rows = Registry.byName(n).run(spark, dst).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $n%-24s rows=$rows%-8d ${sec}%.2fs")
-      n -> sec
+      try {
+        val rows = Registry.byName(n).run(spark, dst).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $n%-24s rows=$rows%-8d ${sec}%.2fs")
+        Some(n -> sec)
+      } catch { case e: Throwable =>
+        // a query failing only at scale is this tool's most important
+        // signal — report it and keep timing the rest
+        println(s"[scale] $n FAILED: ${e.getMessage}")
+        None
+      }
     }
-    println(f"[scale] TOTAL ${timings.map(_._2).sum}%.1fs over ${Stressed.size} queries")
+    println(f"[scale] TOTAL ${timings.map(_._2).sum}%.1fs over ${timings.size}/${Stressed.size} queries")
     spark.stop()
   }
 }

@@ -122,6 +122,28 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("userSessionsTimeout: out-of-order in-watermark arrival lowers the session start") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.userSessionsTimeout(in.toDS(), gapMs = 30 * 60 * 1000,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("ooo").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, "2024-01-01 10:05:00", uid = 9, v = 1.0))
+      q.processAllAvailable()
+      // arrives AFTER but timestamped BEFORE the open session's start
+      in.addData(ev(2, "2024-01-01 10:00:00", uid = 9, v = 2.0))
+      q.processAllAvailable()
+      // same-user event far past the gap closes the merged session
+      in.addData(ev(3, "2024-01-01 20:00:00", uid = 9, v = 0.0))
+      q.processAllAvailable()
+      val s = spark.table("ooo").as[EventStreams.ClosedSession].collect()
+        .filter(_.user_id == 9L)
+      assert(s.toSeq === Seq(EventStreams.ClosedSession(
+        9L, ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 10:05:00").getTime,
+        2L, 3.0)))
+    }
+  }
+
   test("userTotals: mapGroupsWithState accumulates per-user state across batches") {
     val in = MemoryStream[Event]
     val q = EventStreams.userTotals(in.toDS())
