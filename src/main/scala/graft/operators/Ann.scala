@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{vec, VectorCentroid}
 import graft.{GQ, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -10,110 +10,163 @@ import org.apache.spark.sql.functions._
 /** Approximate nearest-neighbor search — the scale path for similarity
   * (`Similarity.q_sim_cosine` is the brute-force baseline).
   *
-  * IVF (inverted-file) flavor: a fixed small set of coarse centroids (here
-  * the first 16 vectors — at 100 TB these come from a k-means sample), every
-  * vector is assigned to its best centroid in one broadcast pass, and a query
-  * probes only its own cell. Plan shape at scale: broadcast 16 centroids →
-  * one scan to assign (16 cosines/row, no shuffle) → shuffle on cell id →
-  * per-cell top-k window. The candidate set per query is |cell| ≈ N/16
-  * instead of N, and nothing is ever all-pairs.
+  * IVF (inverted-file) flavor: a small set of coarse centroids — seeded from
+  * the first 16 vectors, then refined with one deterministic Lloyd (k-means)
+  * iteration via the exact-math [[VectorCentroid]] UDAF — every vector is
+  * assigned to its best centroid scan-side, and a query probes only its own
+  * cell.
   *
-  * Cell assignments and neighbor ranks hash on engine-side float math → no
-  * cross-engine oracle (rows-only check; output is top-3 per query over 5
-  * queries, never empty).
+  * Plan shape at scale (the round-2 rewrite): the centroids/hyperplanes are
+  * driver-side constants (16 rows collected once, resp. a fixed seed walk),
+  * injected into the scan as `lit()` float arrays. Assignment is therefore a
+  * SINGLE PROJECTION — 16 native-codegen cosines per row and an
+  * `array_max`-over-structs argmax — with ZERO exchanges before the cell-id
+  * shuffle. The previous shape (`crossJoin(broadcast(centroids))` + a
+  * `row_number` window keyed on vec_id) amplified the scan 16× and shuffled
+  * the amplified rows *carrying the embeddings* just to keep rank 1; at
+  * 100 TB that shuffle is the bottleneck, and it is entirely avoidable
+  * because the argmax is a pure per-row function of broadcast constants.
+  *
+  * Determinism: centroid refinement accumulates quantized longs
+  * ([[VectorCentroid]]), so the refined centroids are bit-stable under any
+  * partitioning; assignment ties break toward the smallest cid via the
+  * struct-ordered argmax. Output ordering follows R7 (rounded value + unique
+  * tie-break), so ANN outputs are reproducible run-to-run.
   */
 object Ann {
 
-  private val NumCentroids = 16
+  private[graft] val NumCentroids = 16
   private val NumQueries = 5
   private val TopK = 3
   private val NumPlanes = 12
+  private[graft] val Dim = 64
 
   /** Fixed pseudo-random hyperplanes for sign-LSH (splitmix walk, seed
     * distinct from the MinHash coefficients — deterministic across JVMs);
-    * component values uniform in [-1, 1]. */
-  private def hyperplanes(s: SparkSession): DataFrame = {
+    * component values uniform in [-1, 1]. Driver-side constants: they enter
+    * the plan as `lit()` arrays, never as a joined table. */
+  private[graft] val hyperplanes: Seq[(Int, Array[Float])] = {
     var x = 0x243f6a8885a308d3L
     def next(): Long = {
       x += 0x9e3779b97f4a7c15L
       var z = x; z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L; z ^= z >>> 27; z
     }
-    val planes = (0 until NumPlanes).map { pid =>
-      (pid, Array.fill(64)(
+    (0 until NumPlanes).map { pid =>
+      (pid, Array.fill(Dim)(
         (math.floorMod(next(), 2000001L) - 1000000L).toFloat / 1000000.0f))
     }
-    s.createDataFrame(planes).toDF("pid", "plane")
   }
 
-  /** Cell assignment: argmax-cosine centroid per vector. The centroids
-    * broadcast (16 rows), so assignment is a single no-shuffle scan doing 16
-    * cosines per row — at 100 TB the only exchange in the whole IVF build is
-    * the later shuffle on cell id. */
-  private def assign(s: SparkSession, d: String): DataFrame = {
+  private def litVec(v: Array[Float]): Column =
+    array(v.map(x => lit(x)): _*)
+
+  /** Scan-side cell assignment: argmax-cosine centroid per vector, computed
+    * as one projection over `lit()` centroid arrays — `NumCentroids` codegen
+    * cosines per row, argmax via `array_max` over `struct(cos, flippedCid)`
+    * (struct ordering is lexicographic, so max = best cosine, ties = largest
+    * flipped cid = SMALLEST cid). No crossJoin, no window, no exchange. */
+  private[graft] def assignTo(
+      s: SparkSession,
+      e: DataFrame,
+      cents: Seq[(Int, Array[Float])]): DataFrame = {
+    vec.register(s)
+    val packed = array(cents.map { case (cid, c) =>
+      struct(
+        call_function("cosine_sim", col("embedding"), litVec(c)).as("cos"),
+        lit(NumCentroids - 1 - cid).as("fc"))
+    }: _*)
+    e.select(
+      col("vec_id"), col("embedding"),
+      (lit(NumCentroids - 1) - array_max(packed)("fc")).cast("bigint").as("cid"))
+  }
+
+  /** First-16 seeds (deterministic: vec_id < 16, pushdown-pruned scan of 16
+    * rows). At 100 TB seeds would come from a tiny `sample(seed)` — the
+    * collect is 16 rows either way. */
+  private def seedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
+    Tables.t(s, d, "embeddings")
+      .filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .toSeq
+
+  /** One deterministic Lloyd iteration: assign to the seeds, recompute each
+    * cell's exact-math centroid ([[VectorCentroid]] — quantized-long sums,
+    * merge-order-independent), collect the 16 refined centroids. A cell that
+    * captured no vectors keeps its seed (can't happen with first-16 seeds —
+    * each seed is its own best match at cosine 1 — but the guard keeps the
+    * function total for arbitrary seed sets). Two full scans of the
+    * embeddings table, zero shuffles beyond the 16-group aggregation. */
+  private[graft] def kmeansCentroids(
+      s: SparkSession, d: String): Seq[(Int, Array[Float])] = {
     val e = Tables.t(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cid"))
-    e.crossJoin(broadcast(centroids))
-      .select(
-        col("vec_id"), col("embedding"), col("cid"),
-        vec.cosine(s, "embedding", "cent").as("c_cos"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val seeds = seedCentroids(s, d)
+    val centroidOf = udaf(new VectorCentroid(Dim))
+    val refined = assignTo(s, e, seeds)
+      .groupBy(col("cid"))
+      .agg(centroidOf(col("embedding")).as("cent"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1).toArray)
+      .toMap
+    seeds.map { case (cid, seed) => (cid, refined.getOrElse(cid, seed)) }
+  }
+
+  /** R7 top-k: rank on the ROUNDED cosine with unique id tie-break, so
+    * last-ulp float drift (across runs or engines) cannot reorder output. */
+  private def topkPerQuery(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pairs
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(call_function("cosine_sim", col("qe"), col("ne")), 3).as("cos_sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rn").cast("bigint").as("rn"))
+      .orderBy(col("query_id"), col("rn"))
   }
 
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_sim_ann_ivf",
       (s, d) => {
-        val assigned = assign(s, d)
+        val assigned = assignTo(s, Tables.t(s, d, "embeddings"), kmeansCentroids(s, d))
         // probe: queries search only their own cell
         val q = assigned.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cid"))
         val cand = assigned
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("n_cos").desc, col("neighbor_id"))
-        q.join(cand, "cid")
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(
-            col("query_id"), col("neighbor_id"),
-            vec.cosine(s, "qe", "ne").as("n_cos"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= TopK)
-          .select(
-            col("query_id"), col("neighbor_id"),
-            round(col("n_cos"), 3).as("cos_sim"), col("rn").cast("bigint").as("rn"))
-          .orderBy(col("query_id"), col("rn"))
+        topkPerQuery(s, q.join(cand, "cid"))
       },
       None
     ),
     // Random-hyperplane LSH ANN (the "LSH-bucketed variant" beside IVF):
     // 12 fixed pseudo-random hyperplanes give every vector a 12-bit sign
-    // bucket in ONE broadcast pass (12 dots/row, no shuffle); queries
-    // multi-probe — exact bucket for precision plus the 4-bit prefix cell
-    // for a recall floor. Same plan spine as IVF — broadcast planes →
-    // scan-side bucketing → shuffle on bucket → per-bucket top-k — with
-    // buckets that need no training. Deterministic: planes derive from a
-    // fixed splitmix walk. Engine-side hashing ⇒ no oracle.
+    // bucket in ONE PROJECTION (12 codegen cosines against lit() planes —
+    // the round-2 rewrite of a crossJoin(broadcast(planes)) + groupBy-on-
+    // embedding shape that amplified the scan 12× and hash-shuffled the
+    // amplified rows keyed on the embedding array). Queries multi-probe —
+    // exact bucket for precision plus the 4-bit prefix cell for a recall
+    // floor. Same plan spine as IVF — scan-side bucketing → shuffle on
+    // bucket → per-bucket top-k. Deterministic: planes derive from a fixed
+    // splitmix walk.
     GQ(
       "q_sim_ann_lsh",
       (s, d) => {
-        val planes = hyperplanes(s)
-        val e = Tables.t(s, d, "embeddings")
-        val bucketed = e.crossJoin(broadcast(planes))
-          .select(col("vec_id"), col("embedding"), col("pid"),
-            vec.cosine(s, "embedding", "plane").as("proj"))
-          .groupBy(col("vec_id"), col("embedding"))
-          .agg(sum(expr(
-            "IF(proj > 0, shiftleft(CAST(1 AS BIGINT), pid), CAST(0 AS BIGINT))"))
-            .as("bucket"))
+        vec.register(s)
+        val bucket = hyperplanes.map { case (pid, plane) =>
+          when(call_function("cosine_sim", col("embedding"), litVec(plane)) > 0,
+            lit(1L << pid)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val bucketed = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
           // multi-resolution probe: the exact 12-bit bucket gives precision;
           // the 4-bit prefix (16 coarse cells, IVF-like density ~N/16) is
-          // the recall floor that keeps the rows-only non-empty contract
-          // from riding on any particular bucket being shared
+          // the recall floor that keeps the non-empty contract from riding
+          // on any particular bucket being shared
           .withColumn("prefix", col("bucket").bitwiseAND(lit(15L)))
         val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -121,22 +174,11 @@ object Ann {
         val cand = bucketed
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
             col("bucket"), col("prefix"))
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("n_cos").desc, col("neighbor_id"))
         val fine = q.join(cand.drop("prefix"), "bucket")
           .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
         val coarse = q.join(cand.drop("bucket"), "prefix")
           .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
-        fine.union(coarse).distinct()
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            vec.cosine(s, "qe", "ne").as("n_cos"))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= TopK)
-          .select(
-            col("query_id"), col("neighbor_id"),
-            round(col("n_cos"), 3).as("cos_sim"), col("rn").cast("bigint").as("rn"))
-          .orderBy(col("query_id"), col("rn"))
+        topkPerQuery(s, fine.union(coarse).distinct())
       },
       None
     ),
@@ -145,11 +187,13 @@ object Ann {
     // k-means refinement aggregation). The centroid accumulates quantized
     // longs, so the emitted norm is bit-stable regardless of partitioning /
     // merge order — a double-summing UDAF here would be nondeterministic.
+    // With the Lloyd-refined cells this is effectively the SECOND k-means
+    // half-step: stats of the assignment a third iteration would consume.
     GQ(
       "q_sim_ann_centroids",
       (s, d) => {
-        val centroidOf = udaf(new VectorCentroid(64))
-        assign(s, d)
+        val centroidOf = udaf(new VectorCentroid(Dim))
+        assignTo(s, Tables.t(s, d, "embeddings"), kmeansCentroids(s, d))
           .groupBy(col("cid"))
           .agg(
             count(lit(1)).as("n_vecs"),
