@@ -35,6 +35,31 @@ object Tables {
   }
 }
 
+/** Cross-engine 60-bit hash basis (round 2, VERDICT item 2): the first 15
+  * hex digits of md5 parsed as a BIGINT. md5 over UTF-8 bytes is
+  * bit-identical in Spark and DuckDB, so every sketch built on this basis
+  * (MinHash signatures, LSH band keys, SimHash bits, winnowing fingerprints)
+  * is hash-comparable against a DuckDB oracle — the round-1 `xxhash64` basis
+  * forced those queries onto the weaker rows-only check, where a flipped
+  * sign bit or wrong band key would pass undetected.
+  *
+  * The Spark expression and the DuckDB SQL fragment live side by side so
+  * they drift together or not at all (same pattern as [[C.sqlRevenue]]).
+  * 15 hex digits = 60 bits, always positive, exact in BIGINT in both
+  * engines (and below 2^62 after the MinHash affine step).
+  */
+object XHash {
+  import org.apache.spark.sql.functions.{conv, md5, substring}
+
+  /** Spark side: `h60(c)` over the UTF-8 bytes of `c`'s string form. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB side: identical value for the same string expression. */
+  def sqlH60(x: String): String =
+    s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+}
+
 /** Determinism-contract helpers (SURVEY.md §2.5).
   *
   * R2: money math is done on DECIMAL(18,2) (products: scale 4) — exact and

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.vec
-import graft.{GQ, Tables}
+import graft.{GQ, Tables, XHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,10 +21,11 @@ import org.apache.spark.sql.types._
   *    pair space is per-block quadratic, not corpus-quadratic; at 100 TB the
   *    block key becomes an LSH bucket from the MinHash pass.
   *
-  * Signature/band values hash with Spark's xxhash64 — engine-specific, so the
-  * MinHash/SimHash queries are declared without a DuckDB oracle (rows-only
-  * check; outputs are always non-empty: one row per doc / top-k pairs). The
-  * Jaccard and embedding queries are exact math and fully oracle-matched.
+  * Signature/band/bit values hash on the cross-engine md5-prefix basis
+  * ([[graft.XHash]], round 2): every MinHash/SimHash query is exact integer
+  * math over that basis and is fully oracle-matched against DuckDB SQL
+  * generated from the SAME affine coefficients. The Jaccard and embedding
+  * queries are exact math and oracle-matched as before.
   *
   * PERF NOTE (measured at sf0.1): building shingles with a per-element
   * `transform(sequence(...), i => ...element_at(split(text), i)...)` lambda
@@ -64,13 +65,29 @@ object Dedup {
   /** doc_id + K min-hash signature columns (sig0..sigK-1). One explode + one
     * grouped multi-min aggregation: the shuffle carries K longs per doc. */
   private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val base = pmod(xxhash64(col("item")), lit(P))
+    val base = pmod(XHash.h60(col("item")), lit(P))
     val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(base * a + b, lit(P))).as(s"sig$j")
     }
     shingleItems(s, d)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
+  }
+
+  /** DuckDB twin of [[shingleItems]]+[[minhashSignatures]]: CTEs ending in a
+    * relation `s(doc_id, sig0..sigK-1)` — generated from the same `coefs`,
+    * so Spark and oracle can only drift if the shared constants do. */
+  private def sqlSignatureCte: String = {
+    val sigs = coefs.zipWithIndex.map { case ((a, b), j) =>
+      s"MIN((base * $a + $b) % $P) AS sig$j"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+       |it AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+       |  THEN list_transform(range(1, len(ws) - 1),
+       |       i -> array_to_string(ws[i:i+2], ' '))
+       |  ELSE [text] END) AS item FROM d),
+       |h AS (SELECT doc_id, ${XHash.sqlH60("item")} % $P AS base FROM it),
+       |s AS (SELECT doc_id, $sigs FROM h GROUP BY doc_id)""".stripMargin
   }
 
   /** Items appearing in ≥ this many docs of a block go through the bitmap
@@ -142,17 +159,28 @@ object Dedup {
 
   val queries: Seq[GQ] = Seq(
     // Per-doc MinHash signature digest + 4 LSH band keys (bands of 4 rows).
+    // Band key = h60 of the comma-joined band signatures — cross-engine, so
+    // the oracle checks the exact band keys candidate generation joins on.
     GQ(
       "q_dedup_minhash",
       (s, d) => {
         val sigs = minhashSignatures(s, d)
         val bands = (0 until 4).map { b =>
-          xxhash64((0 until 4).map(r => col(s"sig${b * 4 + r}")): _*).as(s"band$b")
+          XHash.h60(concat_ws(",",
+            (0 until 4).map(r => col(s"sig${b * 4 + r}")): _*)).as(s"band$b")
         }
         sigs.select(col("doc_id") +: (0 until 4).map(j => col(s"sig$j")) ++: bands: _*)
           .orderBy(col("doc_id"))
       },
-      None
+      Some {
+        val bands = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"${XHash.sqlH60(cat)} AS band$b"
+        }.mkString(", ")
+        s"""$sqlSignatureCte
+           |SELECT doc_id, sig0, sig1, sig2, sig3, $bands
+           |FROM s ORDER BY doc_id""".stripMargin
+      }
     ),
     // LSH candidate pairs: docs sharing at least one of the K min-hashes
     // (r=1, b=K banding — high recall), scored by estimated Jaccard =
@@ -182,13 +210,26 @@ object Dedup {
           .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
-      None
+      Some {
+        val sigList = (0 until K).map(j => s"sig$j").mkString("[", ", ", "]")
+        s"""$sqlSignatureCte,
+           |sl AS (SELECT doc_id, $sigList AS sigs FROM s),
+           |ex AS (SELECT doc_id, generate_subscripts(sigs, 1) - 1 AS j,
+           |       unnest(sigs) AS v FROM sl)
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  CAST(COUNT(*) AS DOUBLE) / $K AS est_jaccard
+           |FROM ex a JOIN ex b
+           |  ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
+           |GROUP BY a.doc_id, b.doc_id
+           |ORDER BY est_jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
+      }
     ),
-    // 32-bit SimHash per document from term-frequency-weighted word hashes.
+    // 32-bit SimHash per document from term-frequency-weighted word hashes
+    // (bits 0..31 of the h60 basis; duplicates of a word vote once each).
     GQ(
       "q_dedup_simhash",
       (s, d) => {
-        val h = xxhash64(col("word"))
+        val h = XHash.h60(col("word"))
         val bitSums = (0 until 32).map { b =>
           sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$b")
         }
@@ -204,7 +245,21 @@ object Dedup {
             shiftright(sig, 16).as("prefix_bucket"))
           .orderBy(col("doc_id"))
       },
-      None
+      Some {
+        val bitSums = (0 until 32).map { b =>
+          s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(", ")
+        val sig = (0 until 32).map { b =>
+          s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        }.mkString(" + ")
+        s"""WITH it AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |  FROM documents),
+           |h AS (SELECT doc_id, ${XHash.sqlH60("word")} AS h FROM it),
+           |bs AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+           |sig AS (SELECT doc_id, $sig AS simhash FROM bs)
+           |SELECT doc_id, simhash, simhash >> 16 AS prefix_bucket
+           |FROM sig ORDER BY doc_id""".stripMargin
+      }
     ),
     // Exact word-set Jaccard within (lang, source) blocks — oracle-matched.
     // jaccard is a single IEEE division of two exact ints: bit-stable.

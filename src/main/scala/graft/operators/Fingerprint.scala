@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQ, Tables}
+import graft.{GQ, Tables, XHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * doc_id, per-doc sort, two window passes. At 100 TB the winnowed set is
   * ~2/(w+1) of the k-gram count per document, and downstream near-dup
   * candidate generation joins on fingerprint value exactly like MinHash
-  * bands. Hash basis is xxhash64 — engine-specific ⇒ no DuckDB oracle
-  * (rows-only; one output row per document).
+  * bands. Hash basis is the cross-engine [[graft.XHash]] md5-prefix (round
+  * 2), so the fingerprint sets are fully oracle-checked — count, min, and
+  * the order-insensitive XOR set digest must all match DuckDB bit for bit.
   */
 object Fingerprint {
 
@@ -25,11 +26,13 @@ object Fingerprint {
   private val W = 4 // grams per winnow window
 
   /** (doc_id, pos, gh) gram hashes via the shared linear builder; docs with
-    * < K words hash the whole text as their single gram. */
+    * < K words hash the whole text as their single gram. The gram hash is
+    * h60 of the space-joined gram string — the exact string the DuckDB twin
+    * hashes. */
   private def gramHashes(s: SparkSession, d: String): DataFrame =
     Grams.kgramRows(
       Tables.t(s, d, "documents"), K, Seq(),
-      ws => xxhash64(ws: _*), t => xxhash64(t))
+      ws => XHash.h60(concat_ws(" ", ws: _*)), t => XHash.h60(t))
       .withColumnRenamed("item", "gh")
 
   val queries: Seq[GQ] = Seq(
@@ -60,7 +63,24 @@ object Fingerprint {
             expr("bit_xor(fp)").as("fp_digest"))
           .orderBy(col("doc_id"))
       },
-      None
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+             |  FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(ws) >= $K
+             |  THEN list_transform(range(1, len(ws) - ${K - 2}),
+             |       i -> array_to_string(ws[i:i+${K - 1}], ' '))
+             |  ELSE [text] END AS grams FROM d),
+             |gh AS (SELECT doc_id, generate_subscripts(grams, 1) - 1 AS pos,
+             |  ${XHash.sqlH60("unnest(grams)")} AS gh FROM g),
+             |w AS (SELECT doc_id, pos, gh,
+             |  MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS fp,
+             |  MAX(pos) OVER (PARTITION BY doc_id) AS max_pos FROM gh),
+             |f AS (SELECT DISTINCT doc_id, fp FROM w
+             |  WHERE pos + ${W - 1} <= max_pos
+             |     OR (max_pos < ${W - 1} AND pos = 0))
+             |SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min,
+             |  bit_xor(fp) AS fp_digest
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 }
