@@ -60,6 +60,37 @@ object Ann {
   private def litVec(v: Array[Float]): Column =
     array(v.map(x => lit(x)): _*)
 
+  /** DuckDB twin of the whole IVF build — seeds → argmax assign → quantized
+    * Lloyd centroids ([[VectorCentroid]] semantics: `floor(x*1e6+0.5)` long
+    * sums, `(s/1e6)/n` emitted as FLOAT) → final assignment `a1`. Cosine
+    * argmax is cross-engine stable: both engines widen the same floats to
+    * double, and assignment only flips if two cells tie within an ulp, with
+    * the cid tie-break then deciding identically. Verified bit-exact against
+    * the Spark output at sf0.001/0.01/0.1 before being declared an oracle.
+    */
+  private def sqlAssignCte: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, emb AS cent FROM e WHERE vec_id < $NumCentroids),
+       |a0 AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.emb, c0.cent) DESC, c0.cid) AS rn
+       |    FROM e CROSS JOIN c0) WHERE rn = 1),
+       |q1 AS (SELECT a0.cid, r.i,
+       |    SUM(CAST(floor(e.emb[r.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+       |    COUNT(*) AS n
+       |  FROM a0 JOIN e USING (vec_id), range($Dim) r(i)
+       |  GROUP BY a0.cid, r.i),
+       |c1 AS (SELECT cid,
+       |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
+       |         ORDER BY i) AS cent
+       |  FROM q1 GROUP BY cid),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.emb, c1.cent) DESC, c1.cid) AS rn
+       |    FROM e CROSS JOIN c1) WHERE rn = 1)""".stripMargin
+
   /** Scan-side cell assignment: argmax-cosine centroid per vector, computed
     * as one projection over `lit()` centroid arrays — `NumCentroids` codegen
     * cosines per row, argmax via `array_max` over `struct(cos, flippedCid)`
@@ -141,7 +172,19 @@ object Ann {
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
         topkPerQuery(s, q.join(cand, "cid"))
       },
-      None
+      Some(s"""$sqlAssignCte,
+             |q AS (SELECT a1.vec_id AS query_id, e.emb AS qe, a1.cid
+             |  FROM a1 JOIN e USING (vec_id) WHERE a1.vec_id < $NumQueries),
+             |cand AS (SELECT a1.vec_id AS neighbor_id, e.emb AS ne, a1.cid
+             |  FROM a1 JOIN e USING (vec_id)),
+             |p AS (SELECT q.query_id, cand.neighbor_id,
+             |    ROUND(list_cosine_similarity(q.qe, cand.ne), 3) AS cos_sim
+             |  FROM q JOIN cand USING (cid) WHERE q.query_id <> cand.neighbor_id),
+             |r AS (SELECT query_id, neighbor_id, cos_sim,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+             |SELECT query_id, neighbor_id, cos_sim, rn FROM r
+             |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin)
     ),
     // Random-hyperplane LSH ANN (the "LSH-bucketed variant" beside IVF):
     // 12 fixed pseudo-random hyperplanes give every vector a 12-bit sign
@@ -180,7 +223,39 @@ object Ann {
           .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
         topkPerQuery(s, fine.union(coarse).distinct())
       },
-      None
+      // Oracle: the 12 plane vectors are emitted as DOUBLE[] literals from
+      // the SAME Scala floats (Double.toString round-trips exactly), so both
+      // engines compute sign bits over identical values.
+      Some {
+        val planeSql = hyperplanes.map { case (_, p) =>
+          p.map(_.toDouble.toString).mkString("[", ", ", "]")
+        }.mkString("[", ", ", "]")
+        val bucketTerms = hyperplanes.map { case (pid, _) =>
+          s"CASE WHEN list_cosine_similarity(emb, pl[${pid + 1}]) > 0" +
+            s" THEN CAST(${1L << pid} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |pl0 AS (SELECT CAST($planeSql AS DOUBLE[][]) AS pl),
+           |b AS (SELECT vec_id, emb, ($bucketTerms) AS bucket FROM e, pl0),
+           |bb AS (SELECT vec_id, emb, bucket, bucket & 15 AS prefix FROM b),
+           |q AS (SELECT vec_id AS query_id, emb AS qe, bucket, prefix
+           |  FROM bb WHERE vec_id < $NumQueries),
+           |cand AS (SELECT vec_id AS neighbor_id, emb AS ne, bucket, prefix FROM bb),
+           |fine AS (SELECT q.query_id, q.qe, cand.neighbor_id, cand.ne
+           |  FROM q JOIN cand USING (bucket)),
+           |coarse AS (SELECT q.query_id, q.qe, cand.neighbor_id, cand.ne
+           |  FROM q JOIN cand USING (prefix)),
+           |u AS (SELECT DISTINCT query_id, qe, neighbor_id, ne FROM
+           |  (SELECT * FROM fine UNION ALL SELECT * FROM coarse)),
+           |p AS (SELECT query_id, neighbor_id,
+           |    ROUND(list_cosine_similarity(qe, ne), 3) AS cos_sim
+           |  FROM u WHERE query_id <> neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, cos_sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+           |SELECT query_id, neighbor_id, cos_sim, rn FROM r
+           |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+      }
     ),
     // IVF cell statistics via the custom typed UDAF: per-cell vector count
     // and the exact-math centroid (graft.functions.VectorCentroid — the
@@ -205,7 +280,23 @@ object Ann {
               .as("centroid_norm"))
           .orderBy(col("cid"))
       },
-      None
+      // Oracle: q2/c2 repeat the quantized-centroid step over the final
+      // assignment; the norm is a left-fold of squares (list_reduce with a
+      // prepended 0.0 = Spark's `aggregate` element-order accumulation).
+      Some(s"""$sqlAssignCte,
+             |q2 AS (SELECT a1.cid, r.i,
+             |    SUM(CAST(floor(e.emb[r.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM a1 JOIN e USING (vec_id), range($Dim) r(i)
+             |  GROUP BY a1.cid, r.i),
+             |c2 AS (SELECT cid, MAX(n) AS n_vecs,
+             |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
+             |         ORDER BY i) AS cent
+             |  FROM q2 GROUP BY cid)
+             |SELECT cid, n_vecs,
+             |  ROUND(sqrt(list_reduce(list_prepend(0.0, cent),
+             |    (a, x) -> a + x * x)), 3) AS centroid_norm
+             |FROM c2 ORDER BY cid""".stripMargin)
     )
   )
 }
