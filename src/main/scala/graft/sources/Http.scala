@@ -10,6 +10,11 @@ package graft.sources
   */
 trait HttpClient extends Serializable {
   def get(url: String, headers: Map[String, String]): HttpResponse
+
+  /** Form-encoded POST — needed only by the OAuth token exchange
+    * ([[TokenProvider]]); default throws so read-only stubs stay tiny. */
+  def post(url: String, headers: Map[String, String], body: String): HttpResponse =
+    throw new UnsupportedOperationException(s"POST not supported by $getClass")
 }
 
 final case class HttpResponse(
@@ -45,11 +50,11 @@ final class RateLimitedClient(
     lastRequestAt = System.nanoTime() / 1000000
   }
 
-  override def get(url: String, headers: Map[String, String]): HttpResponse = {
+  private def paced(request: () => HttpResponse): HttpResponse = {
     var attempt = 0
     while (true) {
       pace()
-      val r = underlying.get(url, headers)
+      val r = request()
       if (r.status == 429 && attempt < maxRetries) {
         // server-directed backoff, default 1s (spotify-etl.py:54-57)
         val retryAfter =
@@ -62,4 +67,10 @@ final class RateLimitedClient(
     }
     sys.error("unreachable")
   }
+
+  override def get(url: String, headers: Map[String, String]): HttpResponse =
+    paced(() => underlying.get(url, headers))
+
+  override def post(url: String, headers: Map[String, String], body: String): HttpResponse =
+    paced(() => underlying.post(url, headers, body))
 }

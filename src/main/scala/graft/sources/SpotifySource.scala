@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
 /** The reference's six REST extracts, re-expressed Spark-first.
   *
   * Division of labor: the connector fetches **raw page/batch JSON strings**
-  * (driver-side for cursor pagination, executor-side for keyed fan-out and
-  * batched lookup); ALL record shredding is declarative —
+  * (executor-side everywhere: lazy one-partition cursor scans, keyed
+  * fan-out, batched lookup); ALL record shredding is declarative —
   * `from_json` + `explode` + nested-field projection — so Catalyst owns the
   * parsing plan exactly as it does for any other source (SURVEY.md §1.4).
   *
@@ -31,28 +31,44 @@ final class SpotifySource(
 
   import SpotifySource._
 
-  /** Cursor pagination (spotify-etl.py:72-75): follow `next` until null,
-    * accumulating raw page bodies. Driver-side by necessity — each page
-    * names its successor. */
-  private def fetchPages(firstUrl: String): Seq[String] = {
-    val pages = Seq.newBuilder[String]
-    var url: Option[String] = Some(firstUrl)
-    while (url.isDefined) {
-      val body = client.get(url.get, authHeaders).body
-      pages += body
-      url = nextCursor(body)
-    }
-    pages.result()
+  /** Cursor pagination (spotify-etl.py:72-75): follow `next` until null.
+    * Round 2: the cursor loop runs INSIDE a one-partition `mapPartitions`
+    * as a lazy `Iterator.unfold` — pagination is inherently sequential
+    * (each page names its successor), but pages now stream one at a time
+    * through the pipelined from_json/explode stage instead of accumulating
+    * in a driver Seq (the reference holds every page in memory,
+    * spotify-etl.py:72-75; at 100× catalog size that's a driver OOM).
+    * Neither driver nor executor ever holds more than the in-flight page;
+    * a downstream LIMIT stops the HTTP fetches themselves (proven in
+    * SpotifySourceSpec). Same lazy shape as the v2 TracksReader. */
+  private def pagesDF(spark: SparkSession, firstUrl: String): DataFrame = {
+    import spark.implicits._
+    val headers = authHeaders
+    val c = client
+    spark.createDataset(Seq(firstUrl))
+      .repartition(1)
+      .mapPartitions { firsts =>
+        firsts.flatMap { first =>
+          Iterator.unfold(Option(first)) {
+            case Some(url) =>
+              val body = checkedBody(c.get(url, headers), url)
+              Some((body, nextCursor(body)))
+            case None => None
+          }
+        }
+      }
+      .toDF("page")
   }
 
-  private def pagesDF(spark: SparkSession, pages: Seq[String]): DataFrame = {
+  /** Single-page GET, driver-side (no cursor to follow). */
+  private def singlePageDF(spark: SparkSession, url: String): DataFrame = {
     import spark.implicits._
-    pages.toDF("page")
+    Seq(checkedBody(client.get(url, authHeaders), url)).toDF("page")
   }
 
   /** GET /me/playlists → `playlists` table (spotify-etl.py:68-89). */
   def playlists(spark: SparkSession): DataFrame =
-    pagesDF(spark, fetchPages(s"$baseUrl/me/playlists"))
+    pagesDF(spark, s"$baseUrl/me/playlists")
       .select(explode(from_json(col("page"), SpotifySchemas.playlistsPage)("items")).as("it"))
       .select(
         col("it.id").as("id"),
@@ -79,7 +95,7 @@ final class SpotifySource(
           // per-id cursor loop, inside the executor (SURVEY.md §3.2)
           Iterator.unfold(Option(s"$base/playlists/$pid/tracks")) {
             case Some(url) =>
-              val body = c.get(url, headers).body
+              val body = checkedBody(c.get(url, headers), url)
               Some(((pid, body), nextCursor(body)))
             case None => None
           }
@@ -101,7 +117,7 @@ final class SpotifySource(
 
   /** GET /me/tracks → `saved_tracks` (spotify-etl.py:113-132). */
   def savedTracks(spark: SparkSession): DataFrame =
-    pagesDF(spark, fetchPages(s"$baseUrl/me/tracks"))
+    pagesDF(spark, s"$baseUrl/me/tracks")
       .select(explode(from_json(col("page"), SpotifySchemas.savedTracksPage)("items")).as("it"))
       .filter(col("it.track").isNotNull)
       .select(
@@ -124,7 +140,8 @@ final class SpotifySource(
       .repartition(fanOutParallelism)
       .mapPartitions { ids =>
         ids.grouped(100).map { batch =>
-          c.get(s"$base/audio-features?ids=${batch.mkString(",")}", headers).body
+          val url = s"$base/audio-features?ids=${batch.mkString(",")}"
+          checkedBody(c.get(url, headers), url)
         }
       }
       .toDF("batch")
@@ -137,7 +154,7 @@ final class SpotifySource(
 
   /** GET /me/player/recently-played, single page (spotify-etl.py:175-190). */
   def recentTracks(spark: SparkSession): DataFrame =
-    pagesDF(spark, Seq(client.get(s"$baseUrl/me/player/recently-played", authHeaders).body))
+    singlePageDF(spark, s"$baseUrl/me/player/recently-played")
       .select(explode(from_json(col("page"), SpotifySchemas.recentTracksPage)("items")).as("it"))
       .filter(col("it.track").isNotNull)
       .select(
@@ -149,7 +166,7 @@ final class SpotifySource(
 
   /** GET /me/following?type=artist, single page (spotify-etl.py:192-207). */
   def followedArtists(spark: SparkSession): DataFrame =
-    pagesDF(spark, Seq(client.get(s"$baseUrl/me/following?type=artist", authHeaders).body))
+    singlePageDF(spark, s"$baseUrl/me/following?type=artist")
       .select(explode(
         from_json(col("page"), SpotifySchemas.followedArtistsPage)("artists")("items")).as("it"))
       .select(
@@ -167,6 +184,17 @@ object SpotifySource {
   private[sources] def nextCursor(pageBody: String): Option[String] = {
     val n = mapper.readTree(pageBody).path("next")
     if (n.isMissingNode || n.isNull) None else Some(n.asText)
+  }
+
+  /** Loud status guard for every connector fetch (round-2 ADVICE): parsing
+    * an error body would yield `from_json` nulls — rows silently dropped and
+    * pagination silently stopped. Fail the task instead, matching the v2
+    * TracksReader. Static so `mapPartitions` closures don't capture the
+    * source instance. */
+  private[sources] def checkedBody(r: HttpResponse, url: String): String = {
+    if (r.status < 200 || r.status >= 300)
+      sys.error(s"spotify connector: HTTP ${r.status} for $url: ${r.body.take(200)}")
+    r.body
   }
 
   /** Cursor extraction for the v2 connector subpackage. */

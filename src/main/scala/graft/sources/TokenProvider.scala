@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** S1 — OAuth refresh-token exchange (the one reference capability round 1
+  * shipped without). Mirrors the reference's token flow, re-expressed over
+  * the injected [[HttpClient]]:
+  *
+  *  - `accessToken` exchanges a long-lived refresh token for a short-lived
+  *    access token at the token endpoint (the reference delegates this to
+  *    `SpotifyOAuth.refresh_access_token`, /root/reference/spotify-etl.py:29-42):
+  *    a form-encoded POST with `grant_type=refresh_token` under HTTP Basic
+  *    auth of `clientId:clientSecret`.
+  *  - Tokens cache until `expires_in` (minus a slack) elapses; the next call
+  *    re-refreshes. `invalidate()` forces a refresh — [[OAuthClient]] uses it
+  *    for the 401 → refresh → retry path.
+  *  - [[TokenProvider.exchangeAuthorizationCode]] is the one-shot bootstrap
+  *    that turns an authorization code into the initial refresh token
+  *    (/root/reference/generate_token.py:8-15).
+  *
+  * Thread-safe; Serializable so executor-side fan-out can ship it inside
+  * `mapPartitions` closures (each executor JVM then refreshes independently,
+  * which the token endpoint permits — refresh tokens are multi-use).
+  */
+final class TokenProvider(
+    client: HttpClient,
+    clientId: String,
+    clientSecret: String,
+    refreshToken: String,
+    tokenUrl: String = "https://accounts.spotify.com/api/token",
+    expirySlackSec: Long = 60,
+    nowMs: () => Long = () => System.currentTimeMillis())
+    extends Serializable {
+
+  import TokenProvider._
+
+  // (access token, hard expiry deadline in epoch ms)
+  @transient @volatile private var cached: Option[(String, Long)] = None
+
+  private def basicAuth: String =
+    "Basic " + Base64.getEncoder.encodeToString(
+      s"$clientId:$clientSecret".getBytes(StandardCharsets.UTF_8))
+
+  /** Drop the cached token so the next `accessToken` call refreshes —
+    * the 401 recovery hook. */
+  def invalidate(): Unit = synchronized { cached = None }
+
+  /** A currently-valid access token, refreshing if absent or expired. */
+  def accessToken: String = synchronized {
+    cached match {
+      case Some((t, deadline)) if nowMs() < deadline => t
+      case _ =>
+        val fresh = refresh()
+        cached = Some(fresh)
+        fresh._1
+    }
+  }
+
+  /** `Authorization: Bearer …` headers for [[SpotifySource]]. */
+  def authHeaders: Map[String, String] =
+    Map("Authorization" -> s"Bearer $accessToken")
+
+  private def refresh(): (String, Long) = {
+    val r = client.post(
+      tokenUrl,
+      Map(
+        "Authorization" -> basicAuth,
+        "Content-Type" -> "application/x-www-form-urlencoded"),
+      s"grant_type=refresh_token&refresh_token=$refreshToken")
+    require(r.status / 100 == 2,
+      s"token refresh failed: HTTP ${r.status}: ${r.body.take(200)}")
+    val node = mapper.readTree(r.body)
+    val token = node.path("access_token").asText("")
+    require(token.nonEmpty, "token refresh response carries no access_token")
+    val expiresInSec = node.path("expires_in").asLong(3600L)
+    (token, nowMs() + math.max(0L, expiresInSec - expirySlackSec) * 1000)
+  }
+}
+
+object TokenProvider {
+  private val mapper = new ObjectMapper
+
+  /** One-shot bootstrap (generate_token.py:8-15): exchange an authorization
+    * code for the initial (access, refresh) token pair. Run once,
+    * interactively; the refresh token then feeds [[TokenProvider]] forever.
+    */
+  def exchangeAuthorizationCode(
+      client: HttpClient,
+      clientId: String,
+      clientSecret: String,
+      code: String,
+      redirectUri: String,
+      tokenUrl: String = "https://accounts.spotify.com/api/token"): (String, String) = {
+    val basic = "Basic " + Base64.getEncoder.encodeToString(
+      s"$clientId:$clientSecret".getBytes(StandardCharsets.UTF_8))
+    val r = client.post(
+      tokenUrl,
+      Map(
+        "Authorization" -> basic,
+        "Content-Type" -> "application/x-www-form-urlencoded"),
+      s"grant_type=authorization_code&code=$code&redirect_uri=$redirectUri")
+    require(r.status / 100 == 2,
+      s"authorization-code exchange failed: HTTP ${r.status}: ${r.body.take(200)}")
+    val node = mapper.readTree(r.body)
+    val access = node.path("access_token").asText("")
+    val refresh = node.path("refresh_token").asText("")
+    require(access.nonEmpty && refresh.nonEmpty,
+      "authorization-code exchange response missing tokens")
+    (access, refresh)
+  }
+}
+
+/** Auth-injecting [[HttpClient]] decorator closing the loop between
+  * [[TokenProvider]] and [[SpotifySource]]: every GET carries a fresh Bearer
+  * header, and a 401 (token revoked server-side before its advertised
+  * expiry) triggers exactly one invalidate → refresh → retry. Compose as
+  * `new SpotifySource(new OAuthClient(new RateLimitedClient(real), tokens))`
+  * — SpotifySource then needs no static `authHeaders` at all.
+  */
+final class OAuthClient(underlying: HttpClient, tokens: TokenProvider)
+    extends HttpClient {
+
+  override def get(url: String, headers: Map[String, String]): HttpResponse = {
+    val first = underlying.get(url, headers ++ tokens.authHeaders)
+    if (first.status != 401) first
+    else {
+      tokens.invalidate()
+      underlying.get(url, headers ++ tokens.authHeaders)
+    }
+  }
+
+  override def post(url: String, headers: Map[String, String], body: String): HttpResponse =
+    underlying.post(url, headers, body)
+}

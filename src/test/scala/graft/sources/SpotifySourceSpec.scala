@@ -160,6 +160,27 @@ class SpotifySourceSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(client.get("u", Map.empty).status === 429)
   }
 
+  test("cursor scan is lazy: LIMIT 1 stops the page fetches themselves") {
+    // The executor-side Iterator.unfold streams pages through the pipelined
+    // explode stage — one page resident at a time — so a downstream limit
+    // short-circuits pagination. The round-1 driver-Seq shape fetched every
+    // page at plan time regardless of what the query consumed.
+    val one = source().playlists(spark).limit(1).collect()
+    assert(one.length === 1)
+    assert(FakeHttp.requested === Seq(s"$Base/me/playlists"),
+      "only the first page may be fetched under LIMIT 1")
+  }
+
+  test("connector fails loudly on a non-2xx page instead of truncating (r2 ADVICE)") {
+    FakeHttp.reset(_ => HttpResponse(503, """{"error": "down"}"""))
+    val e = intercept[Exception] {
+      source().playlists(spark).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("HTTP 503")))
+  }
+
   test("nextCursor: null, missing, and present cursors") {
     assert(SpotifySource.nextCursor("""{"next": null}""") === None)
     assert(SpotifySource.nextCursor("""{}""") === None)
