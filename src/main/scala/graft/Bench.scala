@@ -1,5 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: one JSON line, total + per-query seconds.
+  *
+  * Round-2 additions (VERDICT item 8 + ADVICE): the line self-describes its
+  * conditions — cpus, JVM max/free memory — and carries a SECOND timed pass
+  * per query (`queries2`/`total2`), so a cross-round delta can be told apart
+  * from machine contention (round 1's identical code measured 31/40/65 s on
+  * three hosts). A query that throws is reported in `failed` and excluded
+  * from every total instead of silently distorting it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,15 +27,32 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def timedPass(): (Map[String, Double], Seq[String]) = {
+      val failed = Seq.newBuilder[String]
+      val times = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => failed += name; false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (times, failed.result())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (pass1, failed1) = timedPass()
+    val (pass2, failed2) = timedPass()
+    val failed = (failed1 ++ failed2).distinct.sorted
+    def fmt(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def totalOf(m: Map[String, Double]) =
+      m.collect { case (k, v) if !failed.contains(k) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rt = Runtime.getRuntime
+    println(
+      s"""{"metric":"total","value":${totalOf(pass1)},"unit":"sec",""" +
+        s""""queries":${fmt(pass1)},"sf":"$sfDir",""" +
+        s""""total2":${totalOf(pass2)},"queries2":${fmt(pass2)},""" +
+        s""""failed":$failedJson,"cpus":$cpus,""" +
+        s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},""" +
+        s""""jvm_free_mem_mb":${rt.freeMemory() / 1048576}}""")
     spark.stop()
   }
 }

@@ -28,7 +28,14 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet: nanos-timestamp shim, kept in exactly one place. */
+  /** events.parquet: nanos-timestamp shim, kept in exactly one place.
+    *
+    * CAVEAT (round-2 ADVICE): the legacy flag is SESSION-scoped — Spark has
+    * no per-read option for it — so it leaks into every later read on this
+    * session, surfacing any other nanos-timestamp parquet as LongType too.
+    * Acceptable for this harness (every events consumer wants exactly that);
+    * a user-facing API would isolate the flag in a dedicated session via
+    * `spark.newSession()` before setting it. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(spark, dir, "events")

@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
   * identical between the interpreted and generated paths.
   *
   * Returns 0.0 when either vector has zero norm; null on null input.
+  *
+  * LENGTH SEMANTICS (round-2 ADVICE — intended, not accidental): vectors of
+  * different lengths compare over their COMMON PREFIX (`min(numElements)`
+  * terms in the dot product and in BOTH norms). This is what lets a
+  * fixed-dim constant (a 64-dim centroid or hyperplane literal) score
+  * against lower-dim test vectors; for equal-length inputs — every
+  * production path — it is exact cosine. Callers needing strict-length
+  * checking should validate schemas upstream; the DuckDB oracle's
+  * `list_cosine_similarity` errors on mismatch, so no oracle-checked query
+  * may rely on mixed lengths (none does: the driver tables are uniformly
+  * 64-dim). Behavior is pinned by a spec.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -53,7 +53,10 @@ object ScaleStress {
       for (t <- Scaled) {
         val base = spark.read.parquet(s"$src/$t.parquet")
         val key = keyOf(t)
-        val offset = 10000000L
+        // derived from the data, not a constant: a fixed offset silently
+        // collides keys (deflating dedup/join stress) once a base key
+        // reaches it at larger source SFs (round-2 ADVICE)
+        val offset = base.agg(max(col(key))).head.getLong(0) + 1
         val copiesDF = (0 until copies).map { i =>
           base.withColumn(key, col(key) + lit(i * offset))
         }.reduce(_ unionByName _)

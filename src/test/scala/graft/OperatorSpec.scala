@@ -94,4 +94,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.isNullAt(1))
     assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("cosine_sim common-prefix semantics for mismatched lengths (documented)") {
+    graft.functions.vec.register(spark)
+    // (1,0) vs (1,0,7): the third component of the longer vector is ignored
+    // in the dot product AND in its norm -> exactly 1.0, not 1/sqrt(50)
+    val out = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(1.0, 0.0, 7.0) AS ARRAY<FLOAT>)) AS prefix""".stripMargin)
+      .collect().head
+    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+  }
 }
