@@ -19,7 +19,8 @@ object Registry {
       Dedup.queries ++
       Ann.queries ++
       Multimodal.queries ++
-      Fingerprint.queries
+      Fingerprint.queries ++
+      Curation.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

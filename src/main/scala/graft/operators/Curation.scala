@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{GQ, Tables, XHash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators (round 2) — the remaining table-stakes steps of
+  * a large-scale training-data pipeline beyond dedup/quality/ANN: subsetting
+  * reproducibly, scrubbing PII-shaped spans, building the n-gram vocabulary,
+  * and decontaminating against an evaluation set. All four are exact integer
+  * /hash math on the cross-engine [[graft.XHash]] basis, fully
+  * oracle-matched.
+  */
+object Curation {
+
+  /** Email-shaped and long-digit-run patterns; identical Java/RE2 semantics
+    * (verified against DuckDB on mixed fixtures — no lookarounds, no
+    * backrefs, just char classes). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  private val DigitsRe = "[0-9]{6,}"
+
+  val queries: Seq[GQ] = Seq(
+    // Deterministic stratified sampling: hash-gate each doc_id (salted h60
+    // mod 100 < 20 — a reproducible 20% subsample, the standard way to cut
+    // corpus slices so that reruns, engines, and cluster sizes agree),
+    // reported per language stratum. At 100 TB this is a scan-side filter —
+    // no shuffle beyond the tiny stratum agg, and the SAME rows are kept on
+    // any cluster because the gate is pure data math (R3: no rand()).
+    GQ(
+      "q_sample_stratified",
+      (s, d) => {
+        val gate = pmod(
+          XHash.h60(concat(lit("sample:"), col("doc_id").cast(StringType))),
+          lit(100L)) < 20
+        Tables.t(s, d, "documents")
+          .select(col("lang"), gate.cast(LongType).as("kept"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_kept"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            // single IEEE division of two exact ints — bit-stable (R7)
+            (col("n_kept").cast(DoubleType) / col("n_docs")).as("rate"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN ${XHash.sqlH60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN ${XHash.sqlH60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+             |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rate
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    // PII scrub: count email-shaped tokens and ≥6-digit runs per doc, then
+    // redact both and fingerprint the scrubbed text — the h60 fingerprint
+    // makes the REDACTION ITSELF oracle-checked byte for byte, not just the
+    // counts. (The synthetic corpus is clean — counts are typically zero —
+    // but the scrub plan is exactly what runs against a crawl at 100 TB:
+    // one narrow projection, no shuffle.)
+    GQ(
+      "q_text_pii_scrub",
+      (s, d) => {
+        val scrubbed = regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          DigitsRe, "<NUM>")
+        Tables.t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+              .cast(LongType).as("n_emails"),
+            size(regexp_extract_all(col("text"), lit(DigitsRe), lit(0)))
+              .cast(LongType).as("n_digit_runs"),
+            XHash.h60(scrubbed).as("scrubbed_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id,
+             |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+             |  len(regexp_extract_all(text, '$DigitsRe')) AS n_digit_runs,
+             |  ${XHash.sqlH60(
+                s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), " +
+                  s"'$DigitsRe', '<NUM>', 'g')")} AS scrubbed_fp
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // Global n-gram vocabulary head: top-20 3-word shingles by document
+    // frequency — the building block for contamination checks, stopword
+    // discovery, and n-gram LM stats. One explode + hash agg; the shuffle
+    // carries (shingle, partial df), vocab-bounded. Top-k via
+    // TakeOrderedAndProject, never a global sort of the vocab.
+    GQ(
+      "q_text_ngram_topk",
+      (s, d) => Grams.kgramRows(
+          Tables.t(s, d, "documents"), 3, Seq(),
+          ws => concat_ws(" ", ws: _*), identity)
+        .select(col("doc_id"), col("item").as("gram")).distinct()
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram"))
+        .limit(20),
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+             |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+             |    ELSE [text] END) AS sh FROM documents),
+             |g AS (SELECT unnest(sh) AS gram FROM d)
+             |SELECT gram, COUNT(*) AS df
+             |FROM g GROUP BY gram
+             |ORDER BY df DESC, gram LIMIT 20""".stripMargin)
+    ),
+    // Eval-set decontamination: docs sharing any 3-gram with the "benchmark"
+    // slice (doc_id < 4 stands in for an eval set — small enough that MiniData keeps a corpus side) are flagged with their
+    // shared-gram and benchmark-doc counts. At 100 TB the benchmark shingle
+    // set is tiny and broadcast — the corpus side streams through a
+    // broadcast hash join, no shuffle of the corpus. The hour-one op of any
+    // serious pretraining pipeline.
+    GQ(
+      "q_contamination",
+      (s, d) => {
+        val grams = Grams.kgramRows(
+            Tables.t(s, d, "documents"), 3, Seq(),
+            ws => concat_ws(" ", ws: _*), identity)
+          .select(col("doc_id"), col("item").as("gram")).distinct()
+        val bench = grams.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("bench_id"), col("gram"))
+        val corpus = grams.filter(col("doc_id") >= 4)
+        corpus.join(broadcast(bench), "gram")
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("gram")).as("n_shared_grams"),
+            countDistinct(col("bench_id")).as("n_bench_docs"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+             |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+             |    ELSE [text] END) AS sh FROM documents),
+             |g AS (SELECT doc_id, unnest(sh) AS gram FROM d)
+             |SELECT c.doc_id AS doc_id,
+             |  COUNT(DISTINCT c.gram) AS n_shared_grams,
+             |  COUNT(DISTINCT b.doc_id) AS n_bench_docs
+             |FROM g c JOIN g b ON c.gram = b.gram
+             |WHERE c.doc_id >= 4 AND b.doc_id < 4
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)
+    )
+  )
+}
