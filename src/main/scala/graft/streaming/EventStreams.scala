@@ -152,6 +152,42 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join (round 2): each micro-batch hash-joins
+    * against a broadcast dimension table — the streaming twin of the batch
+    * dim join, and the standard way to attach user/catalog attributes to an
+    * event stream. Stateless (no watermark needed on the static side); the
+    * dimension re-broadcasts per batch, picking up slowly-changing updates.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join (round 2): purchases attributed to the same
+    * user's most recent window of clicks — click within [purchase − lookback,
+    * purchase]. BOTH sides carry watermarks and the join condition bounds
+    * event-time distance, so each side's join state is evictable; without
+    * the time bound Spark must buffer both streams forever. Append-mode
+    * output emits a match once both watermarks pass it. */
+  def purchaseAttribution(
+      events: DataFrame,
+      lookback: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(
+      purchases,
+      expr(s"""user_id = p_user_id AND
+              |click_ts BETWEEN purchase_ts - INTERVAL $lookback AND purchase_ts"""
+        .stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: per-user lifetime totals
     * (update-mode). The state object is a constant-size pair per user —
     * the general pattern for stateful enrichment Spark has no built-in for. */

@@ -144,6 +144,44 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("enriched: stream-static broadcast join attaches dimension attributes") {
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventStreams.enriched(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, "2024-01-01 00:00:00", uid = 1),
+        ev(2, "2024-01-01 00:01:00", uid = 3)) // uid 3 absent from dim
+      q.processAllAvailable()
+      val rows = spark.table("enr").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(5))).toMap
+      assert(rows === Map(1L -> Some("gold"), 3L -> None))
+    }
+  }
+
+  test("purchaseAttribution: stream-stream interval join within lookback only") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.purchaseAttribution(in.toDF(),
+        lookback = "10 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ev(1, "2024-01-01 00:00:00", uid = 1, typ = "click"),
+        ev(2, "2024-01-01 00:30:00", uid = 1, typ = "click"),
+        ev(3, "2024-01-01 00:35:00", uid = 1, typ = "purchase", v = 9.99),
+        ev(4, "2024-01-01 00:34:00", uid = 2, typ = "click"), // other user
+        ev(5, "2024-01-01 09:00:00", uid = 1, typ = "click")) // advances wm
+      q.processAllAvailable()
+      in.addData(ev(6, "2024-01-01 19:00:00", uid = 9, typ = "click"))
+      q.processAllAvailable()
+      val matches = spark.table("attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // purchase 3 attributes ONLY to click 2 (click 1 is 35 min back,
+      // click 4 is another user's)
+      assert(matches === Set((1L, 3L, 2L)))
+    }
+  }
+
   test("userTotals: mapGroupsWithState accumulates per-user state across batches") {
     val in = MemoryStream[Event]
     val q = EventStreams.userTotals(in.toDS())
