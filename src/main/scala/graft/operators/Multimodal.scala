@@ -104,8 +104,11 @@ object Multimodal {
              |substring(hex(encode(text)), 1, 16) AS head_hex
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
-    // Full decode pipeline through the stub codec: deterministic counts +
-    // digest aggregates per kind (no oracle — engine-side codec).
+    // Full decode pipeline through the stub codec: deterministic counts per
+    // kind. Oracle-matched (round 2): the OUTPUT depends on the codec only
+    // through frame count = ⌈bytes/FrameSize⌉ and byte length — both pure
+    // byte math DuckDB reproduces without the codec, so the oracle checks
+    // that the distributed decode pass preserves media accounting exactly.
     GQ(
       "q_multimodal_decode",
       (s, d) =>
@@ -116,7 +119,11 @@ object Multimodal {
             sum(col("n_frames").cast(LongType)).as("total_frames"),
             sum(col("n_bytes").cast(LongType)).as("total_bytes"))
           .orderBy(col("kind")),
-      None
+      Some(s"""SELECT 'text/plain' AS kind, COUNT(*) AS n_media,
+             |  CAST(SUM(CEIL(octet_length(encode(text)) / ${FakeCodec.FrameSize}.0))
+             |    AS BIGINT) AS total_frames,
+             |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+             |FROM documents ORDER BY kind""".stripMargin)
     ),
     // End-to-end media near-dup: decode → fixed-width feature vector →
     // cosine top-10 pairs within an id block — the full multimodal dedup
