@@ -150,6 +150,52 @@ object Aggregates {
               |${C.sqlSumDec2("l_quantity")} AS sum_qty
               |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    ),
+    // Conditional (FILTER-clause) aggregation (round 2): per status, total
+    // count beside predicated count/sum in one grouped pass. Spark's
+    // `when`-guarded aggregates compile to the same partial/final
+    // HashAggregate as SQL FILTER; a status with no urgent orders yields
+    // NULL in both engines (sum over empty).
+    GQ(
+      "q_agg_filter",
+      (s, d) =>
+        Tables.t(s, d, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            count(when(col("o_totalprice") > 1000, lit(1))).as("n_big"),
+            sum(when(col("o_orderpriority") === "1-URGENT",
+              C.dec2(col("o_totalprice")))).cast("double").as("urgent_rev"))
+          .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+             |COUNT(*) FILTER (WHERE o_totalprice > 1000) AS n_big,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |  FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_rev
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+    // Unpivot/melt (round 2) — the inverse reshape of q_pivot: three wide
+    // measure columns become (metric, value) rows. Spark's native
+    // `unpivot` (Dataset API) = ANSI UNPIVOT; the oracle uses the portable
+    // UNION ALL form. Values pass through as raw doubles (R7).
+    GQ(
+      "q_unpivot",
+      (s, d) =>
+        Tables.t(s, d, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+            "metric", "value")
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value FROM (
+             |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             |         l_quantity AS value FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |    FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |    FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
     )
   )
 }

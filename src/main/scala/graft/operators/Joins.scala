@@ -155,6 +155,25 @@ object Joins {
               |JOIN orders ON c_custkey = o_custkey
               |JOIN lineitem ON o_orderkey = l_orderkey
               |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+    // Full outer join (round 2): nations without suppliers surface with a
+    // null supplier side — the one outer-join flavor the surface lacked.
+    // R1: the ORDER BY spells out ASC NULLS FIRST in the oracle (Spark's
+    // default; DuckDB defaults to NULLS LAST).
+    GQ(
+      "q_join_full_outer",
+      (s, d) =>
+        Tables.t(s, d, "nation")
+          .join(Tables.t(s, d, "supplier"),
+            col("n_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            col("n_nationkey"), col("n_name"), col("s_suppkey"),
+            col("s_name"))
+          .orderBy(col("n_nationkey"), col("s_suppkey")),
+      Some("""SELECT n_nationkey, n_name, s_suppkey, s_name
+             |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+             |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST"""
+        .stripMargin)
     )
   )
 }

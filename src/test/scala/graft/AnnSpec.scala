@@ -47,6 +47,36 @@ class AnnSpec extends AnyFunSuite {
       s"refined cells should be more balanced: seeds=$s0 refined=$s1")
   }
 
+  test("IVF recall@3 vs brute force is measured and above the floor") {
+    // The eval every ANN index owes its users: compare q_sim_ann_ivf's top-3
+    // per query against exhaustive cosine top-3. Deterministic on the pinned
+    // sf0.001 data. nprobe=1 over 16 cells keeps ~1/16 of candidates, so
+    // recall is necessarily partial on near-uniform random vectors — the
+    // floor asserts the index beats random cell luck (3/16 ≈ 0.19) while
+    // documenting the measured value for round-over-round tracking.
+    import org.apache.spark.sql.Row
+    val ivf = Registry.byName("q_sim_ann_ivf").run(spark, sf).collect()
+      .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
+    val e = Tables.t(spark, sf, "embeddings")
+    graft.functions.vec.register(spark)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cosine_sim(qe, ne)").as("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map { case Row(q: Long, n: Long) => (q, n) }.toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"IVF recall@3 on sf0.001: $recall%.2f (${ivf.intersect(brute).size}/${brute.size})")
+    assert(recall > 3.0 / 16, f"IVF must beat random-cell recall, got $recall%.2f")
+  }
+
   test("refined centroids are bit-identical across recomputation") {
     val a = Ann.kmeansCentroids(spark, sf)
     val b = Ann.kmeansCentroids(spark, sf)
