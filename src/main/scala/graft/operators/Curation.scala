@@ -105,6 +105,84 @@ object Curation {
              |FROM g GROUP BY gram
              |ORDER BY df DESC, gram LIMIT 20""".stripMargin)
     ),
+    // Exact-duplicate cluster report: one row per duplicate group (same
+    // text), with the canonical survivor (min doc_id) and the group size —
+    // the accounting view a dedup pass emits alongside the retained corpus
+    // (q_dedup_exact is the retained-ids side of the same groupBy). One hash
+    // aggregation keyed on the text (at 100 TB: on q_text_fingerprint's
+    // 16-byte digest instead — same plan, narrow key).
+    GQ(
+      "q_dedup_cluster",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2)
+          .select(col("canonical_id"), col("n_members"))
+          .orderBy(col("canonical_id")),
+      Some("""SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+             |FROM documents GROUP BY text HAVING COUNT(*) >= 2
+             |ORDER BY canonical_id""".stripMargin)
+    ),
+    // The composed quality-filter stack — the decision step the individual
+    // q_text_quality metrics feed: keep docs with a sane length band and a
+    // bounded stopword ratio, report per-lang survivor counts and rate.
+    // Pure scan-side predicates (int comparisons + one exact division) —
+    // at 100 TB this is THE corpus-shaping pass, and it never shuffles more
+    // than the per-lang counters.
+    GQ(
+      "q_quality_filter",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val stops = filter(words, w => w.isInCollection(TextOps.Stopwords))
+        val keep = size(words).between(20, 80) &&
+          (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
+        Tables.t(s, d, "documents")
+          .select(col("lang"), keep.cast(LongType).as("kept"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            (col("n_kept").cast(DoubleType) / col("n_docs")).as("keep_rate"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH q AS (SELECT lang,
+           |  CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+           |   AND CAST(len(list_filter(string_split(text, ' '),
+           |         w -> w IN ($stops))) AS DOUBLE)
+           |       / len(string_split(text, ' ')) <= 0.3
+           |  THEN 1 ELSE 0 END AS kept FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+           |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS keep_rate
+           |FROM q GROUP BY lang ORDER BY lang""".stripMargin
+      }
+    ),
+    // Document-length histogram: fixed integer bands (exact CASE compares —
+    // no float log binning that could straddle engine rounding), the
+    // one-glance corpus profile every curation run starts from.
+    GQ(
+      "q_doclen_hist",
+      (s, d) => {
+        val n = size(split(col("text"), " "))
+        val bucket = when(n < 20, "a_lt20")
+          .when(n < 40, "b_20_39")
+          .when(n < 60, "c_40_59")
+          .when(n < 80, "d_60_79")
+          .otherwise("e_ge80")
+        Tables.t(s, d, "documents")
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CASE WHEN len(string_split(text, ' ')) < 20 THEN 'a_lt20'
+             |  WHEN len(string_split(text, ' ')) < 40 THEN 'b_20_39'
+             |  WHEN len(string_split(text, ' ')) < 60 THEN 'c_40_59'
+             |  WHEN len(string_split(text, ' ')) < 80 THEN 'd_60_79'
+             |  ELSE 'e_ge80' END AS bucket, COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
     // Eval-set decontamination: docs sharing any 3-gram with the "benchmark"
     // slice (doc_id < 4 stands in for an eval set — small enough that MiniData keeps a corpus side) are flagged with their
     // shared-gram and benchmark-doc counts. At 100 TB the benchmark shingle

@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
 object TextOps {
 
   /** Tiny stopword list; present in the corpus vocabulary ("the", "a"). */
-  private val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private[operators] val Stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** Marker tokens per candidate language for the lang-id heuristic. */
   private val LangMarkers: Map[String, Seq[String]] = Map(

@@ -46,6 +46,13 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_dedup_exact") === Seq(Seq(1L), Seq(3L), Seq(4L), Seq(5L), Seq(6L)))
   }
 
+  test("q_dedup_cluster: the duplicate pair forms one group with min-id canonical") {
+    // sf corpora carry no exact duplicates (their q_dedup_cluster output is
+    // legitimately empty and the oracle agrees); MiniData's docs 1/2 share
+    // text, pinning the semantics here.
+    assert(rows("q_dedup_cluster") === Seq(Seq(1L, 2L)))
+  }
+
   test("q_sim_cosine: known geometry (parallel=1.0, orthogonal=0.0)") {
     assert(rows("q_sim_cosine") === Seq(
       Seq(5L, 1.0), Seq(2L, 0.707), Seq(4L, 0.216), Seq(1L, 0.0), Seq(3L, 0.0)))
