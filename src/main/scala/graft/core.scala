@@ -65,6 +65,16 @@ object XHash {
   /** DuckDB side: identical value for the same string expression. */
   def sqlH60(x: String): String =
     s"CAST(('0x' || substring(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Raw-Expression form for [[graft.GraftExtensions]]' SQL `h60(expr)`. */
+  def h60Expr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+    Cast(
+      Conv(Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
+        Literal(16), Literal(10)),
+      LongType)
+  }
 }
 
 /** Determinism-contract helpers (SURVEY.md §2.5).

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public extension path: a session built with
+  * `withExtensions(new GraftExtensions)` resolves every injected function
+  * from plain SQL — no `register()` calls, no internal bridges. Built over
+  * the shared SparkContext by clearing the active/default session first
+  * (getOrCreate would otherwise return the existing session and skip
+  * extensions), and restoring it after.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions session resolves cosine_sim/hll_distinct/h60/bloom") {
+    val base = TestSpark.spark // ensures the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extended =
+      try SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      finally () // restored below regardless of builder outcome
+    try {
+      val r = extended.sql(
+        """SELECT
+          |  cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+          |             CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)) AS cos,
+          |  h60('hello world') AS h
+          |""".stripMargin).collect().head
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      // cross-engine pinned value (same as DuckDB's md5-prefix cast)
+      assert(r.getLong(1) === 426544247714475757L)
+
+      val agg = extended.sql(
+        """SELECT hll_distinct(v),
+          |  graft_bloom_might_contain(
+          |    (SELECT graft_bloom_agg(xxhash64(v), 8L, 64L) FROM VALUES (1L),(2L) t(v)),
+          |    xxhash64(CAST(1 AS BIGINT)))
+          |FROM VALUES (1L), (2L), (2L), (3L) t(v)""".stripMargin).collect().head
+      assert(agg.getLong(0) === 3L)
+      assert(agg.getBoolean(1))
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
