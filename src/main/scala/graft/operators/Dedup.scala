@@ -145,6 +145,13 @@ object Dedup {
       .select(col("lang"), col("source"), col("item"), col("bit"))
     val tagged = it.join(dfs, block :+ "item")
       .join(freq, block :+ "item", "left")
+      // `tagged` feeds five consumers (docs, rare ×2, prefix ×2), each of
+      // which would otherwise recompute the whole shingle+df lineage (the
+      // plan re-scans documents ~15×). One MEMORY_AND_DISK materialization
+      // is the right call at any scale — spills under pressure, and the
+      // ContextCleaner reclaims the entry once the plan is unreachable.
+      // Measured at sf0.1: ngram 4.7s → 2.2s, words 2.9s → 2.4s warm.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = tagged.groupBy(col("lang"), col("source"), col("doc_id"))
       .agg(
         count(lit(1)).as("n"),
