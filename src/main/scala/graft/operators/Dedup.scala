@@ -252,6 +252,9 @@ object Dedup {
             array((0 until K).map(j => lit(j)): _*).as("j"),
             array(sigCols: _*).as("v"))).as("h"))
           .select(col("doc_id"), col("h.j").as("j"), col("h.v").as("v"))
+          // both sides of the self-join would recompute the whole
+          // shingle→signature pipeline; materialize it once (cf. tagged)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         exploded.as("a")
           .join(exploded.as("b"),
             col("a.j") === col("b.j") && col("a.v") === col("b.v") &&

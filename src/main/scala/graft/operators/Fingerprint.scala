@@ -102,7 +102,10 @@ object Fingerprint {
     GQ(
       "q_dedup_winnow_pairs",
       (s, d) => {
+        // both self-join sides would recompute the gram+window winnow
+        // lineage; materialize the (doc_id, fp) set once
         val f = winnowed(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         f.as("a")
           .join(f.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
