@@ -26,6 +26,7 @@ object Bench {
     // charging whole-JVM warmup to whichever query happens to run first.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     def timedPass(): (Map[String, Double], Seq[String]) = {
       val failed = Seq.newBuilder[String]
@@ -33,6 +34,10 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => failed += name; false }
+        // operators may persist shared sub-relations (Dedup/Fingerprint);
+        // each run builds fresh plan instances, so entries never help a
+        // later query — drop them to keep memory flat across 81×3 runs
+        spark.catalog.clearCache()
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
       (times, failed.result())
