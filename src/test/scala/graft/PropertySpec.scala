@@ -82,4 +82,64 @@ class PropertySpec extends AnyFunSuite {
       assert(top(df) === top(df.repartition(7)))
     }
   }
+
+  /** Random word-soup documents over a small vocabulary (forces overlap),
+    * including engineered near-dup pairs. */
+  private def randomDocs(seedBase: Long, n: Int): Seq[(Long, String)] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "kappa", "sigma",
+      "omega", "zeta", "theta", "iota")
+    val docGen = Gen.chooseNum(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val base = (1 to n).flatMap(i =>
+      docGen.apply(Gen.Parameters.default, Seed(seedBase + i))).toVector
+    // plant exact and near duplicates so the ≥ 0.5 band is populated
+    val planted = base.take(3) ++ base.take(3).map(_ + " omega")
+    (base ++ planted).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("prefix-filter blocked Jaccard equals the brute-force quadratic (candidate-recall law)") {
+    // The PPJoin prefix theorem is the one piece of round-2 machinery whose
+    // failure mode is a silently MISSING pair — check it against an
+    // in-memory brute force on random corpora, same τ=0.5 / top-20 contract.
+    import java.nio.file.Files
+    for (s <- Seq(100L, 200L, 300L)) {
+      val docs = randomDocs(s, 25)
+      val dir = Files.createTempDirectory("jacprop-").toString
+      docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Registry.byName("q_dedup_jaccard_words").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size.toDouble
+        j = inter / (sa.size + sb.size - inter) if j >= 0.5
+      } yield (a, b, j)).toSeq
+        .sortBy { case (a, b, j) => (-j, a, b) }.take(20)
+      assert(got === brute, s"seed $s")
+    }
+  }
+
+  test("winnowing guarantee: any shared run of ≥ w+k-1 words yields a shared fingerprint") {
+    // MOSS theorem (k=3, w=4): two documents sharing a contiguous run of at
+    // least w+k-1 = 6 words must share at least one winnowed fingerprint.
+    import java.nio.file.Files
+    val run = "sigma kappa delta beta gamma alpha" // 6 shared words
+    for (s <- Seq(400L, 500L)) {
+      val noise = randomDocs(s, 6).map(_._2)
+      val docs = Seq(
+        (1L, s"${noise(0)} $run ${noise(1)}"),
+        (2L, s"${noise(2)} $run"),
+        (3L, noise(3)), (4L, noise(4))) // controls without the run
+      val dir = Files.createTempDirectory("winprop-").toString
+      docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val pairs = Registry.byName("q_dedup_winnow_pairs").run(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)),
+        s"seed $s: planted shared run must produce a shared fingerprint")
+    }
+  }
 }
