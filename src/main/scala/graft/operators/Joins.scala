@@ -174,6 +174,29 @@ object Joins {
              |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
              |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST"""
         .stripMargin)
+    ),
+    // LATERAL correlated join (round 2): per customer, their top-2 orders by
+    // price — the correlated-subquery-in-FROM operator class. Catalyst
+    // decorrelates the LATERAL into a ranked window join (no nested loop);
+    // DuckDB runs the same ANSI LATERAL form. Unique (price, orderkey)
+    // tie-break keeps the LIMIT deterministic (R1).
+    GQ(
+      "q_join_lateral",
+      (s, d) =>
+        s.sql(s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+                 |FROM parquet.`$d/customer.parquet` c,
+                 |LATERAL (
+                 |  SELECT o_orderkey, o_totalprice
+                 |  FROM parquet.`$d/orders.parquet` o
+                 |  WHERE o.o_custkey = c.c_custkey
+                 |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+                 |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin),
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
     )
   )
 }

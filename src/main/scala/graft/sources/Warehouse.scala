@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Layout-aware parquet persistence — the 100 TB co-location toolkit.
   *
@@ -36,4 +37,26 @@ object Warehouse {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Compressed JSON-Lines write — the interchange format crawl/annotation
+    * corpora arrive in (round 2). Gzip per part-file; splittability comes
+    * from many parts, not intra-file splits. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .json(path)
+
+  /** JSONL read with a PINNED schema — never `inferSchema` at scale: an
+    * inference pass reads the entire corpus once before the real job, and a
+    * skewed sample can silently widen or narrow types between runs.
+    * `columnNameOfCorruptRecord` quarantines malformed lines into `_bad`
+    * instead of nulling whole rows silently (PERMISSIVE) or killing the job
+    * (FAILFAST). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_bad", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(path)
 }

@@ -92,4 +92,35 @@ class WarehouseSpec extends AnyFunSuite {
       spark.read.parquet(dir).select("id").as[Long].collect()
     }
   }
+
+  test("JSONL roundtrip under a pinned schema; malformed lines quarantined") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("wh-jsonl-").toString + "/docs"
+    val df = Seq((1L, "hello world", "en"), (2L, "hola", "es"))
+      .toDF("doc_id", "text", "lang")
+    Warehouse.writeJsonl(df, dir)
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = Warehouse.readJsonl(spark, dir, schema)
+    assert(back.filter($"_bad".isNull).drop("_bad").collect().map(_.toSeq).toSet ===
+      df.collect().map(_.toSeq).toSet)
+
+    // corrupt line lands in _bad with the other columns null — not dropped,
+    // not fatal
+    val badFile = java.nio.file.Files.createTempDirectory("wh-jsonl-bad-").toString + "/docs"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(badFile))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(badFile, "part-0.json"),
+      """{"doc_id": 1, "text": "ok", "lang": "en"}
+        |{not json at all}
+        |""".stripMargin)
+    // collect whole rows: Spark refuses scans whose referenced columns are
+    // ONLY the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val mixed = Warehouse.readJsonl(spark, badFile, schema).collect()
+    assert(mixed.length === 2)
+    assert(mixed.count(r => !r.isNullAt(3)) === 1, "one quarantined line")
+    assert(mixed.filter(_.isNullAt(3)).map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
