@@ -52,6 +52,24 @@ object SetOps {
              |SELECT s_nationkey AS nationkey FROM supplier
              |ORDER BY nationkey""".stripMargin)
     ),
+    // Bag-semantics set difference (round 2): EXCEPT ALL keeps surviving
+    // multiplicities (a nationkey held by 40 customers and 2 suppliers
+    // survives 38 times) — the multiset twin of q_except, a distinct
+    // physical operator (count-propagating aggregate, not dedup).
+    GQ(
+      "q_except_all",
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .exceptAll(Tables.t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("survivors"))
+          .orderBy(col("nationkey")),
+      Some("""SELECT nationkey, COUNT(*) AS survivors FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  EXCEPT ALL
+             |  SELECT s_nationkey AS nationkey FROM supplier)
+             |GROUP BY nationkey ORDER BY nationkey""".stripMargin)
+    ),
     GQ(
       "q_sort_limit",
       (s, d) =>
