@@ -278,6 +278,74 @@ object Dedup {
            |ORDER BY est_jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
       }
     ),
+    // The end-to-end scalable near-dup JOIN (round 2): MinHash LSH band
+    // buckets generate candidates — pairs sharing ≥1 of the 4 band keys,
+    // volume bounded by band collisions, never all-pairs — and each
+    // candidate is then verified with the EXACT shingle-set Jaccard. This is
+    // the canonical "LSH candidates + exact rescoring" pipeline that
+    // replaces quadratic near-dup joins at 100 TB; the verify join costs
+    // Σ_candidates |doc| shingle rows. Integer/hash math throughout on the
+    // h60 basis ⇒ fully oracle-matched end to end.
+    GQ(
+      "q_dedup_lsh_verify",
+      (s, d) => {
+        val sigs = minhashSignatures(s, d)
+        val bandCols = (0 until 4).map { b =>
+          XHash.h60(concat_ws(",",
+            (0 until 4).map(r => col(s"sig${b * 4 + r}")): _*))
+        }
+        val bl = sigs.select(
+          col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("bpos", "bkey")))
+        val cand = bl.as("a")
+          .join(bl.as("b"),
+            col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val it = shingleItems(s, d).select(col("doc_id"), col("item")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(it.select(col("doc_id").as("a_id"), col("item")), "a_id")
+          .join(it.select(col("doc_id").as("b_id"), col("item")), Seq("b_id", "item"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        cand
+          .join(inter, Seq("a_id", "b_id"), "left")
+          .join(n.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+          .join(n.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (coalesce(col("inter"), lit(0L)).cast(DoubleType) /
+              (col("a_n") + col("b_n") - coalesce(col("inter"), lit(0L))))
+              .as("jaccard"))
+          .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      },
+      Some {
+        val bandCase = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"WHEN ${b} THEN ${XHash.sqlH60(cat)}"
+        }.mkString(" ")
+        s"""$sqlSignatureCte,
+           |bl AS (SELECT doc_id, r.b AS bpos,
+           |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bl a JOIN bl b
+           |  ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+           |  THEN list_transform(range(1, len(ws) - 1),
+           |       i -> array_to_string(ws[i:i+2], ' '))
+           |  ELSE [text] END) AS sh FROM d)
+           |SELECT c.a_id, c.b_id,
+           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+           |  (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+           |FROM cand c
+           |JOIN sets x ON x.doc_id = c.a_id
+           |JOIN sets y ON y.doc_id = c.b_id
+           |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
+      }
+    ),
     // 32-bit SimHash per document from term-frequency-weighted word hashes
     // (bits 0..31 of the h60 basis; duplicates of a word vote once each).
     GQ(

@@ -56,6 +56,21 @@ object Multimodal {
       }
       acc
     }
+
+    /** "Resize": deterministic stride downsample of the payload to a fixed
+      * width — the image-resize stand-in (a real codec resamples pixels; the
+      * DISTRIBUTION shape — fixed small output per record regardless of
+      * input size — is what matters to the pipeline). */
+    def resize(payload: Array[Byte], width: Int): Array[Byte] =
+      if (payload.isEmpty) new Array[Byte](width)
+      else Array.tabulate(width)(i =>
+        payload(((i.toLong * payload.length) / width).toInt))
+
+    /** Frame sampling: every `stride`-th frame digest (keyframe extraction
+      * shape — output size |frames|/stride). */
+    def sampleFrames(payload: Array[Byte], stride: Int): Array[Long] =
+      frames(payload).zipWithIndex
+        .collect { case (f, i) if i % stride == 0 => f }
   }
 
   /** documents.text reinterpreted as a binary media payload + metadata —
@@ -80,6 +95,27 @@ object Multimodal {
         val fr = FakeCodec.frames(r.media)
         MediaFeatures(r.doc_id, r.kind, r.media.length, fr.length, fr,
           FakeCodec.feature(r.media))
+      }
+    }
+  }
+
+  /** A thumbnail row emitted by [[thumbnails]]. */
+  case class Thumb(doc_id: Long, thumb: Array[Byte], n_keyframes: Int)
+
+  /** Distributed resize + keyframe sampling — the remaining two multimodal
+    * verbs (decode/feature live in [[decode]]): narrow iterator-to-iterator
+    * pass, output fixed-size per record, so the stage's memory and output
+    * volume are bounded regardless of media size — the property that lets a
+    * thumbnail/keyframe pass run over 100 TB of video without a shuffle. */
+  def thumbnails(
+      records: Dataset[MediaRecord],
+      width: Int = 16,
+      frameStride: Int = 4): Dataset[Thumb] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        Thumb(r.doc_id, FakeCodec.resize(r.media, width),
+          FakeCodec.sampleFrames(r.media, frameStride).length)
       }
     }
   }
