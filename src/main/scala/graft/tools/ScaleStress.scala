@@ -22,7 +22,8 @@ object ScaleStress {
   private val Stressed = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_minhash_pairs",
     "q_dedup_jaccard_words", "q_dedup_jaccard_ngram", "q_dedup_simhash",
-    "q_text_winnow", "q_dedup_winnow_pairs", "q_sim_cosine", "q_sim_ann_ivf",
+    "q_text_winnow", "q_dedup_winnow_pairs", "q_dedup_lsh_verify",
+    "q_sim_cosine", "q_sim_ann_ivf",
     "q_sim_ann_lsh", "q_sim_ann_centroids", "q_agg_hash", "q_join_multiway",
     "q_window_rank", "q_topk_per_group", "q_sessionize", "q_join_interval",
     "q_text_rarity", "q_text_ngram_topk", "q_contamination",
