@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HllSketch}
+import graft.functions.{CmsEstimate, CmsSketch, CosineSimilarity, HllSketch}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[XHash.type], "h60"),
       // cross-engine md5-prefix hash, SQL-reachable for ad-hoc sketch work
       (exprs: Seq[Expression]) => XHash.h60Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      info(classOf[CmsSketch], "cms_sketch"),
+      (exprs: Seq[Expression]) => CmsSketch(exprs.head).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      info(classOf[CmsEstimate], "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       info(classOf[BloomFilterAggregate], "graft_bloom_agg"),

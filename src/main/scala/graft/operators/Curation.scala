@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQ, Tables, XHash}
+import graft.functions.cms
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -182,6 +183,38 @@ object Curation {
              |  WHEN len(string_split(text, ' ')) < 80 THEN 'd_60_79'
              |  ELSE 'e_ge80' END AS bucket, COUNT(*) AS n_docs
              |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)
+    ),
+    // Sketch-accelerated EXACT heavy hitters: words occurring in ≥1% of all
+    // word occurrences. Pass 1 builds a constant-size (4×8192 longs, 256 KB)
+    // Count–Min sketch — one mergeable aggregate, no corpus-wide groupBy.
+    // Pass 2 filters DISTINCT words through the materialized sketch
+    // (cms_estimate ≥ threshold — CMS never under-estimates, so candidates
+    // have NO FALSE NEGATIVES). Pass 3 exactly re-counts only candidate
+    // words via a broadcast semi-join. Output is therefore EXACT and
+    // oracle-matched by a plain GROUP BY/HAVING — the sketch buys the plan
+    // shape (bounded state, candidate-sized final agg), not approximation.
+    GQ(
+      "q_heavy_hitters",
+      (s, d) => {
+        cms.register(s)
+        val words = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+        val total = words.count()
+        val threshold = total / 100 // same integer floor as the oracle
+        val sketch = words.agg(expr("cms_sketch(word)")).head.getAs[Array[Byte]](0)
+        val cands = words.distinct()
+          .filter(call_function("cms_estimate", lit(sketch), col("word")) >= threshold)
+        words.join(broadcast(cands), Seq("word"), "leftsemi")
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= threshold)
+          .orderBy(col("cnt").desc, col("word"))
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+             |  FROM documents)
+             |SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+             |HAVING COUNT(*) >= (SELECT COUNT(*) FROM w) // 100
+             |ORDER BY cnt DESC, word""".stripMargin)
     ),
     // Eval-set decontamination: docs sharing any 3-gram with the "benchmark"
     // slice (doc_id < 4 stands in for an eval set — small enough that MiniData keeps a corpus side) are flagged with their
