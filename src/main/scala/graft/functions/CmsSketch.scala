@@ -17,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * min over rows — an OVERESTIMATE, never an under-estimate, which is the
   * property `q_heavy_hitters` exploits: CMS candidates have no false
   * negatives, so exact re-counting the candidates yields exactly the true
-  * heavy hitters while the first pass stays a constant-size (128 KB)
-  * mergeable aggregate instead of a corpus-wide groupBy.
+  * heavy hitters while the first pass stays a constant-size
+  * mergeable aggregate instead of a corpus-wide groupBy. (4x8192 long counters = 256 KB serialized.)
   *
   * Determinism: counter updates are integer additions and merge is
   * element-wise addition — associative and commutative, so the sketch is
@@ -96,7 +96,7 @@ object CmsSketch {
 
 /** Point lookup into a serialized [[CmsSketch]]: `cms_estimate(sketch, s)` =
   * min over the D counters — ≥ the true count of `s`. The sketch side is a
-  * 128 KB binary literal (materialized like [[graft.operators.BloomPrune]]'s
+  * 256 KB binary literal (materialized like [[graft.operators.BloomPrune]]'s
   * filter); reads go straight against the byte array, no deserialization.
   */
 case class CmsEstimate(left: Expression, right: Expression)

@@ -43,8 +43,15 @@ object BloomPrune {
 
   /** `fact` reduced to rows whose `factKey` probably appears among
     * `build`'s `buildKey` values (exact: no key present in `build` is ever
-    * dropped). `expectedKeys`/`fpp` size the filter — at 10M keys and 1%
-    * fpp the filter is ~11 MB, far under broadcast budgets. */
+    * dropped). `expectedKeys`/`fpp` size the filter via the standard
+    * m = −n·ln(p)/ln²2 formula.
+    *
+    * SIZING CAP (review finding r2): `BloomFilterAggregate` clamps its
+    * arguments to the session confs
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M) and
+    * `...maxNumBits` (default 67108864 ≈ 8 MB) — beyond those, the filter
+    * silently saturates and the real fpp exceeds the request. This guard
+    * fails loudly instead; raise the two confs for bigger filters. */
   def prune(
       fact: DataFrame,
       factKey: String,
@@ -53,6 +60,17 @@ object BloomPrune {
       expectedKeys: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     register(fact.sparkSession)
+    val conf = fact.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val bits = bloomBits(expectedKeys, fpp)
+    require(expectedKeys <= maxItems && bits <= maxBits,
+      s"requested filter ($expectedKeys keys / $bits bits) exceeds the session caps " +
+        s"($maxItems / $maxBits) — BloomFilterAggregate would silently clamp and " +
+        "the real fpp would exceed the request; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits")
     // Materialize the filter eagerly (one tiny job over the build side) and
     // inline it as a BINARY LITERAL — exactly what AQE does when it
     // materializes its runtime-filter subquery. `might_contain` requires a

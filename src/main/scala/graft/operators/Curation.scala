@@ -197,11 +197,16 @@ object Curation {
       "q_heavy_hitters",
       (s, d) => {
         cms.register(s)
+        // one materialized exploded relation feeds all three passes, and
+        // total + sketch come out of a SINGLE aggregate job (review r2:
+        // four separate corpus scans collapsed to one scan + cached reads)
         val words = Tables.t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
-        val total = words.count()
-        val threshold = total / 100 // same integer floor as the oracle
-        val sketch = words.agg(expr("cms_sketch(word)")).head.getAs[Array[Byte]](0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val head = words.agg(
+          count(lit(1)).as("total"), expr("cms_sketch(word)").as("sk")).head
+        val threshold = head.getLong(0) / 100 // same integer floor as the oracle
+        val sketch = head.getAs[Array[Byte]](1)
         val cands = words.distinct()
           .filter(call_function("cms_estimate", lit(sketch), col("word")) >= threshold)
         words.join(broadcast(cands), Seq("word"), "leftsemi")

@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.net.URLEncoder
 import java.nio.charset.StandardCharsets
 import java.util.Base64
 
@@ -69,7 +70,7 @@ final class TokenProvider(
       Map(
         "Authorization" -> basicAuth,
         "Content-Type" -> "application/x-www-form-urlencoded"),
-      s"grant_type=refresh_token&refresh_token=$refreshToken")
+      s"grant_type=refresh_token&refresh_token=${TokenProvider.formEncode(refreshToken)}")
     require(r.status / 100 == 2,
       s"token refresh failed: HTTP ${r.status}: ${r.body.take(200)}")
     val node = mapper.readTree(r.body)
@@ -82,6 +83,13 @@ final class TokenProvider(
 
 object TokenProvider {
   private val mapper = new ObjectMapper
+
+  /** Percent-encode a form parameter VALUE (x-www-form-urlencoded): a token
+    * carrying '+', '%', or '&' — or a redirect URI with its own query
+    * string — would otherwise corrupt the form parse server-side (review
+    * finding r2). */
+  private[sources] def formEncode(v: String): String =
+    URLEncoder.encode(v, StandardCharsets.UTF_8)
 
   /** One-shot bootstrap (generate_token.py:8-15): exchange an authorization
     * code for the initial (access, refresh) token pair. Run once,
@@ -101,7 +109,8 @@ object TokenProvider {
       Map(
         "Authorization" -> basic,
         "Content-Type" -> "application/x-www-form-urlencoded"),
-      s"grant_type=authorization_code&code=$code&redirect_uri=$redirectUri")
+      s"grant_type=authorization_code&code=${formEncode(code)}" +
+        s"&redirect_uri=${formEncode(redirectUri)}")
     require(r.status / 100 == 2,
       s"authorization-code exchange failed: HTTP ${r.status}: ${r.body.take(200)}")
     val node = mapper.readTree(r.body)

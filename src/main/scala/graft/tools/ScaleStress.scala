@@ -49,37 +49,37 @@ object ScaleStress {
     val marker = Paths.get(dst, "_GRAFT_SCALE_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(dst))
-      val keyOf = Map(
-        "documents" -> "doc_id", "embeddings" -> "vec_id",
-        "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
-        "customer" -> "c_custkey", "events" -> "event_id")
+      // ONE offset per KEY DOMAIN, derived from the data (a fixed constant
+      // silently collides keys once a base key reaches it at larger SFs —
+      // round-2 ADVICE). Crucially, a foreign key must be offset by ITS
+      // REFERENCED domain's offset, not the owning table's: o_custkey moves
+      // by the customer-key offset and l_orderkey by the order-key offset,
+      // so copy i's orders still join copy i's customers and lineitems.
+      def domainOffset(table: String, key: String): Long =
+        spark.read.parquet(s"$src/$table.parquet")
+          .agg(max(col(key))).head.getLong(0) + 1
+      val orderOff = domainOffset("orders", "o_orderkey")
+      val custOff = domainOffset("customer", "c_custkey")
+      val userOff = domainOffset("events", "user_id")
+      // (table, column -> domain offset); every keyed column listed
+      val shifts: Map[String, Seq[(String, Long)]] = Map(
+        "documents" -> Seq("doc_id" -> domainOffset("documents", "doc_id")),
+        "embeddings" -> Seq("vec_id" -> domainOffset("embeddings", "vec_id")),
+        "lineitem" -> Seq("l_orderkey" -> orderOff),
+        "orders" -> Seq("o_orderkey" -> orderOff, "o_custkey" -> custOff),
+        "customer" -> Seq("c_custkey" -> custOff),
+        // distinct users per copy so per-user session/window state scales
+        // with the data instead of deepening one user's history
+        "events" -> Seq(
+          "event_id" -> domainOffset("events", "event_id"),
+          "user_id" -> userOff))
       for (t <- Scaled) {
         val base = spark.read.parquet(s"$src/$t.parquet")
-        val key = keyOf(t)
-        // derived from the data, not a constant: a fixed offset silently
-        // collides keys (deflating dedup/join stress) once a base key
-        // reaches it at larger source SFs (round-2 ADVICE)
-        val offset = base.agg(max(col(key))).head.getLong(0) + 1
-        val copiesDF = (0 until copies).map { i =>
-          base.withColumn(key, col(key) + lit(i * offset))
+        val fixed = (0 until copies).map { i =>
+          shifts(t).foldLeft(base) { case (df, (c, off)) =>
+            df.withColumn(c, col(c) + lit(i * off))
+          }
         }.reduce(_ unionByName _)
-        // orders/lineitem share o_orderkey=l_orderkey; customer keys feed
-        // o_custkey — offset those foreign keys identically
-        val fixed = t match {
-          case "orders" =>
-            (0 until copies).map { i =>
-              base.withColumn("o_orderkey", col("o_orderkey") + lit(i * offset))
-                .withColumn("o_custkey", col("o_custkey") + lit(i * offset))
-            }.reduce(_ unionByName _)
-          // distinct users per copy so per-user session/window state scales
-          // with the data instead of deepening one user's history
-          case "events" =>
-            (0 until copies).map { i =>
-              base.withColumn("event_id", col("event_id") + lit(i * offset))
-                .withColumn("user_id", col("user_id") + lit(i * offset))
-            }.reduce(_ unionByName _)
-          case _ => copiesDF
-        }
         fixed.write.mode(SaveMode.Overwrite).parquet(s"$dst/$t.parquet")
         println(s"[scale] built $t x$copies")
       }
@@ -90,12 +90,16 @@ object ScaleStress {
       Files.createFile(marker)
     }
 
-    // warmup
-    Stressed.foreach(n => try Registry.byName(n).run(spark, dst).count()
-      catch { case e: Throwable => println(s"[scale] $n FAILED: ${e.getMessage}") })
+    // warmup (clearCache as in Bench: operator-internal persists are
+    // per-plan-instance and would otherwise pile up across the sweep)
+    Stressed.foreach { n =>
+      try Registry.byName(n).run(spark, dst).count()
+      catch { case e: Throwable => println(s"[scale] $n FAILED: ${e.getMessage}") }
+      spark.catalog.clearCache()
+    }
     val timings = Stressed.flatMap { n =>
       val t0 = System.nanoTime()
-      try {
+      val r = try {
         val rows = Registry.byName(n).run(spark, dst).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[scale] $n%-24s rows=$rows%-8d ${sec}%.2fs")
@@ -106,6 +110,8 @@ object ScaleStress {
         println(s"[scale] $n FAILED: ${e.getMessage}")
         None
       }
+      spark.catalog.clearCache()
+      r
     }
     println(f"[scale] TOTAL ${timings.map(_._2).sum}%.1fs over ${timings.size}/${Stressed.size} queries")
     spark.stop()

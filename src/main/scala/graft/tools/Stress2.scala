@@ -50,9 +50,11 @@ object JaccardBlockStress {
       }
       for (q <- Seq("q_dedup_jaccard_words", "q_dedup_jaccard_ngram")) {
         Registry.byName(q).run(spark, dst).count() // warm
+        spark.catalog.clearCache() // drop per-plan persists between runs
         val t0 = System.nanoTime()
         val rows = Registry.byName(q).run(spark, dst).count()
         println(f"[jacblock] x$k $q%-24s rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

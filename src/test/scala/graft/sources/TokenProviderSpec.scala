@@ -104,8 +104,19 @@ class TokenProviderSpec extends AnyFunSuite {
       http, "cid", "secret", code = "auth-code", redirectUri = "http://localhost:3000/")
     assert((access, refresh) === (("a1", "r1")))
     val (_, _, body) = http.posts.head
+    // parameter values are form-encoded: a redirect URI's own ':'/'/' (or a
+    // query string) must not leak into the form structure
     assert(body ===
-      "grant_type=authorization_code&code=auth-code&redirect_uri=http://localhost:3000/")
+      "grant_type=authorization_code&code=auth-code" +
+        "&redirect_uri=http%3A%2F%2Flocalhost%3A3000%2F")
+  }
+
+  test("form values with reserved characters are percent-encoded") {
+    val http = new PostRecorder(n => tokenJson(s"tok$n", 3600))
+    val tp = new TokenProvider(http, "cid", "secret", "r+t/x&y=z", nowMs = () => 0L)
+    tp.accessToken
+    val (_, _, body) = http.posts.head
+    assert(body === "grant_type=refresh_token&refresh_token=r%2Bt%2Fx%26y%3Dz")
   }
 
   test("RateLimitedClient paces and retries POST like GET (shared 429 path)") {
