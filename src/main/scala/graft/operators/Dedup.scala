@@ -63,8 +63,10 @@ object Dedup {
       .drop("pos")
 
   /** doc_id + K min-hash signature columns (sig0..sigK-1). One explode + one
-    * grouped multi-min aggregation: the shuffle carries K longs per doc. */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    * grouped multi-min aggregation: the shuffle carries K longs per doc.
+    * `private[graft]` so the stress probes can measure candidate volume over
+    * the exact production signatures. */
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val base = pmod(XHash.h60(col("item")), lit(P))
     val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(base * a + b, lit(P))).as(s"sig$j")
@@ -88,6 +90,21 @@ object Dedup {
        |  ELSE [text] END) AS item FROM d),
        |h AS (SELECT doc_id, ${XHash.sqlH60("item")} % $P AS base FROM it),
        |s AS (SELECT doc_id, $sigs FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  /** One (doc_id, bpos, bkey) row per LSH band: r=4, b=4 banding over the K
+    * signature rows, band key = h60 of the comma-joined band signatures
+    * (cross-engine — the oracle replays the same keys). The shared candidate
+    * basis for q_dedup_minhash_pairs / q_dedup_lsh_verify and the band-volume
+    * stress probe. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      XHash.h60(concat_ws(",",
+        (0 until 4).map(r => col(s"sig${b * 4 + r}")): _*))
+    }
+    sigs.select(
+      col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("bpos", "bkey")))
   }
 
   /** Items appearing in ≥ this many docs of a block go through the bitmap
@@ -134,7 +151,18 @@ object Dedup {
     */
   private def blockedJaccard(itemsIn: DataFrame): DataFrame = {
     val block = Seq("lang", "source")
-    val it = itemsIn.distinct()
+    // 64-bit item keys (round 3): every downstream use of `item` is
+    // equality-only — df counts, prefix/rare equi-joins, bit assignment —
+    // so any collision-free hash serves, and no oracle ever sees the key
+    // (the DuckDB twin intersects the original strings). xxhash64 longs
+    // replace full shingle strings in the persist and all four downstream
+    // shuffles, which carried the strings ~9× in the round-2 plan.
+    // Collision odds are ~n²/2^65 over the corpus vocabulary — negligible
+    // at any realistic scale, and the oracle hash-compare would catch one.
+    val it = itemsIn
+      .select(col("lang"), col("source"), col("doc_id"),
+        xxhash64(col("item")).as("item"))
+      .distinct()
     val dfs = it.groupBy(col("lang"), col("source"), col("item"))
       .agg(count(lit(1)).as("df"))
     val wBlock = Window.partitionBy(col("lang"), col("source"))
@@ -233,48 +261,63 @@ object Dedup {
            |FROM s ORDER BY doc_id""".stripMargin
       }
     ),
-    // LSH candidate pairs: docs sharing at least one of the K min-hashes
-    // (r=1, b=K banding — high recall), scored by estimated Jaccard =
-    // fraction of equal signature positions. One (position, value) equi-join
-    // + pair-count aggregation: the per-pair count of matching (j, v) rows
-    // IS the number of equal positions, so the signature plan is built once
-    // and nothing all-pairs ever forms — candidate volume is bounded by hash
-    // collisions, which is the property that survives 100 TB. Top-20
-    // deterministic.
+    // LSH candidate pairs via the SAME 4-row band keys q_dedup_minhash
+    // publishes (r=4, b=4 banding — round 3, VERDICT item 1): a pair is a
+    // candidate only when some band of 4 consecutive signature rows matches
+    // IN FULL, so P(candidate) ≈ 1 − (1 − j⁴)⁴ — a j≈0.05 pair survives
+    // with p≈2.5e-5 where the round-2 r=1 rule admitted it with p≈0.56 and
+    // had no bucket bound (common low-hash shingles made per-(position,
+    // value) buckets near-quadratic on a natural corpus). Band buckets
+    // shrink exponentially in r, which is what keeps hot buckets bounded at
+    // 100 TB. Candidates are then scored by the same estimator as round 2 —
+    // est_jaccard = matched-position fraction over all K signatures — so
+    // high-similarity pairs rank identically; only the uninformative j≈0
+    // collision tail is gone. Top-20 deterministic.
     GQ(
       "q_dedup_minhash_pairs",
       (s, d) => {
         val sigs = minhashSignatures(s, d)
-        val sigCols = (0 until K).map(j => col(s"sig$j"))
-        val exploded = sigs.select(
-          col("doc_id"),
-          explode(arrays_zip(
-            array((0 until K).map(j => lit(j)): _*).as("j"),
-            array(sigCols: _*).as("v"))).as("h"))
-          .select(col("doc_id"), col("h.j").as("j"), col("h.v").as("v"))
-          // both sides of the self-join would recompute the whole
-          // shingle→signature pipeline; materialize it once (cf. tagged)
+          // feeds the band explode and both sides of the scoring join —
+          // materialize the shingle→signature pipeline once (cf. tagged)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        exploded.as("a")
-          .join(exploded.as("b"),
-            col("a.j") === col("b.j") && col("a.v") === col("b.v") &&
+        val bl = bandRows(sigs)
+        val cand = bl.as("a")
+          .join(bl.as("b"),
+            col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
               col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg((count(lit(1)).cast(DoubleType) / K).as("est_jaccard"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val sigArr = array((0 until K).map(j => col(s"sig$j")): _*)
+        val matched = aggregate(
+          zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, m) => acc + m)
+        cand
+          .join(sigs.select(col("doc_id").as("a_id"), sigArr.as("sa")), "a_id")
+          .join(sigs.select(col("doc_id").as("b_id"), sigArr.as("sb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (matched.cast(DoubleType) / K).as("est_jaccard"))
           .orderBy(col("est_jaccard").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
       Some {
+        val bandCase = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"WHEN $b THEN ${XHash.sqlH60(cat)}"
+        }.mkString(" ")
         val sigList = (0 until K).map(j => s"sig$j").mkString("[", ", ", "]")
         s"""$sqlSignatureCte,
-           |sl AS (SELECT doc_id, $sigList AS sigs FROM s),
-           |ex AS (SELECT doc_id, generate_subscripts(sigs, 1) - 1 AS j,
-           |       unnest(sigs) AS v FROM sl)
-           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |  CAST(COUNT(*) AS DOUBLE) / $K AS est_jaccard
-           |FROM ex a JOIN ex b
-           |  ON a.j = b.j AND a.v = b.v AND a.doc_id < b.doc_id
-           |GROUP BY a.doc_id, b.doc_id
+           |bl AS (SELECT doc_id, r.b AS bpos,
+           |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bl a JOIN bl b
+           |  ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |sl AS (SELECT doc_id, $sigList AS sigs FROM s)
+           |SELECT c.a_id, c.b_id,
+           |  CAST(len(list_filter(range($K), i -> x.sigs[i + 1] = y.sigs[i + 1]))
+           |    AS DOUBLE) / $K AS est_jaccard
+           |FROM cand c
+           |JOIN sl x ON x.doc_id = c.a_id
+           |JOIN sl y ON y.doc_id = c.b_id
            |ORDER BY est_jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
       }
     ),
@@ -290,13 +333,7 @@ object Dedup {
       "q_dedup_lsh_verify",
       (s, d) => {
         val sigs = minhashSignatures(s, d)
-        val bandCols = (0 until 4).map { b =>
-          XHash.h60(concat_ws(",",
-            (0 until 4).map(r => col(s"sig${b * 4 + r}")): _*))
-        }
-        val bl = sigs.select(
-          col("doc_id"),
-          posexplode(array(bandCols: _*)).as(Seq("bpos", "bkey")))
+        val bl = bandRows(sigs)
         val cand = bl.as("a")
           .join(bl.as("b"),
             col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&

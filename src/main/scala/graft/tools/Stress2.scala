@@ -103,6 +103,70 @@ object IntervalSkewStress {
   }
 }
 
+/** Round-3 probe for the VERDICT-1 fix: candidate volume of the banded
+  * (r=4, b=4) minhash-pair rule vs the retired r=1 positional rule, on a
+  * COMMON-VOCABULARY corpus where low-similarity pairs abound.
+  *
+  * Corpus: k copies of sf0.1 documents; copy i rewrites ~1/3 of each doc's
+  * words (deterministic per (word, position, copy) hash) to copy-tagged
+  * variants. Cross-copy twins then share the base vocabulary but only
+  * ~(2/3)^6 ≈ 9% of shingles ⇒ pairwise J ≈ 0.05 — exactly the
+  * uninformative tail the round-2 r=1 rule admitted with p ≈ 1−(1−j)^16 ≈
+  * 0.56 and the banded rule admits with p ≈ 1−(1−j⁴)⁴ ≈ 2.5e-5.
+  *
+  * Measured quantity: Σ_buckets C(n,2) per rule — the exact self-join
+  * output volume (what the executor pays), computed from bucket histograms
+  * without materializing the joins. A bounded candidate generator keeps
+  * band volume near-linear in k while the r=1 volume grows ~k².
+  */
+object MinhashBandStress {
+  def main(args: Array[String]): Unit = {
+    val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4)
+    val spark = Stress2.session()
+    import graft.operators.Dedup
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val maxId = base.agg(max("doc_id")).head.getLong(0) + 1
+    for (k <- copiesList) {
+      val dst = s"/tmp/graft_minhashband_x$k"
+      val marker = Paths.get(dst, "_COMPLETE")
+      if (!Files.exists(marker)) {
+        Files.createDirectories(Paths.get(dst))
+        (0 until k).map { i =>
+          base
+            .withColumn("doc_id", col("doc_id") + lit(i * maxId))
+            .withColumn("ws", split(col("text"), " "))
+            .withColumn("text", array_join(
+              transform(col("ws"), (w, p) =>
+                when(pmod(xxhash64(w, p, lit(i), col("doc_id")), lit(3)) === 0,
+                  concat(w, lit(s"~$i"))).otherwise(w)), " "))
+            .drop("ws")
+        }.reduce(_ unionByName _)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+        Files.createFile(marker)
+      }
+      val sigs = Dedup.minhashSignatures(spark, dst)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairVolume = (sum(col("n") * (col("n") - 1)) / 2).cast("long")
+      val t0 = System.nanoTime()
+      val bandVol = Dedup.bandRows(sigs)
+        .groupBy(col("bpos"), col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(pairVolume).head.getLong(0)
+      val tBand = (System.nanoTime() - t0) / 1e9
+      val sigCols = (0 until 16).map(j => col(s"sig$j"))
+      val r1Vol = sigs.select(
+        posexplode(array(sigCols: _*)).as(Seq("j", "v")))
+        .groupBy(col("j"), col("v")).agg(count(lit(1)).as("n"))
+        .agg(pairVolume).head.getLong(0)
+      println(f"[minhashband] x$k band_candidates=$bandVol%-10d " +
+        f"r1_candidates=$r1Vol%-12d ratio=${r1Vol.toDouble / math.max(bandVol, 1)}%.0fx " +
+        f"band_time=$tBand%.2fs")
+      sigs.unpersist()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
+
 private object Stress2 {
   def session(): SparkSession = {
     val s = SparkSession.builder()

@@ -50,10 +50,10 @@ class AnnSpec extends AnyFunSuite {
   test("IVF recall@3 vs brute force is measured and above the floor") {
     // The eval every ANN index owes its users: compare q_sim_ann_ivf's top-3
     // per query against exhaustive cosine top-3. Deterministic on the pinned
-    // sf0.001 data. nprobe=1 over 16 cells keeps ~1/16 of candidates, so
-    // recall is necessarily partial on near-uniform random vectors — the
-    // floor asserts the index beats random cell luck (3/16 ≈ 0.19) while
-    // documenting the measured value for round-over-round tracking.
+    // sf0.001 data. Round 2's nprobe=1 measured 0.73 here; the round-3
+    // multi-cell probe (NumProbe cells per query) must clear 0.9 — the
+    // standard "usable index" bar — while still scanning only
+    // NumProbe/NumCentroids of the corpus per query.
     import org.apache.spark.sql.Row
     val ivf = Registry.byName("q_sim_ann_ivf").run(spark, sf).collect()
       .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
@@ -74,7 +74,8 @@ class AnnSpec extends AnyFunSuite {
       .map { case Row(q: Long, n: Long) => (q, n) }.toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     info(f"IVF recall@3 on sf0.001: $recall%.2f (${ivf.intersect(brute).size}/${brute.size})")
-    assert(recall > 3.0 / 16, f"IVF must beat random-cell recall, got $recall%.2f")
+    assert(recall >= 0.9,
+      f"nprobe=${Ann.NumProbe} IVF must reach recall@3 >= 0.9, got $recall%.2f")
   }
 
   test("refined centroids are bit-identical across recomputation") {
