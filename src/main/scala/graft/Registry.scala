@@ -20,7 +20,8 @@ object Registry {
       Ann.queries ++
       Multimodal.queries ++
       Fingerprint.queries ++
-      Curation.queries
+      Curation.queries ++
+      BloomPrune.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQ, Tables, XHash}
 import graft.functions.cms
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -256,6 +257,77 @@ object Curation {
              |FROM g c JOIN g b ON c.gram = b.gram
              |WHERE c.doc_id >= 4 AND b.doc_id < 4
              |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+    // The composed nightly curation run (round 3, VERDICT item 6): quality
+    // filter → stratified hash-sample → exact dedup → PII scrub, reported as
+    // ONE funnel row — stage survivor counts plus an order-independent
+    // fingerprint (bit_xor of per-doc h60 over id + scrubbed text) of the
+    // exact retained corpus, so the oracle pins membership AND byte content
+    // of the final output, not just counts. Reuses the exact predicates of
+    // q_quality_filter / q_sample_stratified / q_dedup_exact /
+    // q_text_pii_scrub. Plan at 100 TB: one narrow scan computes both stage
+    // flags, the funnel aggregates map-side; only sampled quality survivors
+    // (~a fifth of a filtered corpus) reach the dedup shuffle, which at
+    // scale keys on the 16-byte q_text_fingerprint digest instead of the
+    // raw text — same plan, narrow key.
+    GQ(
+      "q_curation_pipeline",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val stops = filter(words, w => w.isInCollection(TextOps.Stopwords))
+        val quality = size(words).between(20, 80) &&
+          (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
+        val gate = pmod(
+          XHash.h60(concat(lit("sample:"), col("doc_id").cast(StringType))),
+          lit(100L)) < 20
+        val staged = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            quality.cast(LongType).as("q"),
+            (quality && gate).cast(LongType).as("sm"))
+        val survivors = staged.filter(col("sm") === 1L)
+          .withColumn("mn", min(col("doc_id")).over(Window.partitionBy(col("text"))))
+          .filter(col("doc_id") === col("mn"))
+        val scrubbed = regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"), DigitsRe, "<NUM>")
+        val funnel = staged.agg(
+          count(lit(1)).as("n_total"),
+          sum(col("q")).as("n_quality"),
+          sum(col("sm")).as("n_sampled"))
+        val retained = survivors.agg(
+          count(lit(1)).as("n_unique"),
+          coalesce(
+            bit_xor(XHash.h60(concat(
+              col("doc_id").cast(StringType), lit(":"), scrubbed))),
+            lit(0L)).as("corpus_fp"))
+        funnel.crossJoin(retained)
+      },
+      Some {
+        val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+        val scrubSql =
+          s"regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), " +
+            s"'$DigitsRe', '<NUM>', 'g')"
+        s"""WITH q AS (SELECT doc_id, text,
+           |  CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+           |   AND CAST(len(list_filter(string_split(text, ' '),
+           |         w -> w IN ($stops))) AS DOUBLE)
+           |       / len(string_split(text, ' ')) <= 0.3
+           |  THEN 1 ELSE 0 END AS ok,
+           |  CASE WHEN ${XHash.sqlH60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 < 20
+           |  THEN 1 ELSE 0 END AS g
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, text FROM q WHERE ok = 1 AND g = 1),
+           |s2 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+           |    MIN(doc_id) OVER (PARTITION BY text) AS mn FROM s1)
+           |  WHERE doc_id = mn),
+           |f1 AS (SELECT COUNT(*) AS n_total, CAST(SUM(ok) AS BIGINT) AS n_quality,
+           |    CAST(SUM(ok * g) AS BIGINT) AS n_sampled FROM q),
+           |f2 AS (SELECT COUNT(*) AS n_unique,
+           |    COALESCE(bit_xor(${XHash.sqlH60(
+                  s"CAST(doc_id AS VARCHAR) || ':' || $scrubSql")}), 0) AS corpus_fp
+           |  FROM s2)
+           |SELECT n_total, n_quality, n_sampled, n_unique, corpus_fp
+           |FROM f1, f2""".stripMargin
+      }
     )
   )
 }

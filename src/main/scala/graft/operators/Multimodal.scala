@@ -166,6 +166,14 @@ object Multimodal {
     // pipeline (ingest, distributed decode, embedding similarity) in one
     // plan. Swapping FakeCodec for a real decoder changes nothing here; at
     // scale the pair stage is the Ann LSH/IVF machinery instead of a block.
+    //
+    // Oracle-matched (round 3): FakeCodec.feature is a SEQUENTIAL FLOAT32
+    // fold — acc[i % 8] += byte/255.0f in byte order — so the DuckDB twin
+    // unnests the payload bytes from the hex form and replays the exact
+    // float32 accumulation per lane with list_reduce, casting every partial
+    // sum to FLOAT (double-then-cast division equals float division for all
+    // 256 byte values — verified exhaustively). Cosine then runs over the
+    // identical float vectors in both engines.
     GQ(
       "q_multimodal_neardup",
       (s, d) => {
@@ -181,7 +189,26 @@ object Multimodal {
           .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
           .limit(10)
       },
-      None
+      Some(s"""WITH e AS (SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS n
+             |  FROM documents WHERE doc_id < 200),
+             |by AS (SELECT doc_id, unnest(range(0, n)) AS i, h FROM e),
+             |lv AS (SELECT doc_id, i % ${FakeCodec.FeatureDim} AS lane, i,
+             |    CAST(CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))
+             |      AS INTEGER) / 255.0 AS FLOAT) AS v
+             |  FROM by),
+             |lanes AS (SELECT doc_id, lane,
+             |    list_reduce(list_prepend(CAST(0 AS FLOAT), list(v ORDER BY i)),
+             |      (a, x) -> CAST(a + x AS FLOAT)) AS s
+             |  FROM lv GROUP BY doc_id, lane),
+             |f AS (SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY lane) AS feat
+             |  FROM lanes GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    ROUND(COALESCE(NULLIF(list_cosine_similarity(a.feat, b.feat),
+             |      CAST('NaN' AS DOUBLE)), 0.0), 3) AS cos_sim
+             |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, cos_sim FROM p
+             |ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin)
     )
   )
 }

@@ -26,6 +26,20 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(kept < 1000, s"a 4-key filter should prune most of 1000 rows (kept $kept)")
   }
 
+  test("q_join_bloom_pruned: probe filters the lineitem scan, no Exchange below it") {
+    val plan = Registry.byName("q_join_bloom_pruned")
+      .run(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    val probeAt = lines.indexWhere(_.contains("might_contain"))
+    assert(probeAt >= 0, s"runtime-filter probe missing from plan:\n$plan")
+    val scanAt = lines.indexWhere(_.contains("lineitem.parquet"), probeAt)
+    assert(scanAt > probeAt, s"no lineitem scan below the probe:\n$plan")
+    val between = lines.slice(probeAt + 1, scanAt)
+    assert(!between.exists(_.contains("Exchange")),
+      s"probe must sit scan-side (found Exchange between filter and scan):\n$plan")
+  }
+
   test("sizing: ~1% fpp on a disjoint probe set") {
     val build = (1L to 1000L).toDF("k")
     val probe = (100001L to 110000L).toDF("k") // disjoint from build
