@@ -12,7 +12,46 @@ import org.apache.spark.sql.types._
 final case class GQ(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None) {
+
+  /** Build the plan, run the caller's action(s), then release every
+    * operator-internal persist ([[Caches]]) — the library-user entry point
+    * that cannot leak cached relations (round-3 ADVICE: `run` alone leaves
+    * any internal persist for the ContextCleaner, which under memory
+    * pressure is non-deterministic; Bench/Verify clear caches themselves,
+    * but external consumers shouldn't have to know to).
+    */
+  def apply[A](spark: SparkSession, dir: String)(f: DataFrame => A): A =
+    try f(run(spark, dir)) finally Caches.release(spark)
+}
+
+/** Session-scoped registry of operator-internal persists. Query plans that
+  * materialize an intermediate (`Dedup`, `Fingerprint`, `Curation`) route it
+  * through [[Caches.persist]] instead of a bare `DataFrame.persist`, so
+  * [[Caches.release]] can drop exactly the engine's own cached relations —
+  * and nothing the user cached — once the consumer is done. */
+object Caches {
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  /** `persist(MEMORY_AND_DISK)` + track for later [[release]]. */
+  def persist(df: DataFrame): DataFrame = {
+    tracked.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Unpersist every tracked plan of this session (async — executors drop
+    * blocks in the background). Safe to call at any time: re-running a query
+    * simply re-persists on first use. */
+  def release(spark: SparkSession): Unit = {
+    val q = tracked.remove(spark)
+    if (q != null) {
+      import scala.jdk.CollectionConverters._
+      q.asScala.foreach(_.unpersist(blocking = false))
+    }
+  }
+}
 
 /** Parquet table loaders for the driver test data (TESTDATA.md).
   *

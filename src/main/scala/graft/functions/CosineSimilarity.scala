@@ -18,16 +18,17 @@ import org.apache.spark.sql.types._
   *
   * Returns 0.0 when either vector has zero norm; null on null input.
   *
-  * LENGTH SEMANTICS (round-2 ADVICE — intended, not accidental): vectors of
-  * different lengths compare over their COMMON PREFIX (`min(numElements)`
-  * terms in the dot product and in BOTH norms). This is what lets a
-  * fixed-dim constant (a 64-dim centroid or hyperplane literal) score
-  * against lower-dim test vectors; for equal-length inputs — every
-  * production path — it is exact cosine. Callers needing strict-length
-  * checking should validate schemas upstream; the DuckDB oracle's
-  * `list_cosine_similarity` errors on mismatch, so no oracle-checked query
-  * may rely on mixed lengths (none does: the driver tables are uniformly
-  * 64-dim). Behavior is pinned by a spec.
+  * LENGTH SEMANTICS (round-3 ADVICE fix): vectors of DIFFERENT lengths
+  * yield NULL. The round-2 behavior scored mismatched vectors over their
+  * common prefix — plausible-looking numbers with no signal — which became
+  * a silent-wrong-result footgun once GraftExtensions exposed `cosine_sim`
+  * to arbitrary SQL (a 64-dim query against 128-dim data "worked"). NULL
+  * propagates loudly through filters/top-k, matches the null-in contract,
+  * and costs one branch. Every internal caller uses equal-length vectors
+  * (the driver tables are uniformly 64-dim; multimodal features are fixed
+  * 8-lane), and the DuckDB oracle's `list_cosine_similarity` errors on
+  * mismatch, so no oracle-checked query can rely on mixed lengths.
+  * Behavior is pinned by a spec.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,13 +36,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // nullable even for non-null inputs: length mismatch yields null
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -65,15 +68,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val den = ctx.freshName("den")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $xv = (double) $a.getFloat($i);
-         |  final double $yv = (double) $b.getFloat($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xv = (double) $a.getFloat($i);
+         |    final double $yv = (double) $b.getFloat($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  final double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
          |}
-         |final double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
        """.stripMargin
     })
 

@@ -201,9 +201,8 @@ object Curation {
         // one materialized exploded relation feeds all three passes, and
         // total + sketch come out of a SINGLE aggregate job (review r2:
         // four separate corpus scans collapsed to one scan + cached reads)
-        val words = Tables.t(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val words = graft.Caches.persist(Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word")))
         val head = words.agg(
           count(lit(1)).as("total"), expr("cms_sketch(word)").as("sk")).head
         val threshold = head.getLong(0) / 100 // same integer floor as the oracle

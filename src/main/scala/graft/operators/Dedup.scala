@@ -171,15 +171,14 @@ object Dedup {
       .withColumn("bit", row_number().over(wBlock) - 1)
       .filter(col("bit") < 63)
       .select(col("lang"), col("source"), col("item"), col("bit"))
-    val tagged = it.join(dfs, block :+ "item")
-      .join(freq, block :+ "item", "left")
-      // `tagged` feeds five consumers (docs, rare ×2, prefix ×2), each of
-      // which would otherwise recompute the whole shingle+df lineage (the
-      // plan re-scans documents ~15×). One MEMORY_AND_DISK materialization
-      // is the right call at any scale — spills under pressure, and the
-      // ContextCleaner reclaims the entry once the plan is unreachable.
-      // Measured at sf0.1: ngram 4.7s → 2.2s, words 2.9s → 2.4s warm.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `tagged` feeds five consumers (docs, rare ×2, prefix ×2), each of
+    // which would otherwise recompute the whole shingle+df lineage (the
+    // plan re-scans documents ~15×). One tracked MEMORY_AND_DISK
+    // materialization (Caches.persist — released by GQ.apply / clearCache)
+    // is the right call at any scale — spills under pressure.
+    // Measured at sf0.1: ngram 4.7s → 2.2s, words 2.9s → 2.4s warm.
+    val tagged = graft.Caches.persist(it.join(dfs, block :+ "item")
+      .join(freq, block :+ "item", "left"))
     val docs = tagged.groupBy(col("lang"), col("source"), col("doc_id"))
       .agg(
         count(lit(1)).as("n"),
@@ -276,10 +275,9 @@ object Dedup {
     GQ(
       "q_dedup_minhash_pairs",
       (s, d) => {
-        val sigs = minhashSignatures(s, d)
-          // feeds the band explode and both sides of the scoring join —
-          // materialize the shingle→signature pipeline once (cf. tagged)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // feeds the band explode and both sides of the scoring join —
+        // materialize the shingle→signature pipeline once (cf. tagged)
+        val sigs = graft.Caches.persist(minhashSignatures(s, d))
         val bl = bandRows(sigs)
         val cand = bl.as("a")
           .join(bl.as("b"),
@@ -340,8 +338,8 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        val it = shingleItems(s, d).select(col("doc_id"), col("item")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val it = graft.Caches.persist(
+          shingleItems(s, d).select(col("doc_id"), col("item")).distinct())
         val n = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cand
           .join(it.select(col("doc_id").as("a_id"), col("item")), "a_id")

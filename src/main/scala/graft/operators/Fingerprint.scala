@@ -104,8 +104,7 @@ object Fingerprint {
       (s, d) => {
         // both self-join sides would recompute the gram+window winnow
         // lineage; materialize the (doc_id, fp) set once
-        val f = winnowed(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val f = graft.Caches.persist(winnowed(s, d))
         f.as("a")
           .join(f.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

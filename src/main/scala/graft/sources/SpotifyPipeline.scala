@@ -30,17 +30,24 @@ final class SpotifyPipeline(source: SpotifySource) {
   def run(spark: SparkSession, ingestTs: Timestamp): Map[String, DataFrame] = {
     import spark.implicits._
 
-    // stage 1: independent extracts
-    val playlists = source.playlists(spark)
+    // stage 1: independent extracts. Extracts feeding MORE THAN ONE output
+    // lineage (playlists → its own table + the tracks fan-out + audio ids;
+    // playlistTracks/saved → their tables + audio ids) are persisted via the
+    // tracked cache (graft.Caches): a lazy paginated extract re-runs its
+    // live HTTP pagination on EVERY action (SpotifySource re-fetch
+    // semantics), so without the persist, writing the six tables would
+    // re-paginate playlists three times. One fetch populates the cache; the
+    // caller releases with Caches.release(spark) after its write actions.
+    val playlists = graft.Caches.persist(source.playlists(spark))
     val recent = source.recentTracks(spark)
     val followed = source.followedArtists(spark)
 
     // stage 2: data-dependent fan-out (ids stay distributed)
     val playlistIds = playlists.select(col("id")).as[String]
-    val playlistTracks = source.playlistTracks(spark, playlistIds)
+    val playlistTracks = graft.Caches.persist(source.playlistTracks(spark, playlistIds))
 
     // stage 3: saved tracks, then union-distinct of ids -> batched lookup
-    val saved = source.savedTracks(spark)
+    val saved = graft.Caches.persist(source.savedTracks(spark))
     val trackIds = playlistTracks.select(col("id"))
       .union(saved.select(col("id"))) // C2 (spotify-etl.py:250)
       .filter(col("id").isNotNull) // null-id filter (spotify-etl.py:251)

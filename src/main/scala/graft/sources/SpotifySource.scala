@@ -40,7 +40,17 @@ final class SpotifySource(
     * spotify-etl.py:72-75; at 100× catalog size that's a driver OOM).
     * Neither driver nor executor ever holds more than the in-flight page;
     * a downstream LIMIT stops the HTTP fetches themselves (proven in
-    * SpotifySourceSpec). Same lazy shape as the v2 TracksReader. */
+    * SpotifySourceSpec). Same lazy shape as the v2 TracksReader.
+    *
+    * RE-FETCH SEMANTICS (round-3 ADVICE): unlike the old fetch-once driver
+    * Seq, the DataFrame is now a RECIPE — every action (count then write, a
+    * second bench pass, an AQE re-execution) re-runs the full pagination
+    * against the live API, and a task retry or speculative duplicate
+    * re-issues requests mid-stream. Multi-action pipelines should
+    * `persist()` (or checkpoint) right after extraction — one fetch, then
+    * plan-local reuse — and disable `spark.speculation` for extract stages
+    * so a slow page is never double-fetched. [[SpotifyPipeline]] follows
+    * this pattern. */
   private def pagesDF(spark: SparkSession, firstUrl: String): DataFrame = {
     import spark.implicits._
     val headers = authHeaders

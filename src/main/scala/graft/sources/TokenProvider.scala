@@ -64,6 +64,11 @@ final class TokenProvider(
   def authHeaders: Map[String, String] =
     Map("Authorization" -> s"Bearer $accessToken")
 
+  /** The token endpoint this provider refreshes against — [[OAuthClient]]
+    * must NOT Bearer-decorate posts to it (the refresh POST carries Basic
+    * auth, and decorating it would recurse into `accessToken`). */
+  private[sources] def endpoint: String = tokenUrl
+
   private def refresh(): (String, Long) = {
     val r = client.post(
       tokenUrl,
@@ -123,24 +128,34 @@ object TokenProvider {
 }
 
 /** Auth-injecting [[HttpClient]] decorator closing the loop between
-  * [[TokenProvider]] and [[SpotifySource]]: every GET carries a fresh Bearer
-  * header, and a 401 (token revoked server-side before its advertised
-  * expiry) triggers exactly one invalidate → refresh → retry. Compose as
+  * [[TokenProvider]] and [[SpotifySource]]: every GET and POST carries a
+  * fresh Bearer header, and a 401 (token revoked server-side before its
+  * advertised expiry) triggers exactly one invalidate → refresh → retry.
+  * (Round-3 ADVICE: round 2 decorated only GET, so a future POSTing extract
+  * would have gone out unauthenticated.) The single exception is the token
+  * endpoint itself, which passes through untouched: its POST carries Basic
+  * auth and Bearer-decorating it would recurse into the refresh. Retrying a
+  * 401'd POST is safe — the server rejected auth before acting on the body.
+  * Compose as
   * `new SpotifySource(new OAuthClient(new RateLimitedClient(real), tokens))`
   * — SpotifySource then needs no static `authHeaders` at all.
   */
 final class OAuthClient(underlying: HttpClient, tokens: TokenProvider)
     extends HttpClient {
 
-  override def get(url: String, headers: Map[String, String]): HttpResponse = {
-    val first = underlying.get(url, headers ++ tokens.authHeaders)
+  private def withRetry(send: Map[String, String] => HttpResponse): HttpResponse = {
+    val first = send(tokens.authHeaders)
     if (first.status != 401) first
     else {
       tokens.invalidate()
-      underlying.get(url, headers ++ tokens.authHeaders)
+      send(tokens.authHeaders)
     }
   }
 
+  override def get(url: String, headers: Map[String, String]): HttpResponse =
+    withRetry(auth => underlying.get(url, headers ++ auth))
+
   override def post(url: String, headers: Map[String, String], body: String): HttpResponse =
-    underlying.post(url, headers, body)
+    if (url == tokens.endpoint) underlying.post(url, headers, body)
+    else withRetry(auth => underlying.post(url, headers ++ auth, body))
 }

@@ -103,6 +103,60 @@ object IntervalSkewStress {
   }
 }
 
+/** Round-3 probe: q_sessionize under credible user skew. The per-user
+  * window (partition by user_id, sort by ts) makes one hot user one
+  * sequential task — hash partitioning cannot split it and AQE does not
+  * re-plan window skew. The probe gives ONE power user 1% (then 10%) of all
+  * events in a single 30-min-gap-free chain (every event 1 min apart — the
+  * worst case: one unbroken session whose running-sum window walks the
+  * whole chain) and times q_sessionize against the unskewed base. Verdict
+  * bar: near-linear time at the 1% point. If the 10% point bends the curve,
+  * the 100 TB mitigation is a two-phase sessionize (pre-session within
+  * (user, coarse time bucket), then merge bucket-boundary sessions) — wired
+  * only if this probe shows the need.
+  */
+object SessionSkewStress {
+  def main(args: Array[String]): Unit = {
+    val spark = Stress2.session()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val nBase = base.count()
+    val maxId = base.agg(max("event_id")).head.getLong(0) + 1
+    val hotUser = 100000000L // beyond any real user_id
+    def timed(tag: String, dir: String): Double = {
+      Registry.byName("q_sessionize").run(spark, dir).count() // warm
+      val t0 = System.nanoTime()
+      val rows = Registry.byName("q_sessionize").run(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[sessionskew] $tag%-8s rows=$rows $t%.2fs")
+      t
+    }
+    val tBase = timed("base", "/root/testdata/sf0.1")
+    for (pct <- Seq(1, 10)) {
+      val dst = s"/tmp/graft_sessionskew_p$pct"
+      val marker = Paths.get(dst, "_COMPLETE")
+      if (!Files.exists(marker)) {
+        Files.createDirectories(Paths.get(dst))
+        val n = nBase * pct / 100
+        val startNs = 1704067200L * 1000000000L
+        val hot = spark.range(n).select(
+          (col("id") + lit(maxId)).as("event_id"),
+          (lit(startNs) + col("id") * lit(60L * 1000000000L)).as("ts"),
+          lit(hotUser).as("user_id"),
+          lit("view").as("event_type"),
+          lit(1.0).as("value"),
+          lit("""{"k": 1}""").as("props"))
+        base.unionByName(hot)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+        Files.createFile(marker)
+      }
+      val t = timed(s"hot$pct%", dst)
+      println(f"[sessionskew] hot$pct%% vs base: ${t / tBase}%.2fx time for ${1 + pct / 100.0}%.2fx events")
+    }
+    spark.stop()
+  }
+}
+
 /** Round-3 probe for the VERDICT-1 fix: candidate volume of the banded
   * (r=4, b=4) minhash-pair rule vs the retired r=1 positional rule, on a
   * COMMON-VOCABULARY corpus where low-similarity pairs abound.

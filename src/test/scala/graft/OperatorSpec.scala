@@ -102,14 +102,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(out.getDouble(2) - 1.0) < 1e-12)
   }
 
-  test("cosine_sim common-prefix semantics for mismatched lengths (documented)") {
+  test("cosine_sim yields NULL for mismatched lengths (round-3 ADVICE fix)") {
     graft.functions.vec.register(spark)
-    // (1,0) vs (1,0,7): the third component of the longer vector is ignored
-    // in the dot product AND in its norm -> exactly 1.0, not 1/sqrt(50)
+    // round 2 scored the common prefix (this pair evaluated to exactly 1.0
+    // — a plausible-looking wrong answer); mismatched dims now surface as
+    // NULL so external SQL callers can't silently mix 64-dim and 128-dim
     val out = spark.sql(
       """SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
-        |                  CAST(array(1.0, 0.0, 7.0) AS ARRAY<FLOAT>)) AS prefix""".stripMargin)
+        |                  CAST(array(1.0, 0.0, 7.0) AS ARRAY<FLOAT>)) AS mismatch""".stripMargin)
       .collect().head
-    assert(math.abs(out.getDouble(0) - 1.0) < 1e-12)
+    assert(out.isNullAt(0))
   }
 }

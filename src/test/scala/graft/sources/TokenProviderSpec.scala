@@ -97,6 +97,37 @@ class TokenProviderSpec extends AnyFunSuite {
     assert(posts === 2)
   }
 
+  test("OAuthClient decorates POST too, but passes the token endpoint through") {
+    val apiPosts = ArrayBuffer.empty[(String, Map[String, String], String)]
+    var refreshes = 0
+    val http = new HttpClient {
+      override def get(url: String, headers: Map[String, String]): HttpResponse =
+        HttpResponse(500, "GET not expected here")
+      override def post(url: String, headers: Map[String, String], body: String): HttpResponse =
+        if (url == "https://accounts.spotify.com/api/token") {
+          refreshes += 1
+          tokenJson(s"tok$refreshes", 3600)
+        } else {
+          apiPosts += ((url, headers, body))
+          if (headers("Authorization") == "Bearer tok1") HttpResponse(401, "expired")
+          else HttpResponse(201, """{"snapshot_id": "s1"}""")
+        }
+    }
+    val tp = new TokenProvider(http, "cid", "secret", "rt", nowMs = () => 0L)
+    val client = new OAuthClient(http, tp)
+    // API POST: Bearer-injected, one 401 retry with a refreshed token
+    val r = client.post("https://api.spotify.com/v1/playlists/p1/tracks",
+      Map("Content-Type" -> "application/json"), """{"uris": []}""")
+    assert(r.status === 201)
+    assert(refreshes === 2, "401 on POST must trigger one token refresh")
+    assert(apiPosts.map(_._2("Authorization")) === Seq("Bearer tok1", "Bearer tok2"))
+    assert(apiPosts.forall(_._3 == """{"uris": []}"""), "body must be resent unchanged")
+    // token endpoint itself: untouched (Basic auth survives, no recursion)
+    val direct = client.post("https://accounts.spotify.com/api/token",
+      Map("Authorization" -> "Basic xyz"), "grant_type=refresh_token&refresh_token=rt")
+    assert(direct.status === 200)
+  }
+
   test("authorization-code bootstrap returns the initial refresh token") {
     val http = new PostRecorder(_ => HttpResponse(200,
       """{"access_token": "a1", "refresh_token": "r1", "expires_in": 3600}"""))
