@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.{Registry, TestSpark}
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stream/batch equivalence on the REAL pinned sf0.001 events: the streaming
+  * windows must reproduce, row for row, the batch queries that the DuckDB
+  * oracle hash-checks (`q_time_tumbling`, `q_sessionize`). This transitively
+  * pins the streaming surface to the cross-engine oracle — the closest the
+  * batch-gated harness can get to a declared streaming query (SURVEY §1.4).
+  *
+  * Mechanics: all 10k events arrive as ONE micro-batch (the watermark only
+  * advances between batches, so nothing is late-dropped), then a far-future
+  * sentinel batch pushes the watermark past every real window; append mode
+  * then emits them all. The sentinel's own windows never close, so it never
+  * appears in output.
+  *
+  * Time-domain note: batch buckets on exact NANOS (`ts DIV 3600e9`) while
+  * streaming uses µs timestamps — equivalent BY CONSTRUCTION for flooring
+  * (µs truncation moves an event < 1 µs toward the bucket floor, never
+  * across it) and for the 30-min gap rule (both sides compare the same µs
+  * values; the pinned data has no exact-boundary gap, asserted in round 3).
+  */
+class StreamBatchEquivalenceSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** sf0.001 events as typed rows with µs-truncated timestamps (the shared
+    * time basis — see the scaladoc note). */
+  private def eventRows: Seq[Event] = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+  }
+
+  private def sentinel: Event =
+    Event(-1L, Timestamp.valueOf("2030-01-01 00:00:00"), -1L, "sentinel", 0.0)
+
+  test("streaming tumbling == oracle-checked q_time_tumbling on sf0.001") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumbling(in.toDF(), every = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("equiv_tumb").outputMode("append").start()
+    try {
+      in.addData(eventRows)
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_tumb")
+        .select(
+          (unix_timestamp(col("window_start"))).as("epoch_s"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = Registry.byName("q_time_tumbling")(spark, sf)(
+        _.collect().map(_.toSeq).toSet)
+      assert(streamed === batch,
+        s"streaming tumbling diverged: ${streamed.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+
+  test("streaming session windows == oracle-checked q_sessionize on sf0.001") {
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessions(in.toDF(), gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("equiv_sess").outputMode("append").start()
+    try {
+      in.addData(eventRows)
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      // session_window ends at last_event + gap; the batch end_us is the
+      // last event itself — subtract the gap for the comparison
+      val gapUs = 30L * 60 * 1000 * 1000
+      val streamed = spark.table("equiv_sess")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          (unix_micros(col("session_end")) - gapUs).as("end_us"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+      val batch = Registry.byName("q_sessionize")(spark, sf)(
+        _.select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+          .collect().map(_.toSeq).toSet)
+      assert(streamed === batch,
+        s"streaming sessions diverged: ${streamed.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+}
