@@ -198,11 +198,14 @@ object Curation {
       "q_heavy_hitters",
       (s, d) => {
         cms.register(s)
-        // one materialized exploded relation feeds all three passes, and
-        // total + sketch come out of a SINGLE aggregate job (review r2:
-        // four separate corpus scans collapsed to one scan + cached reads)
-        val words = graft.Caches.persist(Tables.t(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("word")))
+        // total + sketch come out of a SINGLE aggregate job; the exploded
+        // relation is deliberately NOT cached — re-scanning parquet per pass
+        // measured faster than cache write+read at sf0.1 (1.0 vs 1.2s,
+        // round-3 A/B), and streaming re-scan over pushdown-pruned parquet
+        // is also the sane 100 TB posture (caching an exploded corpus
+        // spills; scans pipeline)
+        val words = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
         val head = words.agg(
           count(lit(1)).as("total"), expr("cms_sketch(word)").as("sk")).head
         val threshold = head.getLong(0) / 100 // same integer floor as the oracle

@@ -275,9 +275,10 @@ object Dedup {
     GQ(
       "q_dedup_minhash_pairs",
       (s, d) => {
-        // feeds the band explode and both sides of the scoring join —
-        // materialize the shingle→signature pipeline once (cf. tagged)
-        val sigs = graft.Caches.persist(minhashSignatures(s, d))
+        // the band explode and both scoring-join sides share the signature
+        // pipeline via ReusedExchange; a persist measured slower at sf0.1
+        // (1.7-2.3s cached vs 1.4-2.0s reused; round-3 A/B, cf. lsh_verify)
+        val sigs = minhashSignatures(s, d)
         val bl = bandRows(sigs)
         val cand = bl.as("a")
           .join(bl.as("b"),
@@ -330,6 +331,10 @@ object Dedup {
     GQ(
       "q_dedup_lsh_verify",
       (s, d) => {
+        // NOT persisted (unlike q_dedup_minhash_pairs' sigs): both band
+        // sides share one exchange via ReusedExchange, and an A/B at sf0.1
+        // measured the cache-write barrier costing more than it saves here
+        // (3.6-4.3s persisted vs 2.4-3.7s reused; round 3)
         val sigs = minhashSignatures(s, d)
         val bl = bandRows(sigs)
         val cand = bl.as("a")
@@ -338,8 +343,7 @@ object Dedup {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
-        val it = graft.Caches.persist(
-          shingleItems(s, d).select(col("doc_id"), col("item")).distinct())
+        val it = shingleItems(s, d).select(col("doc_id"), col("item")).distinct()
         val n = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cand
           .join(it.select(col("doc_id").as("a_id"), col("item")), "a_id")

@@ -102,9 +102,11 @@ object Fingerprint {
     GQ(
       "q_dedup_winnow_pairs",
       (s, d) => {
-        // both self-join sides would recompute the gram+window winnow
-        // lineage; materialize the (doc_id, fp) set once
-        val f = graft.Caches.persist(winnowed(s, d))
+        // both self-join sides share the winnow lineage through one
+        // ReusedExchange — a persist here measured SLOWER at sf0.1
+        // (1.5-2.4s vs 2.2-2.6s cached; round-3 A/B): the cache-write
+        // barrier costs more than the saved recompute
+        val f = winnowed(s, d)
         f.as("a")
           .join(f.as("b"),
             col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
