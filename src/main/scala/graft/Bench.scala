@@ -27,6 +27,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
     }
     def timedPass(): (Map[String, Double], Seq[String]) = {
       val failed = Seq.newBuilder[String]
@@ -38,6 +39,7 @@ object Bench {
         // each run builds fresh plan instances, so entries never help a
         // later query — drop them to keep memory flat across 81×3 runs
         spark.catalog.clearCache()
+        graft.Caches.release(spark) // drain the tracked-persist registry too
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
       (times, failed.result())

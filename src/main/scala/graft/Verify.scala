@@ -25,6 +25,7 @@ object Verify {
       // operator-internal persists are per-plan-instance; clear so cache
       // memory stays flat across the whole query sweep
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -14,36 +14,72 @@ final case class GQ(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None) {
 
-  /** Build the plan, run the caller's action(s), then release every
-    * operator-internal persist ([[Caches]]) — the library-user entry point
-    * that cannot leak cached relations (round-3 ADVICE: `run` alone leaves
-    * any internal persist for the ContextCleaner, which under memory
-    * pressure is non-deterministic; Bench/Verify clear caches themselves,
-    * but external consumers shouldn't have to know to).
+  /** Build the plan, run the caller's action(s), then release exactly the
+    * operator-internal persists THIS run created ([[Caches]] scope) — the
+    * library-user entry point that cannot leak cached relations (round-3
+    * ADVICE: `run` alone leaves any internal persist for the
+    * ContextCleaner, which under memory pressure is non-deterministic).
+    * Scoping matters (review r3): a session-global release would also drop
+    * caches other components own — e.g. [[graft.sources.SpotifyPipeline]]'s
+    * live-API extract caches, whose re-materialization re-fetches HTTP —
+    * and would race a concurrent `GQ.apply` on the same session.
     */
-  def apply[A](spark: SparkSession, dir: String)(f: DataFrame => A): A =
-    try f(run(spark, dir)) finally Caches.release(spark)
+  def apply[A](spark: SparkSession, dir: String)(f: DataFrame => A): A = {
+    val scope = Caches.beginScope()
+    try f(run(spark, dir)) finally scope.release()
+  }
 }
 
-/** Session-scoped registry of operator-internal persists. Query plans that
-  * materialize an intermediate (`Dedup`, `Fingerprint`, `Curation`) route it
-  * through [[Caches.persist]] instead of a bare `DataFrame.persist`, so
-  * [[Caches.release]] can drop exactly the engine's own cached relations —
-  * and nothing the user cached — once the consumer is done. */
+/** Registry of operator-internal persists. Query plans that materialize an
+  * intermediate (`Dedup.blockedJaccard`, `SpotifyPipeline`) route it through
+  * [[Caches.persist]] instead of a bare `DataFrame.persist`, so release can
+  * drop exactly the engine's own cached relations — and nothing the user
+  * cached.
+  *
+  * Two tracking levels: while a [[beginScope]] is open on the current thread
+  * (plan construction is synchronous, so `GQ.apply` sees every persist its
+  * own run creates), persists land in that scope and die with it; otherwise
+  * they land in the per-session registry drained by [[release]] — which
+  * Bench/Verify call alongside `clearCache` so loops never accumulate
+  * tracked plans (review r3).
+  */
 object Caches {
   private val tracked = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
-  /** `persist(MEMORY_AND_DISK)` + track for later [[release]]. */
+  /** A per-run collection of persists; release drops only its own. */
+  final class Scope private[Caches] () {
+    private[Caches] val dfs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    def release(): Unit = {
+      if (current.get() eq this) current.remove()
+      import scala.jdk.CollectionConverters._
+      dfs.asScala.foreach(_.unpersist(blocking = false))
+      dfs.clear()
+    }
+  }
+
+  private val current = new ThreadLocal[Scope]
+
+  /** Open a scope on this thread: persists until `release()` belong to it. */
+  def beginScope(): Scope = {
+    val s = new Scope
+    current.set(s)
+    s
+  }
+
+  /** `persist(MEMORY_AND_DISK)` + track — in the current thread's open
+    * [[Scope]] if one exists, else in the session registry. */
   def persist(df: DataFrame): DataFrame = {
-    tracked.computeIfAbsent(df.sparkSession,
+    val scope = current.get()
+    if (scope != null) scope.dfs.add(df)
+    else tracked.computeIfAbsent(df.sparkSession,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(df)
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Unpersist every tracked plan of this session (async — executors drop
-    * blocks in the background). Safe to call at any time: re-running a query
-    * simply re-persists on first use. */
+  /** Unpersist every session-registry plan of this session (async — executors
+    * drop blocks in the background) and drop the registry entry. Safe at any
+    * time: re-running a query simply re-persists on first use. */
   def release(spark: SparkSession): Unit = {
     val q = tracked.remove(spark)
     if (q != null) {

@@ -47,12 +47,18 @@ object Ann {
     * per query); measured recall@3 on sf0.001 rises 0.73 → ≥0.9. */
   private[graft] val NumProbe = 4
 
-  /** All assignment/sign decisions quantize the cosine to 12 dp first
-    * (round-3 ADVICE): argmax/sign flips then require two cells to tie
-    * within 1e-12 — resolved by the shared cid tie-break — instead of
-    * riding on last-ulp agreement between Spark's accumulation order and
-    * DuckDB's `list_cosine_similarity`. */
-  private val CosScale = 12
+  /** All assignment/sign/rank decisions quantize the cosine FIRST
+    * (round-3 ADVICE): `floor(cos · 1e12)` as a BIGINT — argmax/sign flips
+    * then require two cells to land in the same 1e-12 cell (resolved by the
+    * shared cid tie-break) instead of riding on last-ulp agreement between
+    * Spark's accumulation order and DuckDB's `list_cosine_similarity`.
+    * FLOOR, not ROUND (review r3): both engines compute `cos * 1e12` as the
+    * identical double (|cos| ≤ 1 so the product is far below 2^53 — exact
+    * same binary op) and floor it identically, whereas decimal ROUND uses
+    * DIFFERENT algorithms cross-engine (Spark: HALF_UP over the shortest
+    * decimal repr via BigDecimal; DuckDB: binary scaling), which could
+    * quantize the same double differently at a half boundary. */
+  private val CosQuantScale = 1e12
 
   /** Fixed pseudo-random hyperplanes for sign-LSH (splitmix walk, seed
     * distinct from the MinHash coefficients — deterministic across JVMs);
@@ -74,16 +80,22 @@ object Ann {
     array(v.map(x => lit(x)): _*)
 
   /** DuckDB cosine with the Spark-matching zero-norm guard (Spark's
-    * `cosine_sim` emits 0.0 when either norm is zero; DuckDB yields NaN,
-    * which its ordering ranks ABOVE every number — an assignment flip
-    * waiting for the first zero vector). DuckDB compares NaN equal to
-    * itself, so NULLIF catches it. */
+    * `cosine_sim` emits 0.0 when either norm is zero; DuckDB's
+    * `list_cosine_similarity` returns -1.0 there — MEASURED on 1.0.0, not
+    * the NaN its docs suggest, and -1 is also a legitimate cosine, so the
+    * guard must test the NORMS, not the output value). */
   private def sqlCos(a: String, b: String): String =
-    s"COALESCE(NULLIF(list_cosine_similarity($a, $b), CAST('NaN' AS DOUBLE)), 0.0)"
+    s"(CASE WHEN list_inner_product($a, $a) = 0" +
+      s" OR list_inner_product($b, $b) = 0 THEN 0.0" +
+      s" ELSE list_cosine_similarity($a, $b) END)"
 
-  /** 12-dp-quantized DuckDB cosine — the cross-engine argmax/sign basis. */
+  /** Floor-quantized DuckDB cosine — the cross-engine argmax/sign basis. */
   private def sqlCosQ(a: String, b: String): String =
-    s"ROUND(${sqlCos(a, b)}, $CosScale)"
+    s"CAST(floor(${sqlCos(a, b)} * $CosQuantScale) AS BIGINT)"
+
+  /** Spark twin of [[sqlCosQ]] over a cosine column. */
+  private def quant(c: Column): Column =
+    floor(c * lit(CosQuantScale)).cast("bigint")
 
   /** DuckDB twin of the whole IVF build — seeds → argmax assign → quantized
     * Lloyd centroids ([[VectorCentroid]] semantics: `floor(x*1e6+0.5)` long
@@ -130,7 +142,7 @@ object Ann {
     vec.register(s)
     array(cents.map { case (cid, c) =>
       struct(
-        round(call_function("cosine_sim", col("embedding"), litVec(c)), CosScale)
+        quant(call_function("cosine_sim", col("embedding"), litVec(c)))
           .as("cos"),
         lit(NumCentroids - 1 - cid).as("fc"))
     }: _*)
@@ -196,7 +208,7 @@ object Ann {
     seeds.map { case (cid, seed) => (cid, refined.getOrElse(cid, seed)) }
   }
 
-  /** R7 top-k: rank on the [[CosScale]]-quantized cosine with unique id
+  /** R7 top-k: rank on the floor-quantized cosine with unique id
     * tie-break — quantization kills last-ulp cross-engine drift without the
     * round-2 artifact where ranking on the 3-dp DISPLAY value let a
     * genuinely-worse neighbor win a display-tie on id (costing measured
@@ -209,7 +221,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_sim", col("qe"), col("ne")).as("c"))
       .select(col("query_id"), col("neighbor_id"),
-        round(col("c"), 3).as("cos_sim"), round(col("c"), CosScale).as("cq"))
+        round(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
@@ -256,29 +268,36 @@ object Ann {
     // the round-2 rewrite of a crossJoin(broadcast(planes)) + groupBy-on-
     // embedding shape that amplified the scan 12× and hash-shuffled the
     // amplified rows keyed on the embedding array). Queries HAMMING
-    // MULTI-PROBE (round 3, VERDICT item 2): the exact bucket plus each
-    // 1-bit flip — 13 exact-bucket probes, so per-query candidates are
-    // bounded by 13 bucket sizes (~13·N/4096 expected) instead of the
-    // round-2 4-bit-prefix "recall floor", whose coarse join scanned a
-    // 1/16 corpus slice per query — a per-query linear scan that kills ANN
-    // serving at any real query volume. The 13 probed buckets are DISTINCT
-    // and every candidate lives in exactly one bucket, so no pair ever
+    // MULTI-PROBE (round 3, VERDICT item 2): every bucket within Hamming
+    // distance ≤ 2 of the exact bucket — 1+12+66 = 79 exact-bucket probes,
+    // so per-query candidates are bounded by 79 bucket sizes (~N/52
+    // expected) instead of the round-2 4-bit-prefix "recall floor", whose
+    // coarse join scanned a 1/16 corpus slice per query — a per-query
+    // linear scan that kills ANN serving at any real query volume. Radius
+    // 2, not 1 (review r3): radius 1's 13 probes left some sf0.001 queries
+    // with <TopK candidates (500 vectors over 4096 buckets), breaking the
+    // full-top-k contract the prefix floor used to carry; AnnSpec measures
+    // the contract and the recall. The 79 probed buckets are DISTINCT and
+    // every candidate lives in exactly one bucket, so no pair ever
     // duplicates and no distinct/dedup shuffle is needed at all. Same plan
     // spine as IVF — scan-side bucketing → bucket join → per-query top-k.
     // Deterministic: planes derive from a fixed splitmix walk; sign bits
-    // quantize the cosine (CosScale) like every assignment decision.
+    // quantize the cosine (quant/sqlCosQ) like every assignment decision.
     GQ(
       "q_sim_ann_lsh",
       (s, d) => {
         vec.register(s)
         val bucket = hyperplanes.map { case (pid, plane) =>
-          when(round(call_function("cosine_sim", col("embedding"), litVec(plane)),
-            CosScale) > 0, lit(1L << pid)).otherwise(lit(0L))
+          when(quant(call_function("cosine_sim", col("embedding"), litVec(plane))) > 0,
+            lit(1L << pid)).otherwise(lit(0L))
         }.reduce(_ + _)
         val bucketed = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
-        val probes = col("bucket") +:
-          (0 until NumPlanes).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+        // all XOR masks with popcount ≤ 2 over the NumPlanes bits: the
+        // original bucket (mask 0), 12 single flips, 66 double flips
+        val masks = (0L until (1L << NumPlanes))
+          .filter(m => java.lang.Long.bitCount(m) <= 2)
+        val probes = masks.map(m => col("bucket").bitwiseXOR(lit(m)))
         val q = bucketed.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             explode(array(probes: _*)).as("bucket"))
@@ -291,7 +310,7 @@ object Ann {
       // Oracle: the 12 plane vectors are emitted as DOUBLE[] literals from
       // the SAME Scala floats (Double.toString round-trips exactly), so both
       // engines compute sign bits over identical values; the probe list is
-      // the same original-bucket + 1-bit-flip walk.
+      // the same popcount≤2 XOR-mask walk, generated in SQL.
       Some {
         val planeSql = hyperplanes.map { case (_, p) =>
           p.map(_.toDouble.toString).mkString("[", ", ", "]")
@@ -303,10 +322,11 @@ object Ann {
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
            |pl0 AS (SELECT CAST($planeSql AS DOUBLE[][]) AS pl),
            |b AS (SELECT vec_id, emb, ($bucketTerms) AS bucket FROM e, pl0),
+           |mk AS (SELECT m FROM range(${1L << NumPlanes}) t(m)
+           |  WHERE bit_count(m) <= 2),
            |q AS (SELECT vec_id AS query_id, emb AS qe,
-           |    CASE WHEN r.i = -1 THEN bucket
-           |         ELSE xor(bucket, CAST(1 AS BIGINT) << r.i) END AS bucket
-           |  FROM b, range(-1, $NumPlanes) r(i) WHERE vec_id < $NumQueries),
+           |    xor(bucket, mk.m) AS bucket
+           |  FROM b, mk WHERE vec_id < $NumQueries),
            |cand AS (SELECT vec_id AS neighbor_id, emb AS ne, bucket FROM b),
            |p AS (SELECT q.query_id, cand.neighbor_id,
            |    ROUND(${sqlCos("q.qe", "cand.ne")}, 3) AS cos_sim,

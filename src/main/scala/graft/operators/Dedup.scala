@@ -40,7 +40,10 @@ object Dedup {
   /** Mersenne prime 2^31-1: (a*x+b) mod P stays well inside Long even under
     * ANSI overflow checking (a,x < 2^31 so a*x < 2^62). */
   private val P = 2147483647L
-  private val K = 16
+
+  /** Signature rows per doc; `private[graft]` so the band-volume stress
+    * probe measures over the same constant it exists to test. */
+  private[graft] val K = 16
 
   /** Fixed affine coefficients for the K min-hash functions, derived from a
     * splitmix-style constant walk — deterministic across runs and JVMs. */

@@ -173,7 +173,11 @@ object Multimodal {
     // float32 accumulation per lane with list_reduce, casting every partial
     // sum to FLOAT (double-then-cast division equals float division for all
     // 256 byte values — verified exhaustively). Cosine then runs over the
-    // identical float vectors in both engines.
+    // identical float vectors in both engines. Review r3 hardening: the
+    // dense lane scaffold (sc) zero-pads docs shorter than FeatureDim bytes
+    // to the same fixed 8 lanes Spark always emits, and zero-norm features
+    // take the norm-guarded 0.0 path — verified on a synthetic corpus of
+    // 0/1/3/7-byte docs against a NumPy float32 replay.
     GQ(
       "q_multimodal_neardup",
       (s, d) => {
@@ -197,15 +201,21 @@ object Multimodal {
              |    CAST(CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2))
              |      AS INTEGER) / 255.0 AS FLOAT) AS v
              |  FROM by),
-             |lanes AS (SELECT doc_id, lane,
-             |    list_reduce(list_prepend(CAST(0 AS FLOAT), list(v ORDER BY i)),
+             |sc AS (SELECT e.doc_id, r.lane
+             |  FROM e, range(${FakeCodec.FeatureDim}) r(lane)),
+             |lanes AS (SELECT sc.doc_id, sc.lane,
+             |    list_reduce(list_prepend(CAST(0 AS FLOAT),
+             |        COALESCE(list(lv.v ORDER BY lv.i)
+             |          FILTER (lv.v IS NOT NULL), [])),
              |      (a, x) -> CAST(a + x AS FLOAT)) AS s
-             |  FROM lv GROUP BY doc_id, lane),
+             |  FROM sc LEFT JOIN lv ON lv.doc_id = sc.doc_id AND lv.lane = sc.lane
+             |  GROUP BY sc.doc_id, sc.lane),
              |f AS (SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY lane) AS feat
              |  FROM lanes GROUP BY doc_id),
              |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    ROUND(COALESCE(NULLIF(list_cosine_similarity(a.feat, b.feat),
-             |      CAST('NaN' AS DOUBLE)), 0.0), 3) AS cos_sim
+             |    ROUND(CASE WHEN list_inner_product(a.feat, a.feat) = 0
+             |        OR list_inner_product(b.feat, b.feat) = 0 THEN 0.0
+             |      ELSE list_cosine_similarity(a.feat, b.feat) END, 3) AS cos_sim
              |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
              |SELECT a_id, b_id, cos_sim FROM p
              |ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin)

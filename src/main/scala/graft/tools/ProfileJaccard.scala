@@ -24,11 +24,13 @@ object ProfileJaccard {
     val gq = Registry.byName(name)
     gq.run(spark, sfDir).count() // warmup (JIT, parquet footers)
     spark.catalog.clearCache()
+    graft.Caches.release(spark) // drain the tracked-persist registry too
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       val n = gq.run(spark, sfDir).count()
       println(f"[profile] rep$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
     }
     // stage breakdown of the shared shingle pipeline (cold cache each)
     import org.apache.spark.sql.functions._
@@ -37,6 +39,7 @@ object ProfileJaccard {
       val n = mk
       println(f"[profile] $tag%-28s rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     timeIt("kgram_rows") {

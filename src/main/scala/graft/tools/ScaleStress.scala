@@ -96,6 +96,7 @@ object ScaleStress {
       try Registry.byName(n).run(spark, dst).count()
       catch { case e: Throwable => println(s"[scale] $n FAILED: ${e.getMessage}") }
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
     }
     val timings = Stressed.flatMap { n =>
       val t0 = System.nanoTime()
@@ -111,6 +112,7 @@ object ScaleStress {
         None
       }
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
       r
     }
     println(f"[scale] TOTAL ${timings.map(_._2).sum}%.1fs over ${timings.size}/${Stressed.size} queries")

@@ -51,10 +51,12 @@ object JaccardBlockStress {
       for (q <- Seq("q_dedup_jaccard_words", "q_dedup_jaccard_ngram")) {
         Registry.byName(q).run(spark, dst).count() // warm
         spark.catalog.clearCache() // drop per-plan persists between runs
+        graft.Caches.release(spark) // drain the tracked-persist registry too
         val t0 = System.nanoTime()
         val rows = Registry.byName(q).run(spark, dst).count()
         println(f"[jacblock] x$k $q%-24s rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2fs")
         spark.catalog.clearCache()
+        graft.Caches.release(spark) // drain the tracked-persist registry too
       }
     }
     spark.stop()
@@ -206,7 +208,7 @@ object MinhashBandStress {
         .groupBy(col("bpos"), col("bkey")).agg(count(lit(1)).as("n"))
         .agg(pairVolume).head.getLong(0)
       val tBand = (System.nanoTime() - t0) / 1e9
-      val sigCols = (0 until 16).map(j => col(s"sig$j"))
+      val sigCols = (0 until Dedup.K).map(j => col(s"sig$j"))
       val r1Vol = sigs.select(
         posexplode(array(sigCols: _*)).as(Seq("j", "v")))
         .groupBy(col("j"), col("v")).agg(count(lit(1)).as("n"))
@@ -216,6 +218,7 @@ object MinhashBandStress {
         f"band_time=$tBand%.2fs")
       sigs.unpersist()
       spark.catalog.clearCache()
+      graft.Caches.release(spark) // drain the tracked-persist registry too
     }
     spark.stop()
   }

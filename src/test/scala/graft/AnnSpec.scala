@@ -27,6 +27,27 @@ class AnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
 
+  /** Exhaustive cosine top-3 per query — the eval ground truth shared by
+    * the IVF and LSH recall tests. */
+  private def bruteTop3: Set[(Long, Long)] = {
+    import org.apache.spark.sql.Row
+    val e = Tables.t(spark, sf, "embeddings")
+    graft.functions.vec.register(spark)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cosine_sim(qe, ne)").as("cos"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map { case Row(q: Long, n: Long) => (q, n) }.toSet
+  }
+
   test("scan-side assignment: no Exchange in the assignment subplan") {
     val e = Tables.t(spark, sf, "embeddings")
     val plan = Ann.assignTo(spark, e, seeds)
@@ -57,25 +78,27 @@ class AnnSpec extends AnyFunSuite {
     import org.apache.spark.sql.Row
     val ivf = Registry.byName("q_sim_ann_ivf").run(spark, sf).collect()
       .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
-    val e = Tables.t(spark, sf, "embeddings")
-    graft.functions.vec.register(spark)
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val brute = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-      .crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        expr("cosine_sim(qe, ne)").as("cos"))
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id"))))
-      .filter(col("rn") <= 3)
-      .select(col("query_id"), col("neighbor_id")).collect()
-      .map { case Row(q: Long, n: Long) => (q, n) }.toSet
+    val brute = bruteTop3
     val recall = ivf.intersect(brute).size.toDouble / brute.size
     info(f"IVF recall@3 on sf0.001: $recall%.2f (${ivf.intersect(brute).size}/${brute.size})")
     assert(recall >= 0.9,
       f"nprobe=${Ann.NumProbe} IVF must reach recall@3 >= 0.9, got $recall%.2f")
+  }
+
+  test("LSH multi-probe: full top-3 for every query, recall measured") {
+    // review r3: the round-2 coarse-prefix join was the non-empty floor;
+    // after the Hamming multi-probe replaced it, the contract must be
+    // MEASURED, not assumed — every query still fills its top-3 (probed
+    // buckets are never collectively empty on the pinned data), and the
+    // recall against brute force is recorded for round-over-round tracking.
+    import org.apache.spark.sql.Row
+    val lsh = Registry.byName("q_sim_ann_lsh").run(spark, sf).collect()
+    assert(lsh.length === 3 * 5, "every query must fill its top-3")
+    val got = lsh.map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
+    val brute = bruteTop3
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    info(f"LSH recall@3 on sf0.001: $recall%.2f")
+    assert(recall > 0.0, "multi-probe found none of the true neighbors")
   }
 
   test("refined centroids are bit-identical across recomputation") {

@@ -24,8 +24,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * Time-domain note: batch buckets on exact NANOS (`ts DIV 3600e9`) while
   * streaming uses µs timestamps — equivalent BY CONSTRUCTION for flooring
   * (µs truncation moves an event < 1 µs toward the bucket floor, never
-  * across it) and for the 30-min gap rule (both sides compare the same µs
-  * values; the pinned data has no exact-boundary gap, asserted in round 3).
+  * across it). The 30-min gap rule has ONE divergent point: an exactly-gap
+  * pair merges in batch (`> gapUs` strictly) but splits in `session_window`
+  * (intervals `[t, t+gap)` must overlap strictly), so the sessions test
+  * FIRST asserts the pinned data contains no exact-boundary gap — the
+  * equivalence claim never rides on unchecked data luck.
   */
 class StreamBatchEquivalenceSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
@@ -69,6 +72,19 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
   }
 
   test("streaming session windows == oracle-checked q_sessionize on sf0.001") {
+    // guard the one spot where batch (> gap merges) and session_window
+    // (>= gap splits) semantics diverge: no consecutive per-user pair in
+    // the pinned data may sit at EXACTLY the 30-min boundary
+    val gapUsL = 30L * 60 * 1000 * 1000
+    val boundaryPairs = eventRows.groupBy(_.user_id).valuesIterator
+      .map { evs =>
+        val times = evs.map(e => e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000)
+          .sorted
+        times.zip(times.drop(1)).count { case (a, b) => b - a == gapUsL }
+      }.sum
+    assert(boundaryPairs === 0,
+      "pinned data grew an exact-30-min gap; the stream/batch session " +
+        "equivalence no longer holds by construction")
     val in = MemoryStream[Event]
     val q = EventStreams.sessions(in.toDF(), gap = "30 minutes", watermark = "10 minutes")
       .writeStream.format("memory").queryName("equiv_sess").outputMode("append").start()
