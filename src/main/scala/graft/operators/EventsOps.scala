@@ -212,7 +212,12 @@ object EventsOps {
     ),
     // ...and this is the engine-owned sketch: the from-scratch
     // TypedImperativeAggregate (graft.functions.HllSketch). Deterministic
-    // under any partitioning (register merge is byte-wise max).
+    // under any partitioning (register merge is byte-wise max) — and, since
+    // the engine OWNS the algorithm, fully ORACLE-MATCHED (round 3): the
+    // DuckDB twin replays splitmix64 (32-bit limb arithmetic), the register
+    // max-fold, and the integer-exact estimator from the same constants.
+    // Spark's built-in HLL++ above stays rows-only — ITS sketch internals
+    // are genuinely engine-specific; ours are not.
     GQ(
       "q_approx_distinct_native",
       (s, d) => {
@@ -222,7 +227,8 @@ object EventsOps {
           .agg(expr("hll_distinct(user_id)").as("approx_users"))
           .orderBy(col("event_type"))
       },
-      None
+      Some(graft.functions.HllSketch.oracleSql("event_type", "user_id", "events")
+        + "\nORDER BY event_type")
     )
   )
 }
