@@ -107,6 +107,49 @@ object Curation {
              |FROM g GROUP BY gram
              |ORDER BY df DESC, gram LIMIT 20""".stripMargin)
     ),
+    // Within-document repetition signals (round 3 — the Gopher/C4-style
+    // repetition rules beside the length/stopword gates of
+    // q_quality_filter): per doc, the fraction of 3-gram OCCURRENCES that
+    // are duplicates of an earlier occurrence and the share of the single
+    // most-repeated gram — the two standard boilerplate/spam tells.
+    // Exact integer counts; each emitted fraction is ONE IEEE division of
+    // two exact ints (R7, bit-stable). One explode + per-(doc, gram) hash
+    // agg + per-doc agg — shuffles keyed on doc_id, linear at any scale.
+    GQ(
+      "q_text_repetition",
+      (s, d) => Grams.kgramRows(
+          Tables.t(s, d, "documents"), 3, Seq(),
+          ws => concat_ws(" ", ws: _*), identity)
+        .groupBy(col("doc_id"), col("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("cnt")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("max_cnt"))
+        .select(
+          col("doc_id"), col("n_grams"), col("n_distinct"),
+          ((col("n_grams") - col("n_distinct")).cast(DoubleType) /
+            col("n_grams").cast(DoubleType)).as("dup_fraction"),
+          (col("max_cnt").cast(DoubleType) / col("n_grams").cast(DoubleType))
+            .as("top_gram_share"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id,
+             |  CASE WHEN len(string_split(text, ' ')) >= 3
+             |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+             |    ELSE [text] END AS sh FROM documents),
+             |g AS (SELECT doc_id, unnest(sh) AS gram FROM d),
+             |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+             |    COUNT(*) AS n_distinct, MAX(cnt) AS max_cnt
+             |  FROM c GROUP BY doc_id)
+             |SELECT doc_id, n_grams, n_distinct,
+             |  CAST(n_grams - n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             |    AS dup_fraction,
+             |  CAST(max_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_share
+             |FROM a ORDER BY doc_id""".stripMargin)
+    ),
     // Exact-duplicate cluster report: one row per duplicate group (same
     // text), with the canonical survivor (min doc_id) and the group size —
     // the accounting view a dedup pass emits alongside the retained corpus

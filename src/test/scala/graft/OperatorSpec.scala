@@ -87,6 +87,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(byDoc(5L) === ((0L, 0L, 0L, "en"))) // all-zero tie -> en precedence
   }
 
+  test("q_text_repetition: gram accounting with short-doc guard") {
+    import org.apache.spark.sql.Row
+    val rows = Registry.byName("q_text_repetition").run(spark, dir)
+      .collect().map { case Row(id: Long, n: Long, d: Long, f: Double, s: Double) =>
+        id -> ((n, d, f, s))
+      }.toMap
+    // doc 1: 6 words -> 4 grams, all distinct -> dup 0, top share 1/4
+    assert(rows(1L) === ((4L, 4L, 0.0, 0.25)))
+    // doc 5: "two words" (<3 words) -> single whole-text item
+    assert(rows(5L) === ((1L, 1L, 0.0, 1.0)))
+  }
+
   test("native cosine_sim expression: null and zero-norm edges") {
     graft.functions.vec.register(spark)
     val out = spark.sql(
