@@ -388,6 +388,112 @@ object Dedup {
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
       }
     ),
+    // CONNECTED COMPONENTS over the verified near-dup graph (round 3) —
+    // the step between candidate pairs and survivor selection in a real
+    // dedup run: near-duplication is not transitive, so keeping one doc
+    // per VERIFIED-PAIR CLUSTER (not per pair) is what dedup pipelines
+    // actually execute. Edges = LSH band candidates whose EXACT shingle
+    // Jaccard ≥ Tau (the q_dedup_lsh_verify machinery, unlimited).
+    // Components via iterative min-label propagation: each round every
+    // vertex takes the min of its own and its neighbors' labels — a
+    // join + groupBy-agg per round, converging in ≤ graph-diameter rounds
+    // (near-dup clusters are shallow; the driver loop checks an O(1)
+    // convergence counter, the sanctioned bounded-collect pattern, with a
+    // loud iteration cap). At 100 TB this is the standard iterative CC
+    // (the large-star/small-star family) — every round is one shuffle on
+    // doc_id, nothing driver-side but the counter. The oracle computes the
+    // same components via a recursive-CTE reachability closure and both
+    // engines emit (component_id = min member, n_members).
+    GQ(
+      "q_dedup_components",
+      (s, d) => {
+        val sigs = minhashSignatures(s, d)
+        val bl = bandRows(sigs)
+        val cand = bl.as("a")
+          .join(bl.as("b"),
+            col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val it = shingleItems(s, d).select(col("doc_id"), col("item")).distinct()
+        val n = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(it.select(col("doc_id").as("a_id"), col("item")), "a_id")
+          .join(it.select(col("doc_id").as("b_id"), col("item")), Seq("b_id", "item"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"))
+        val edges = inter
+          .join(n.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
+          .join(n.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
+          .filter((col("inter").cast(DoubleType) /
+            (col("a_n") + col("b_n") - col("inter"))) >= Tau)
+          .select(col("a_id"), col("b_id"))
+        val sym = edges.union(
+            edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("src", "dst")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var labels = sym.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("comp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0) {
+          rounds += 1
+          require(rounds <= 50, "component propagation did not converge")
+          val nbrMin = sym
+            .join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
+            .groupBy(col("src").as("doc_id"))
+            .agg(min(col("comp")).as("nbr_comp"))
+          val next = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
+            .filter(col("comp") =!= col("prev")).count()
+          labels.unpersist(blocking = false)
+          labels = next
+        }
+        // intermediates self-unpersist in the loop; the FINAL labels relation
+        // backs the returned plan, so register it with the tracked cache
+        // (idempotent re-persist) for GQ.apply / release to reclaim
+        graft.Caches.persist(labels)
+        val out = labels.groupBy(col("comp").as("component_id"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("component_id"))
+        sym.unpersist(blocking = false)
+        out
+      },
+      Some {
+        val bandCase = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"WHEN ${b} THEN ${XHash.sqlH60(cat)}"
+        }.mkString(" ")
+        s"""WITH RECURSIVE ${sqlSignatureCte.stripPrefix("WITH ")},
+           |bl AS (SELECT doc_id, r.b AS bpos,
+           |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bl a JOIN bl b
+           |  ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+           |  THEN list_transform(range(1, len(ws) - 1),
+           |       i -> array_to_string(ws[i:i+2], ' '))
+           |  ELSE [text] END) AS sh FROM d),
+           |edges AS (SELECT c.a_id, c.b_id FROM cand c
+           |  JOIN sets x ON x.doc_id = c.a_id
+           |  JOIN sets y ON y.doc_id = c.b_id
+           |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+           |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= $Tau),
+           |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+           |  UNION ALL SELECT b_id, a_id FROM edges),
+           |reach(src, dst) AS (
+           |  SELECT DISTINCT src, src FROM sym
+           |  UNION
+           |  SELECT r.src, y.dst FROM reach r JOIN sym y ON r.dst = y.src)
+           |SELECT component_id, COUNT(*) AS n_members FROM (
+           |  SELECT src, MIN(dst) AS component_id FROM reach GROUP BY src)
+           |GROUP BY component_id ORDER BY component_id""".stripMargin
+      }
+    ),
     // 32-bit SimHash per document from term-frequency-weighted word hashes
     // (bits 0..31 of the h60 basis; duplicates of a word vote once each).
     GQ(

@@ -87,6 +87,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(byDoc(5L) === ((0L, 0L, 0L, "en"))) // all-zero tie -> en precedence
   }
 
+  test("q_dedup_components: identical docs form one component, min id canonical") {
+    import org.apache.spark.sql.Row
+    // MiniData docs 1/2 share text verbatim (jaccard 1.0 edge); docs 3/6
+    // share one 3-gram only (jaccard < 0.5 -> NOT an edge)
+    val comps = Registry.byName("q_dedup_components").run(spark, dir)
+      .collect().map { case Row(c: Long, n: Long) => (c, n) }
+    assert(comps === Array((1L, 2L)))
+  }
+
   test("q_text_repetition: gram accounting with short-doc guard") {
     import org.apache.spark.sql.Row
     val rows = Registry.byName("q_text_repetition").run(spark, dir)
