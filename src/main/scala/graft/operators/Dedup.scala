@@ -435,9 +435,17 @@ object Dedup {
         var labels = sym.select(col("src").as("doc_id")).distinct()
           .select(col("doc_id"), col("doc_id").as("comp"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var changed = 1L
+        // convergence via the MONOTONE label sum: `least` only ever lowers a
+        // label, so Σcomp strictly decreases iff any vertex changed — one
+        // exact-decimal aggregate per round (which also materializes the
+        // round's cache) instead of a join+count action
+        def labelSum(df: DataFrame): java.math.BigDecimal =
+          df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head
+            .getDecimal(0)
+        var prevSum = labelSum(labels)
         var rounds = 0
-        while (changed > 0) {
+        var converged = false
+        while (!converged) {
           rounds += 1
           require(rounds <= 50, "component propagation did not converge")
           val nbrMin = sym
@@ -448,8 +456,9 @@ object Dedup {
             .select(col("doc_id"),
               least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          changed = next.join(labels.withColumnRenamed("comp", "prev"), "doc_id")
-            .filter(col("comp") =!= col("prev")).count()
+          val nextSum = labelSum(next)
+          converged = nextSum.compareTo(prevSum) == 0
+          prevSum = nextSum
           labels.unpersist(blocking = false)
           labels = next
         }
