@@ -221,7 +221,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         call_function("cosine_sim", col("qe"), col("ne")).as("c"))
       .select(col("query_id"), col("neighbor_id"),
-        round(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
+        vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= TopK)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
@@ -253,7 +253,7 @@ object Ann {
              |cand AS (SELECT a1.vec_id AS neighbor_id, e.emb AS ne, a1.cid
              |  FROM a1 JOIN e USING (vec_id)),
              |p AS (SELECT q.query_id, cand.neighbor_id,
-             |    ROUND(${sqlCos("q.qe", "cand.ne")}, 3) AS cos_sim,
+             |    (ROUND(${sqlCos("q.qe", "cand.ne")}, 3) + 0.0) AS cos_sim,
              |    ${sqlCosQ("q.qe", "cand.ne")} AS cq
              |  FROM q JOIN cand USING (cid) WHERE q.query_id <> cand.neighbor_id),
              |r AS (SELECT query_id, neighbor_id, cos_sim,
@@ -329,7 +329,7 @@ object Ann {
            |  FROM b, mk WHERE vec_id < $NumQueries),
            |cand AS (SELECT vec_id AS neighbor_id, emb AS ne, bucket FROM b),
            |p AS (SELECT q.query_id, cand.neighbor_id,
-           |    ROUND(${sqlCos("q.qe", "cand.ne")}, 3) AS cos_sim,
+           |    (ROUND(${sqlCos("q.qe", "cand.ne")}, 3) + 0.0) AS cos_sim,
            |    ${sqlCosQ("q.qe", "cand.ne")} AS cq
            |  FROM q JOIN cand USING (bucket)
            |  WHERE q.query_id <> cand.neighbor_id),

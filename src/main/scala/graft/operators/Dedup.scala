@@ -591,13 +591,13 @@ object Dedup {
         a.join(b, col("a_id") < col("b_id"))
           .select(
             col("a_id"), col("b_id"),
-            round(vec.cosine(s, "ea", "eb"), 3).as("cos_sim"))
+            vec.roundz(vec.cosine(s, "ea", "eb"), 3).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
           .limit(20)
       },
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-             |ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-             |                             CAST(b.embedding AS DOUBLE[])), 3) AS cos_sim
+             |(ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             |                              CAST(b.embedding AS DOUBLE[])), 3) + 0.0) AS cos_sim
              |FROM embeddings a JOIN embeddings b
              |  ON a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
              |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin)

@@ -189,7 +189,7 @@ object Multimodal {
         a.join(b, col("a_id") < col("b_id"))
           .select(
             col("a_id"), col("b_id"),
-            round(vec.cosine(s, "fa", "fb"), 3).as("cos_sim"))
+            vec.roundz(vec.cosine(s, "fa", "fb"), 3).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
           .limit(10)
       },
@@ -213,9 +213,9 @@ object Multimodal {
              |f AS (SELECT doc_id, list(CAST(s AS DOUBLE) ORDER BY lane) AS feat
              |  FROM lanes GROUP BY doc_id),
              |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    ROUND(CASE WHEN list_inner_product(a.feat, a.feat) = 0
+             |    (ROUND(CASE WHEN list_inner_product(a.feat, a.feat) = 0
              |        OR list_inner_product(b.feat, b.feat) = 0 THEN 0.0
-             |      ELSE list_cosine_similarity(a.feat, b.feat) END, 3) AS cos_sim
+             |      ELSE list_cosine_similarity(a.feat, b.feat) END, 3) + 0.0) AS cos_sim
              |  FROM f a JOIN f b ON a.doc_id < b.doc_id)
              |SELECT a_id, b_id, cos_sim FROM p
              |ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin)

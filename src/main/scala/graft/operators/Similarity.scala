@@ -32,13 +32,13 @@ object Similarity {
           .crossJoin(broadcast(query))
           .select(
             col("vec_id"),
-            round(vec.cosine(s, "embedding", "q_embedding"), 3).as("cos_sim"))
+            vec.roundz(vec.cosine(s, "embedding", "q_embedding"), 3).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(5)
       },
       Some("""SELECT c.vec_id,
-             |ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
-             |                             CAST(q.embedding AS DOUBLE[])), 3) AS cos_sim
+             |(ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |                              CAST(q.embedding AS DOUBLE[])), 3) + 0.0) AS cos_sim
              |FROM embeddings c, embeddings q
              |WHERE q.vec_id = 0 AND c.vec_id <> 0
              |ORDER BY cos_sim DESC, c.vec_id LIMIT 5""".stripMargin)

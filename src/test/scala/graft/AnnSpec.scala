@@ -107,4 +107,21 @@ class AnnSpec extends AnyFunSuite {
     assert(a.map(_._1) === b.map(_._1))
     assert(a.zip(b).forall { case ((_, x), (_, y)) => x.sameElements(y) })
   }
+
+  test("R8: roundz normalizes -0.0 to +0.0 and is exact elsewhere") {
+    // the round-3 failure mode: ROUND of a tiny negative cosine emitted
+    // -0.0 in DuckDB and +0.0 in Spark — bitwise different under the
+    // harness hash. roundz must kill the sign bit without moving any
+    // other value.
+    import org.apache.spark.sql.Row
+    val rows = spark.range(1).select(
+      graft.functions.vec.roundz(lit(-1e-9), 3).as("z"),
+      graft.functions.vec.roundz(lit(-0.0), 3).as("nz"),
+      graft.functions.vec.roundz(lit(-0.4567), 3).as("neg"),
+      graft.functions.vec.roundz(lit(0.9995), 3).as("pos")).head()
+    val Row(z: Double, nz: Double, neg: Double, pos: Double) = rows
+    assert(java.lang.Double.doubleToRawLongBits(z) === 0L, "-1e-9 must round to +0.0")
+    assert(java.lang.Double.doubleToRawLongBits(nz) === 0L, "-0.0 must normalize to +0.0")
+    assert(neg === -0.457 && pos === 1.0)
+  }
 }
