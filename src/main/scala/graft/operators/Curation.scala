@@ -89,9 +89,7 @@ object Curation {
     // TakeOrderedAndProject, never a global sort of the vocab.
     GQ(
       "q_text_ngram_topk",
-      (s, d) => Grams.kgramRows(
-          Tables.t(s, d, "documents"), 3, Seq(),
-          ws => concat_ws(" ", ws: _*), identity)
+      (s, d) => Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
         .select(col("doc_id"), col("item").as("gram")).distinct()
         .groupBy(col("gram"))
         .agg(count(lit(1)).as("df"))
@@ -117,9 +115,7 @@ object Curation {
     // agg + per-doc agg — shuffles keyed on doc_id, linear at any scale.
     GQ(
       "q_text_repetition",
-      (s, d) => Grams.kgramRows(
-          Tables.t(s, d, "documents"), 3, Seq(),
-          ws => concat_ws(" ", ws: _*), identity)
+      (s, d) => Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
         .groupBy(col("doc_id"), col("item"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"))
@@ -276,9 +272,7 @@ object Curation {
     GQ(
       "q_contamination",
       (s, d) => {
-        val grams = Grams.kgramRows(
-            Tables.t(s, d, "documents"), 3, Seq(),
-            ws => concat_ws(" ", ws: _*), identity)
+        val grams = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
           .select(col("doc_id"), col("item").as("gram")).distinct()
         val bench = grams.filter(col("doc_id") < 4)
           .select(col("doc_id").as("bench_id"), col("gram"))

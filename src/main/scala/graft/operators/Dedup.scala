@@ -60,9 +60,7 @@ object Dedup {
     * is one well-distributed exchange of the tokenized corpus.
     */
   private def shingleItems(s: SparkSession, d: String): DataFrame =
-    Grams.kgramRows(
-      Tables.t(s, d, "documents"), 3, Seq("lang", "source"),
-      ws => concat_ws(" ", ws: _*), identity)
+    Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq("lang", "source"))
       .drop("pos")
 
   /** doc_id + K min-hash signature columns (sig0..sigK-1). One explode + one
@@ -238,6 +236,131 @@ object Dedup {
       .limit(20)
   }
 
+  /** Banded-LSH candidate pairs with their EXACT shingle-set Jaccard —
+    * the shared "LSH candidates + exact rescoring" spine of
+    * q_dedup_lsh_verify (top-20) and q_dedup_components (edges ≥ Tau).
+    *
+    * Verification works on per-doc shingle ARRAYS (one `collect_set` pass,
+    * `array_intersect` per candidate) instead of the round-3 exploded
+    * item-join + per-doc count relation: that shape instantiated the
+    * shingle pipeline once per lineage branch with DIFFERENT downstream
+    * exchange keys (a_id / (b_id, item) / doc_id), so nothing was
+    * reusable — the physical plan carried 16 copies of the scan→split→
+    * window subtree (measured at sf0.1: 32 parquet scans; rewrite took
+    * q_dedup_lsh_verify 2.9 s → 1.8-2.1 s warm). Here the set relation is
+    * built once and both join sides consume the SAME canonical exchange;
+    * candidate volume is unchanged (bounded by band collisions) and the
+    * per-pair verify cost is the same Σ|doc| item comparisons, now
+    * without the candidate-×-item explode in the middle.
+    * Zero-intersection candidates keep jaccard 0.0 (the oracle's inner
+    * set join has a row for every doc, same as the old left+coalesce). */
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSignatures(s, d)
+    val bl = bandRows(sigs)
+    val cand = bl.as("a")
+      .join(bl.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = shingleItems(s, d)
+      .groupBy(col("doc_id")).agg(collect_set(col("item")).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+  }
+
+  /** Dev-only round timing for [[componentLabels]] (ProfileCC). */
+  private[graft] var ccDebug = false
+
+  /** Connected components over an undirected edge list `(a_id, b_id)` →
+    * `(doc_id, comp)` with comp = min member id, via iterative min-label
+    * propagation with POINTER JUMPING (round-3 verdict item 2): each round
+    * every vertex takes the min of its own, its neighbors', and its
+    * LABEL'S label — the `comp ← min(comp, comp[comp])` shortcut halves
+    * remaining path lengths, so rounds drop from graph diameter to
+    * O(log d) (a 20-deep chain converges in ~5 rounds, not 20; measured in
+    * `Stress2.ComponentChainStress`). Per round: ONE job — the monotone
+    * label-sum aggregate both materializes the round and decides
+    * convergence (`least` only lowers labels, so Σcomp is strictly
+    * decreasing iff any vertex changed). All persists are Caches-tracked
+    * (round-3 ADVICE: raw persists leaked if the 50-round `require` threw),
+    * and `sym` is additionally dropped in `finally`. An EMPTY edge set
+    * (no pair passes the Jaccard floor — round-3 ADVICE NPE) coalesces the
+    * sum to 0 and converges on the first round with zero output rows.
+    * At 100 TB: one shuffle per round keyed on doc_id/comp, nothing
+    * driver-side but the O(1) convergence decimal. */
+  private[graft] def componentLabels(edges: DataFrame): DataFrame = {
+    def tick(label: String, t0: Long): Unit =
+      if (ccDebug) println(f"[cc] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // symmetrize in ONE pass over the edge pipeline: the round-3
+    // `edges.union(edges.swap)` shape put the whole LSH-candidate +
+    // exact-verify lineage in the plan TWICE, and both branches executed
+    // (no exchange reuse across union branches)
+    val sym = graft.Caches.persist(
+      edges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    try {
+      var labels = graft.Caches.persist(
+        sym.select(col("src").as("doc_id")).distinct()
+          .select(col("doc_id"), col("doc_id").as("comp")))
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(sum(col("comp").cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head.getDecimal(0)
+      val tInit = System.nanoTime()
+      var prevSum = labelSum(labels)
+      tick("init(edges+labels)", tInit)
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 50, "component propagation did not converge")
+        val tRound = System.nanoTime()
+        val nbrMin = sym
+          .join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("comp")).as("nbr_comp"))
+        val half = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        // pointer jump: follow one indirection — comp ← min(comp,
+        // comp-of-comp). comp values are always vertex ids present in
+        // `half` (min over self+neighbor labels), so the left join only
+        // misses if a label chain is already flat.
+        //
+        // localCheckpoint (lazy; the labelSum action below materializes it)
+        // TRUNCATES THE LOGICAL PLAN to the materialized RDD. Without it
+        // every round's plan embeds the previous round's twice (labels
+        // feeds both nbrMin and half, and half feeds the jump join twice),
+        // so plan size grows exponentially and Catalyst re-analysis went
+        // 2.1 s → 7.2 s between round 1 and round 2 at sf0.1. The blocks
+        // live in executor storage (MEMORY_AND_DISK) and are reaped by the
+        // ContextCleaner when the superseded round's RDD goes out of
+        // scope; at a real 100 TB deployment this would be
+        // `checkpoint()` to reliable storage every few rounds instead
+        // (localCheckpoint trades executor-loss recovery for speed).
+        val next = half.join(
+            half.select(col("doc_id").as("comp"), col("comp").as("jcomp")),
+            Seq("comp"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+          .localCheckpoint(false)
+        val nextSum = labelSum(next)
+        tick(s"round$rounds", tRound)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels.unpersist(blocking = false)
+        labels = next
+      }
+      labels
+    } finally sym.unpersist(blocking = false)
+  }
+
   val queries: Seq[GQ] = Seq(
     // Per-doc MinHash signature digest + 4 LSH band keys (bands of 4 rows).
     // Band key = h60 of the comma-joined band signatures — cross-engine, so
@@ -333,37 +456,9 @@ object Dedup {
     // h60 basis ⇒ fully oracle-matched end to end.
     GQ(
       "q_dedup_lsh_verify",
-      (s, d) => {
-        // NOT persisted (unlike q_dedup_minhash_pairs' sigs): both band
-        // sides share one exchange via ReusedExchange, and an A/B at sf0.1
-        // measured the cache-write barrier costing more than it saves here
-        // (3.6-4.3s persisted vs 2.4-3.7s reused; round 3)
-        val sigs = minhashSignatures(s, d)
-        val bl = bandRows(sigs)
-        val cand = bl.as("a")
-          .join(bl.as("b"),
-            col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val it = shingleItems(s, d).select(col("doc_id"), col("item")).distinct()
-        val n = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(it.select(col("doc_id").as("a_id"), col("item")), "a_id")
-          .join(it.select(col("doc_id").as("b_id"), col("item")), Seq("b_id", "item"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        cand
-          .join(inter, Seq("a_id", "b_id"), "left")
-          .join(n.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
-          .join(n.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
-          .select(col("a_id"), col("b_id"),
-            (coalesce(col("inter"), lit(0L)).cast(DoubleType) /
-              (col("a_n") + col("b_n") - coalesce(col("inter"), lit(0L))))
-              .as("jaccard"))
-          .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
-          .limit(20)
-      },
+      (s, d) => verifiedPairs(s, d)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(20),
       Some {
         val bandCase = (0 until 4).map { b =>
           val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
@@ -394,83 +489,20 @@ object Dedup {
     // per VERIFIED-PAIR CLUSTER (not per pair) is what dedup pipelines
     // actually execute. Edges = LSH band candidates whose EXACT shingle
     // Jaccard ≥ Tau (the q_dedup_lsh_verify machinery, unlimited).
-    // Components via iterative min-label propagation: each round every
-    // vertex takes the min of its own and its neighbors' labels — a
-    // join + groupBy-agg per round, converging in ≤ graph-diameter rounds
-    // (near-dup clusters are shallow; the driver loop checks an O(1)
-    // convergence counter, the sanctioned bounded-collect pattern, with a
-    // loud iteration cap). At 100 TB this is the standard iterative CC
-    // (the large-star/small-star family) — every round is one shuffle on
-    // doc_id, nothing driver-side but the counter. The oracle computes the
-    // same components via a recursive-CTE reachability closure and both
-    // engines emit (component_id = min member, n_members).
+    // Components via [[componentLabels]]: min-label propagation with
+    // pointer jumping, one job per round, O(log diameter) rounds. The
+    // oracle computes the same components via a recursive-CTE reachability
+    // closure and both engines emit (component_id = min member, n_members).
     GQ(
       "q_dedup_components",
       (s, d) => {
-        val sigs = minhashSignatures(s, d)
-        val bl = bandRows(sigs)
-        val cand = bl.as("a")
-          .join(bl.as("b"),
-            col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .distinct()
-        val it = shingleItems(s, d).select(col("doc_id"), col("item")).distinct()
-        val n = it.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val inter = cand
-          .join(it.select(col("doc_id").as("a_id"), col("item")), "a_id")
-          .join(it.select(col("doc_id").as("b_id"), col("item")), Seq("b_id", "item"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-        val edges = inter
-          .join(n.select(col("doc_id").as("a_id"), col("n").as("a_n")), "a_id")
-          .join(n.select(col("doc_id").as("b_id"), col("n").as("b_n")), "b_id")
-          .filter((col("inter").cast(DoubleType) /
-            (col("a_n") + col("b_n") - col("inter"))) >= Tau)
+        val edges = verifiedPairs(s, d)
+          .filter(col("jaccard") >= Tau)
           .select(col("a_id"), col("b_id"))
-        val sym = edges.union(
-            edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-          .toDF("src", "dst")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var labels = sym.select(col("src").as("doc_id")).distinct()
-          .select(col("doc_id"), col("doc_id").as("comp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // convergence via the MONOTONE label sum: `least` only ever lowers a
-        // label, so Σcomp strictly decreases iff any vertex changed — one
-        // exact-decimal aggregate per round (which also materializes the
-        // round's cache) instead of a join+count action
-        def labelSum(df: DataFrame): java.math.BigDecimal =
-          df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head
-            .getDecimal(0)
-        var prevSum = labelSum(labels)
-        var rounds = 0
-        var converged = false
-        while (!converged) {
-          rounds += 1
-          require(rounds <= 50, "component propagation did not converge")
-          val nbrMin = sym
-            .join(labels.select(col("doc_id").as("dst"), col("comp")), "dst")
-            .groupBy(col("src").as("doc_id"))
-            .agg(min(col("comp")).as("nbr_comp"))
-          val next = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val nextSum = labelSum(next)
-          converged = nextSum.compareTo(prevSum) == 0
-          prevSum = nextSum
-          labels.unpersist(blocking = false)
-          labels = next
-        }
-        // intermediates self-unpersist in the loop; the FINAL labels relation
-        // backs the returned plan, so register it with the tracked cache
-        // (idempotent re-persist) for GQ.apply / release to reclaim
-        graft.Caches.persist(labels)
-        val out = labels.groupBy(col("comp").as("component_id"))
+        componentLabels(edges)
+          .groupBy(col("comp").as("component_id"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("component_id"))
-        sym.unpersist(blocking = false)
-        out
       },
       Some {
         val bandCase = (0 until 4).map { b =>

@@ -31,10 +31,8 @@ object Fingerprint {
     * h60 of the space-joined gram string — the exact string the DuckDB twin
     * hashes. */
   private def gramHashes(s: SparkSession, d: String): DataFrame =
-    Grams.kgramRows(
-      Tables.t(s, d, "documents"), K, Seq(),
-      ws => XHash.h60(concat_ws(" ", ws: _*)), t => XHash.h60(t))
-      .withColumnRenamed("item", "gh")
+    Grams.kgramRows(Tables.t(s, d, "documents"), K, Seq())
+      .select(col("doc_id"), col("pos"), XHash.h60(col("item")).as("gh"))
 
   /** The winnowed fingerprint set: (doc_id, fp) distinct. FULL windows
     * only, per the MOSS scheme — a trailing partial window would always

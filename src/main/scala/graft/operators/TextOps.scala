@@ -152,9 +152,7 @@ object TextOps {
     GQ(
       "q_text_rarity",
       (s, d) => {
-        val bgs = Grams.kgramRows(
-          Tables.t(s, d, "documents"), 2, Seq(),
-          ws => concat_ws(" ", ws: _*), identity)
+        val bgs = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
           .drop("pos")
           .withColumnRenamed("item", "bg")
           .distinct()

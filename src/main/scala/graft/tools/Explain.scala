@@ -22,6 +22,11 @@ object Explain {
     val gq = Registry.byName(name)
     gq.run(spark, sfDir).explain("formatted")
     for (i <- 1 to reps) {
+      // drop plan-cache + tracked persists between reps (memory: Spark's
+      // CacheManager matches a REBUILT identical plan, so rep2+ would
+      // silently reuse rep1's materializations and report hot numbers)
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
       val t0 = System.nanoTime()
       val n = gq.run(spark, sfDir).count()
       println(f"[explain] rep$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -43,12 +43,10 @@ object ProfileJaccard {
     }
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     timeIt("kgram_rows") {
-      graft.operators.Grams.kgramRows(docs, 3, Seq("lang", "source"),
-        ws => concat_ws(" ", ws: _*), identity).count()
+      graft.operators.Grams.kgramRows(docs, 3, Seq("lang", "source")).count()
     }
     timeIt("kgram_distinct_hashed") {
-      graft.operators.Grams.kgramRows(docs, 3, Seq("lang", "source"),
-        ws => concat_ws(" ", ws: _*), identity)
+      graft.operators.Grams.kgramRows(docs, 3, Seq("lang", "source"))
         .select(col("lang"), col("source"), col("doc_id"),
           xxhash64(col("item")).as("item"))
         .distinct().count()

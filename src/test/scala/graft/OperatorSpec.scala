@@ -96,6 +96,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(comps === Array((1L, 2L)))
   }
 
+  test("componentLabels: empty edge set yields empty labels, no NPE") {
+    // round-3 ADVICE: labelSum on an empty relation returned null and the
+    // first compareTo threw — the coalesce-to-zero path must converge to
+    // an empty result instead (the oracle emits zero rows there)
+    import TestSpark.spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.operators.Dedup.componentLabels(edges).collect().isEmpty)
+  }
+
+  test("componentLabels: deep chain and disjoint components (pointer jumping)") {
+    import TestSpark.spark.implicits._
+    // a 21-vertex path — worst-case diameter for its size; pointer jumping
+    // must still converge (plain propagation needs 20 rounds, the 50-round
+    // cap would pass either way, but Stress2.ComponentChainStress measures
+    // the round count; here we pin correctness)
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = graft.operators.Dedup.componentLabels(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length === 21)
+    assert(labels.forall(_._2 == 0L), "every chain vertex joins component 0")
+    // two disjoint chains keep distinct min labels
+    val two = ((0L until 5L).map(i => (i, i + 1)) ++
+      (10L until 15L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val m = graft.operators.Dedup.componentLabels(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L to 5L).forall(m(_) == 0L) && (10L to 15L).forall(m(_) == 10L))
+  }
+
   test("q_text_repetition: gram accounting with short-doc guard") {
     import org.apache.spark.sql.Row
     val rows = Registry.byName("q_text_repetition").run(spark, dir)
