@@ -23,10 +23,20 @@ final case class GQ(
     * caches other components own — e.g. [[graft.sources.SpotifyPipeline]]'s
     * live-API extract caches, whose re-materialization re-fetches HTTP —
     * and would race a concurrent `GQ.apply` on the same session.
+    *
+    * The scope stops CAPTURING once `run` returns (round-4 ADVICE fix):
+    * persists the caller's `f` makes — e.g. a pipeline run inside the
+    * callback — belong to the caller (an enclosing scope or the session
+    * registry), not to this query, so releasing here can no longer drop
+    * them. Scopes also stack: a nested `GQ.apply` on the same thread
+    * restores the outer scope when it closes instead of clobbering it.
     */
   def apply[A](spark: SparkSession, dir: String)(f: DataFrame => A): A = {
     val scope = Caches.beginScope()
-    try f(run(spark, dir)) finally scope.release()
+    try {
+      val df = try run(spark, dir) finally scope.close()
+      f(df)
+    } finally scope.release()
   }
 }
 
@@ -47,11 +57,24 @@ object Caches {
   private val tracked = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
 
-  /** A per-run collection of persists; release drops only its own. */
-  final class Scope private[Caches] () {
+  /** A per-run collection of persists; release drops only its own.
+    * Scopes STACK (round-4 ADVICE): `close()` restores the scope that was
+    * active when this one opened, so a nested `beginScope` on the same
+    * thread no longer leaks the outer scope's later persists into the
+    * session registry. */
+  final class Scope private[Caches] (prev: Scope) {
     private[Caches] val dfs = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+    /** Stop capturing on this thread (restores the enclosing scope) WITHOUT
+      * dropping what was already captured. Idempotent; a no-op if another
+      * scope has since taken over. */
+    def close(): Unit =
+      if (current.get() eq this) {
+        if (prev != null) current.set(prev) else current.remove()
+      }
+
     def release(): Unit = {
-      if (current.get() eq this) current.remove()
+      close()
       import scala.jdk.CollectionConverters._
       dfs.asScala.foreach(_.unpersist(blocking = false))
       dfs.clear()
@@ -60,9 +83,10 @@ object Caches {
 
   private val current = new ThreadLocal[Scope]
 
-  /** Open a scope on this thread: persists until `release()` belong to it. */
+  /** Open a scope on this thread: persists until `close()`/`release()`
+    * belong to it. */
   def beginScope(): Scope = {
-    val s = new Scope
+    val s = new Scope(current.get())
     current.set(s)
     s
   }

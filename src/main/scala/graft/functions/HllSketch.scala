@@ -149,8 +149,13 @@ object HllSketch {
     // x ^ (x >>> s), UBIGINT domain, back to HUGEINT
     def xorShift(x: String, s: Int): String =
       s"CAST(xor(CAST($x AS UBIGINT), CAST($x AS UBIGINT) >> $s) AS HUGEINT)"
-    s"""WITH hv AS (SELECT $groupCol AS g, $valueCol AS v FROM $fromSql
-       |  WHERE $valueCol IS NOT NULL),
+    // hsrc is UNFILTERED: the group scaffold must include groups whose
+    // values are all NULL (round-4 ADVICE) — they own an all-zero register
+    // file and emit the linear-counting estimate 0, exactly like the Spark
+    // aggregate; deriving the scaffold from the null-filtered hv dropped
+    // such groups from the oracle entirely
+    s"""WITH hsrc AS (SELECT $groupCol AS g, $valueCol AS v FROM $fromSql),
+       |hv AS (SELECT g, v FROM hsrc WHERE v IS NOT NULL),
        |hx0 AS (SELECT g, (CAST(v AS HUGEINT) + $K1) % 18446744073709551616 AS x FROM hv),
        |hx1 AS (SELECT g, ${mulmod(xorShift("x", 30), k2lo, k2hi)} AS x FROM hx0),
        |hx2 AS (SELECT g, ${mulmod(xorShift("x", 27), k3lo, k3hi)} AS x FROM hx1),
@@ -163,7 +168,7 @@ object HllSketch {
        |  FROM hb),
        |hreg AS (SELECT g, idx, MAX(rank) AS mr FROM hrk GROUP BY 1, 2),
        |hgrid AS (SELECT gs.g, r.idx
-       |  FROM (SELECT DISTINCT g FROM hv) gs, range($m) r(idx)),
+       |  FROM (SELECT DISTINCT g FROM hsrc) gs, range($m) r(idx)),
        |hfull AS (SELECT hg.g, COALESCE(hreg.mr, 0) AS r
        |  FROM hgrid hg LEFT JOIN hreg ON hreg.g = hg.g AND hreg.idx = hg.idx),
        |hagg AS (SELECT g, SUM(CAST(1 AS BIGINT) << ($RankCap - r)) AS s,

@@ -34,4 +34,34 @@ class CachesSpec extends AnyFunSuite {
     user.unpersist(blocking = true)
     assert(cacheEmpty)
   }
+
+  test("persists made inside the caller's action outlive GQ.apply (round-4 ADVICE)") {
+    // the scope stops capturing once the plan is built: a Caches.persist the
+    // CALLBACK makes (e.g. SpotifyPipeline.run) lands in the session
+    // registry, so GQ.apply's release cannot drop it out from under the user
+    spark.catalog.clearCache()
+    Registry.byName("q_sort_limit")(spark, sf) { df =>
+      val mine = Caches.persist(spark.range(5).toDF("n"))
+      mine.count()
+      df.count()
+    }
+    assert(!cacheEmpty, "callback persist must survive the query's scope release")
+    Caches.release(spark)
+    assert(cacheEmpty, "…but it is session-registry tracked, so release reclaims it")
+  }
+
+  test("nested scopes stack: inner close restores the outer capture") {
+    spark.catalog.clearCache()
+    val outer = Caches.beginScope()
+    try {
+      val a = Caches.persist(spark.range(3).toDF("a")); a.count()
+      val inner = Caches.beginScope()
+      val b = Caches.persist(spark.range(4).toDF("b")); b.count()
+      inner.release()
+      // without the save/restore, this persist would leak to the session
+      // registry and outer.release below would strand it in the cache
+      val c = Caches.persist(spark.range(5).toDF("c")); c.count()
+    } finally outer.release()
+    assert(cacheEmpty, "outer scope must reclaim persists made after inner release")
+  }
 }

@@ -47,4 +47,21 @@ class HllSketchSpec extends AnyFunSuite {
       .agg(expr("hll_distinct(v)").as("e")).as[Long].collect().head
     assert(e === 2L)
   }
+
+  test("all-null group emits estimate 0 and matches the oracle scaffold") {
+    // round-4 ADVICE: the oracle's group scaffold now derives from the
+    // UNFILTERED source, so a group whose values are all NULL appears with
+    // the all-zero-register linear-counting estimate. Values pinned here
+    // were replayed in DuckDB 1.0 against HllSketch.oracleSql on the same
+    // frame: (a → 96, b → 0, c → 1).
+    val rows = (
+      (1L to 100L).map(v => ("a", java.lang.Long.valueOf(v))) ++
+        Seq.fill(5)(("b", null.asInstanceOf[java.lang.Long])) ++
+        (("c", java.lang.Long.valueOf(42L)) +:
+          Seq.fill(2)(("c", null.asInstanceOf[java.lang.Long]))))
+      .toDF("g", "v")
+      .groupBy(col("g")).agg(expr("hll_distinct(v)").as("e"))
+      .orderBy(col("g")).as[(String, Long)].collect()
+    assert(rows === Array(("a", 96L), ("b", 0L), ("c", 1L)))
+  }
 }
