@@ -21,10 +21,11 @@ object EventsOps {
 
   private val NanosPerHour = 3600L * 1000 * 1000 * 1000
 
-  /** Gaps-and-islands sessionization core shared by q_sessionize and
-    * q_join_interval: 30-min-gap sessions per user with exact epoch-µs
-    * bounds → (user_id, sid, n_events, start_us, end_us). */
-  private def sessionized(s: SparkSession, d: String): DataFrame = {
+  /** Gaps-and-islands session assignment, per EVENT: every event row tagged
+    * with its (user_id, sid) 30-min-gap session — the shared core under
+    * q_sessionize / q_join_interval (aggregated) and q_dedup_sessioned
+    * (within-session dedup). */
+  private def sessionEvents(s: SparkSession, d: String): DataFrame = {
     val gapUs = 30L * 60 * 1000 * 1000
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -35,12 +36,16 @@ object EventsOps {
         (col("prev_us").isNull || col("us") - col("prev_us") > gapUs)
           .cast(LongType))
       .withColumn("sid", sum(col("is_new")).over(wRun))
+  }
+
+  /** Per-session bounds → (user_id, sid, n_events, start_us, end_us). */
+  private def sessionized(s: SparkSession, d: String): DataFrame =
+    sessionEvents(s, d)
       .groupBy(col("user_id"), col("sid"))
       .agg(
         count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"),
         max(col("us")).as("end_us"))
-  }
 
   val queries: Seq[GQ] = Seq(
     GQ(
@@ -198,6 +203,51 @@ object EventsOps {
              |SELECT user_id, sid, COUNT(*) AS n_events,
              |  MIN(us) AS start_us, MAX(us) AS end_us
              |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin)
+    ),
+    // WITHIN-SESSION dedup (round-3 verdict item 6) — the composition a real
+    // crawl/telemetry pipeline runs: repeated events of the same type inside
+    // one 30-min session are duplicates (re-crawls, double-fires); keep the
+    // session's FIRST such event and count the drops. Composes the
+    // gaps-and-islands session assignment with a window-then-dedup — the one
+    // shape the surface lacked (sessionize feeding a keyed row_number).
+    // Plan: the sessionize window shuffle keyed on user_id is REUSED by the
+    // dedup window (user_id, sid, event_type is a refinement of the
+    // partitioning) — one exchange total at any scale. First = min (us,
+    // event_id): µs resolution on both engines (R5), event_id tie-break.
+    GQ(
+      "q_dedup_sessioned",
+      (s, d) => {
+        val wD = Window.partitionBy(col("user_id"), col("sid"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        sessionEvents(s, d)
+          .withColumn("rn", row_number().over(wD))
+          .groupBy(col("user_id"), col("sid"), col("event_type"))
+          .agg(
+            min(when(col("rn") === 1, col("event_id"))).as("kept_event_id"),
+            (count(lit(1)) - 1).as("n_dupes"))
+          .orderBy(col("user_id"), col("sid"), col("event_type"))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT event_id, user_id, event_type, us,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g),
+             |r AS (
+             |  SELECT user_id, sid, event_type, event_id,
+             |    row_number() OVER (PARTITION BY user_id, sid, event_type
+             |      ORDER BY us, event_id) AS rn
+             |  FROM s)
+             |SELECT user_id, sid, event_type,
+             |  MIN(CASE WHEN rn = 1 THEN event_id END) AS kept_event_id,
+             |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dupes
+             |FROM r GROUP BY user_id, sid, event_type
+             |ORDER BY user_id, sid, event_type""".stripMargin)
     ),
     // HLL sketch values are engine-specific ⇒ no cross-engine oracle
     // (driver records rows-only). Built-in HLL++ is the idiomatic path...

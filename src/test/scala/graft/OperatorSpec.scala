@@ -96,6 +96,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(comps === Array((1L, 2L)))
   }
 
+  test("q_dedup_sessioned: within-session first-of-type kept, hour gap splits") {
+    // MiniData events: users 10/11 span both hour buckets (gap 1h > 30min
+    // -> two sessions each); no session repeats an event type, so every
+    // group keeps its sole event with zero drops — the hand-derivable
+    // baseline; the sf oracles exercise real duplicate counts
+    assert(rows("q_dedup_sessioned") === Seq(
+      Seq(10L, 1L, "error", 2L, 0L),
+      Seq(10L, 1L, "purchase", 1L, 0L),
+      Seq(10L, 2L, "view", 4L, 0L),
+      Seq(11L, 1L, "click", 3L, 0L),
+      Seq(11L, 2L, "purchase", 6L, 0L),
+      Seq(12L, 1L, "signup", 5L, 0L)))
+  }
+
   test("componentLabels: empty edge set yields empty labels, no NPE") {
     // round-3 ADVICE: labelSum on an empty relation returned null and the
     // first compareTo threw — the coalesce-to-zero path must converge to
