@@ -27,7 +27,10 @@ object ScaleStress {
     "q_sim_ann_lsh", "q_sim_ann_centroids", "q_agg_hash", "q_join_multiway",
     "q_window_rank", "q_topk_per_group", "q_sessionize", "q_join_interval",
     "q_text_rarity", "q_text_ngram_topk", "q_contamination",
-    "q_sample_stratified", "q_text_pii_scrub")
+    "q_sample_stratified", "q_text_pii_scrub",
+    // round 4: the composed funnel (scan-dominated — must stay linear),
+    // the iterative CC (rounds × cost growth), and the sessionized dedup
+    "q_curation_pipeline", "q_dedup_components", "q_dedup_sessioned")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
