@@ -49,4 +49,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), s"benchmark join must broadcast:\n$p")
   }
+
+  test("shingling is scan-side: no Window and one Exchange before the minhash agg") {
+    // round 4: KGrams moved gram assembly into a codegen'd scan expression;
+    // the old split→posexplode→lead builder put a corpus-wide window
+    // shuffle under EVERY shingle consumer. Pin the signature pipeline to
+    // its zero-window shape — exactly one exchange (the doc_id aggregation)
+    // and no Window operator anywhere below it.
+    val p = graft.operators.Dedup.minhashSignatures(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"shingle window shuffle came back:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly the doc_id agg exchange, found $exchanges:\n$p")
+  }
+
+  test("q_text_repetition keeps the whole gram path inside codegen") {
+    // the repetition signals run entirely over kgrams + two hash aggs; a
+    // non-codegen expression in the gram path would split the codegen span.
+    // AQE only materializes WholeStageCodegen spans in the FINAL plan, so
+    // run the query before reading the executed plan.
+    val df = Registry.byName("q_text_repetition").run(spark, sf)
+    df.collect() // count() would execute a DIFFERENT wrapping plan; only
+    // an action on THIS Dataset finalizes its AdaptiveSparkPlan
+    val p = df.queryExecution.executedPlan.toString
+    // the final AQE plan prints codegen spans as `*(n) Operator`
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      s"no WholeStageCodegen span in the final plan:\n$p")
+    assert(!p.contains("Window"), s"gram path must stay window-free:\n$p")
+  }
 }
