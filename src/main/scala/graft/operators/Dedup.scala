@@ -31,9 +31,10 @@ import org.apache.spark.sql.types._
   * `transform(sequence(...), i => ...element_at(split(text), i)...)` lambda
   * is O(words²) per document — Catalyst inlines `split` into the lambda (and
   * into the explode-side IsNotNull/size pushed filters), so every element
-  * re-splits the whole text. Shingling here is therefore linear-shaped:
-  * split once → posexplode → window `lead` assembly (17.4s → ~3s on
-  * q_dedup_jaccard_ngram).
+  * re-splits the whole text. Round 2's dodge was split → posexplode →
+  * window `lead` (17.4s → ~3s on q_dedup_jaccard_ngram); round 4 moved the
+  * whole gram loop into the native [[graft.functions.KGrams]] expression —
+  * zero shuffles, splitting once per ROW inside codegen.
   */
 object Dedup {
 
@@ -54,10 +55,10 @@ object Dedup {
   }
 
   /** Exploded 3-word shingles: one (doc_id, lang, source, item) row per
-    * shingle via the shared linear builder (Grams.kgramRows — see PERF NOTE
-    * above). Documents with <3 words contribute their whole text as the
-    * single shingle. The window shuffle is keyed on doc_id — at 100 TB that
-    * is one well-distributed exchange of the tokenized corpus.
+    * shingle via the shared scan-side builder (Grams.kgramRows — see PERF
+    * NOTE above). Documents with <3 words contribute their whole text as
+    * the single shingle. Zero shuffles: grams are a codegen'd projection of
+    * the document scan at any scale.
     */
   private def shingleItems(s: SparkSession, d: String): DataFrame =
     Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq("lang", "source"))
@@ -172,14 +173,17 @@ object Dedup {
       .withColumn("bit", row_number().over(wBlock) - 1)
       .filter(col("bit") < 63)
       .select(col("lang"), col("source"), col("item"), col("bit"))
-    // `tagged` feeds five consumers (docs, rare ×2, prefix ×2), each of
-    // which would otherwise recompute the whole shingle+df lineage (the
-    // plan re-scans documents ~15×). One tracked MEMORY_AND_DISK
-    // materialization (Caches.persist — released by GQ.apply / clearCache)
-    // is the right call at any scale — spills under pressure.
-    // Measured at sf0.1: ngram 4.7s → 2.2s, words 2.9s → 2.4s warm.
-    val tagged = graft.Caches.persist(it.join(dfs, block :+ "item")
-      .join(freq, block :+ "item", "left"))
+    // `tagged` feeds five consumers (docs, rare ×2, prefix ×2). Rounds 2-3
+    // persisted it: the shingle lineage then carried a corpus window
+    // shuffle per consumer, and one MEMORY_AND_DISK materialization beat
+    // ~15 document re-scans (ngram 4.7→2.2 s). Round 4's scan-side KGrams
+    // INVERTED the trade: recompute is a cheap rescan + explode, and the
+    // round-4 A/B measured the cache write+read barrier costing ~70% —
+    // ngram 3.9→2.3 s, words 3.7→2.0 s warm after DROPPING the persist.
+    // Same lesson as lsh_verify/minhash_pairs: persist only pays while the
+    // replicated lineage holds a shuffle.
+    val tagged = it.join(dfs, block :+ "item")
+      .join(freq, block :+ "item", "left")
     val docs = tagged.groupBy(col("lang"), col("source"), col("doc_id"))
       .agg(
         count(lit(1)).as("n"),

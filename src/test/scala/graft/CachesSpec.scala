@@ -18,9 +18,10 @@ class CachesSpec extends AnyFunSuite {
   test("GQ.apply releases operator-internal persists after the action") {
     spark.catalog.clearCache()
     assert(cacheEmpty)
-    // q_dedup_jaccard_words persists its `tagged` relation internally (the
-    // one surviving round-3 persist — five consumers above a join lineage)
-    val rows = Registry.byName("q_dedup_jaccard_words")(spark, sf)(_.count())
+    // q_dedup_components persists sym + per-round labels internally (the
+    // surviving round-4 persists — jaccard's `tagged` cache was dropped
+    // when KGrams made recompute cheaper than the cache barrier)
+    val rows = Registry.byName("q_dedup_components")(spark, sf)(_.count())
     assert(rows > 0)
     assert(cacheEmpty, "internal persist must not outlive GQ.apply")
   }
@@ -29,7 +30,7 @@ class CachesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     val user = spark.range(10).toDF("n").persist()
     user.count()
-    Registry.byName("q_dedup_jaccard_words")(spark, sf)(_.count())
+    Registry.byName("q_dedup_components")(spark, sf)(_.count())
     assert(!cacheEmpty, "the user's own cache must survive release")
     user.unpersist(blocking = true)
     assert(cacheEmpty)
