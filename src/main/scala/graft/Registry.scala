@@ -21,7 +21,8 @@ object Registry {
       Multimodal.queries ++
       Fingerprint.queries ++
       Curation.queries ++
-      BloomPrune.queries
+      BloomPrune.queries ++
+      Retrieval.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

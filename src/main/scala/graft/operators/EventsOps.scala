@@ -121,6 +121,29 @@ object EventsOps {
               |event_type, COUNT(*) AS cnt, ${C.sqlSumDec2("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
     ),
+    // Declared end-to-end run of the Skew toolkit (round 4): the same
+    // per-event_type count/sum as a plain GROUP BY, but computed through
+    // Skew.saltedCountSum — partials keyed on (event_type, hash(user_id)
+    // mod 32) so one hot type spreads over 32 reducers, then a tiny
+    // (types × 32)-row final agg. Salting is INVISIBLE to results by
+    // construction (the salt is deterministic and both phases sum exact
+    // decimals, R2), so the oracle is the plain aggregation SQL — same
+    // pattern as q_join_bloom_pruned's plain-join oracle. At 100 TB this
+    // is the shape for skewed-key aggregation AQE cannot rebalance
+    // (AQE splits skewed JOIN partitions, not aggregation groups).
+    GQ(
+      "q_agg_skew_salted",
+      (s, d) =>
+        Skew.saltedCountSum(
+            Tables.events(s, d),
+            col("event_type"), C.dec2(col("value")), col("user_id"), 32)
+          .select(col("k").as("event_type"), col("cnt"),
+            col("total").cast(DoubleType).as("sum_value"))
+          .orderBy(col("event_type")),
+      Some(s"""SELECT event_type, COUNT(*) AS cnt,
+              |${C.sqlSumDec2("value")} AS sum_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
     // Interval overlap join over user sessions — the classic time-range
     // join Spark has no operator for, composed scalably: each (≥2-event)
     // session explodes to the hour buckets it covers, candidate pairs come

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval / indexing operators over the `documents` table (round 4) —
+  * the search-side complement to the dedup/curation surface: term salience
+  * scoring (TF-IDF family) and an inverted-index postings build. Both are
+  * standard corpus-tooling passes an LLM data pipeline runs beside quality
+  * filtering (e.g. building a lookup index over the retained corpus, or
+  * picking representative keywords per document for clustering/inspection).
+  * The reference has no text surface at all (closest is the array→string
+  * flatten at /root/reference/spotify-etl.py:199); these generalize its
+  * P1/P2 projection class to corpus-relative statistics.
+  *
+  * Determinism: every score is ONE IEEE division of two exact integers
+  * (SURVEY §2.5 R7) and every ordering carries a unique tie-breaker (R1);
+  * posting lists are sorted before joining so `collect_list`'s arrival
+  * order never shows (R3).
+  */
+object Retrieval {
+
+  val queries: Seq[GQ] = Seq(
+    // Per-doc top-3 salient terms by tf/df — the rank-equivalent core of
+    // TF-IDF (idf = ln(N/df) is monotone-decreasing in df and N is constant
+    // across a corpus, so ranking by tf/df orders candidates like tf·idf
+    // while staying transcendental-free: ln() is last-ulp engine-specific,
+    // a single int/int division is bit-stable cross-engine, R7).
+    //
+    // Plan shape (100 TB): explode → ONE (doc_id, word) hash agg (partial
+    // map-side combine, shuffle keyed on the pair), then df comes from a
+    // COUNT() OVER (PARTITION BY word) window on the tf relation — one
+    // word-keyed exchange instead of the textbook df-aggregate + self-join
+    // (which costs a word shuffle AND a re-shuffle of tf for the join).
+    // The final top-k window re-keys on doc_id. Three keyed exchanges
+    // total, each over (doc, word)-bounded rows, never the raw corpus.
+    GQ(
+      "q_text_tfidf",
+      (s, d) => {
+        val tf = Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val byWord = Window.partitionBy(col("word"))
+        val scored = tf
+          .withColumn("df", count(lit(1)).over(byWord))
+          .withColumn("score",
+            col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+        val topk = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))
+        scored
+          .withColumn("rn", row_number().over(topk).cast(LongType))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("rn"), col("word"), col("tf"),
+            col("df"), col("score"))
+          .orderBy(col("doc_id"), col("rn"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+             |sc AS (SELECT doc_id, word, tf,
+             |  COUNT(*) OVER (PARTITION BY word) AS df,
+             |  CAST(tf AS DOUBLE) / (COUNT(*) OVER (PARTITION BY word)) AS score
+             |  FROM tf),
+             |rk AS (SELECT doc_id, word, tf, df, score,
+             |  ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY score DESC, word) AS rn FROM sc)
+             |SELECT doc_id, rn, word, tf, df, score FROM rk
+             |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
+    ),
+    // Inverted-index postings build over 3-GRAM SHINGLES (the corpus's
+    // 31-word vocabulary makes word-level postings degenerate — every word
+    // sits in ~78% of documents; grams give a 16k+ term space with real
+    // selectivity, and a shingle index is exactly what the contamination /
+    // near-dup passes probe). Per sub-stopword term (df·2 ≤ N — a gram in
+    // more than half the corpus is boilerplate no index serves), the
+    // document frequency and the SORTED posting list, top-20 terms by
+    // (df DESC, gram). The comma-joined string form keeps the driver's
+    // column hashing engine-portable (arrays hash engine-specifically).
+    //
+    // Plan shape (100 TB): zero-shuffle KGrams shingling → distinct
+    // (doc_id, gram) hash agg → one gram-keyed agg building df + the
+    // sorted postings; the 1-row corpus count broadcasts. At real scale a
+    // posting list for a frequent term exceeds a single row's practical
+    // size — production indexes shard postings into per-(term, doc-range)
+    // segment rows with delta-encoded ids; this query is the
+    // single-segment build those segments each run, and the df cap +
+    // LIMIT bound the output here.
+    GQ(
+      "q_index_postings",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val pairs = Grams.kgramRows(docs, 3, Seq())
+          .select(col("doc_id"), col("item").as("gram"))
+          .distinct()
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        pairs
+          .groupBy(col("gram"))
+          .agg(
+            count(lit(1)).as("df"),
+            array_join(
+              transform(array_sort(collect_list(col("doc_id"))),
+                _.cast(StringType)),
+              ",").as("postings"))
+          .crossJoin(broadcast(total))
+          .filter(col("df") * lit(2) <= col("n_docs"))
+          .select(col("gram"), col("df"), col("postings"))
+          .orderBy(col("df").desc, col("gram"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+             |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+             |    ELSE [text] END) AS sh FROM documents),
+             |p AS (SELECT doc_id, unnest(sh) AS gram FROM d)
+             |SELECT gram, COUNT(*) AS df,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+             |FROM p GROUP BY gram
+             |HAVING COUNT(*) * 2 <= (SELECT COUNT(*) FROM documents)
+             |ORDER BY df DESC, gram LIMIT 20""".stripMargin)
+    )
+  )
+}
