@@ -22,7 +22,8 @@ object Registry {
       Fingerprint.queries ++
       Curation.queries ++
       BloomPrune.queries ++
-      Retrieval.queries
+      Retrieval.queries ++
+      Layout.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

@@ -54,6 +54,24 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("zvalue: Morton interleave puts x on even bits, y on odd bits") {
+    import spark.implicits._
+    val pairs = Seq((1L, 1L), (2L, 2L), (3L, 2L), (1023L, 0L), (0L, 1023L))
+      .toDF("x", "y")
+    val z = pairs
+      .select(operators.Layout.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // hand-interleaved: (1,1)->0b11, (2,2)->0b1100, (3,2)->0b1101,
+    // (1023,0)->alternating-even = (4^10-1)/3, (0,1023)->twice that
+    assert(z === Seq(3L, 12L, 13L, 349525L, 699050L))
+  }
+
+  test("q_layout_zorder: bucket envelopes cover every row and stay rectangular") {
+    val r = rows("q_layout_zorder")
+    // MiniData keys are tiny (x<=3, y<=2) so all rows share z-bucket 0
+    assert(r === Seq(Seq(0L, 8L, 1L, 3L, 1L, 2L)))
+  }
+
   test("q_agg_skew_salted: salting is invisible — equals the plain aggregation") {
     val r = rows("q_agg_skew_salted")
     assert(r === Seq(
