@@ -78,4 +78,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no WholeStageCodegen span in the final plan:\n$p")
     assert(!p.contains("Window"), s"gram path must stay window-free:\n$p")
   }
+
+  test("q_text_tfidf: df comes from a window, not a df-agg self-join; top-k rank-limits") {
+    val p = plan("q_text_tfidf")
+    // the textbook shape computes df as a second aggregate and joins it
+    // back — one more exchange AND a join; the window form must stay
+    assert(!p.contains("Join"), s"df self-join shape came back:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"expected (doc,word) agg + word window + doc window exchanges, found $exchanges:\n$p")
+    // rank-limit pushdown keeps per-partition state at k rows instead of
+    // sorting whole doc partitions through the final window
+    assert(p.contains("WindowGroupLimit"), s"top-k window lost rank-limit pushdown:\n$p")
+  }
+
+  test("q_index_postings: KGrams generates scan-side — no exchange below the distinct") {
+    val p = plan("q_index_postings")
+    assert(!p.contains("Window"), s"gram window shuffle came back:\n$p")
+    // plan reads bottom-up scan → Generate(kgrams) → partial distinct-agg;
+    // the first exchange must be the (doc_id, gram) distinct, so exactly
+    // two hash exchanges exist (distinct + gram agg) beside the 1-row
+    // count's broadcast
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected distinct + gram-agg exchanges only, found $exchanges:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus count must broadcast into the cap filter:\n$p")
+  }
+
+  test("q_layout_zorder: the interleave stays scan-side under one 256-group agg") {
+    val p = plan("q_layout_zorder")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"z-audit needs exactly the bucket agg exchange:\n$p")
+  }
 }
