@@ -196,6 +196,98 @@ object Aggregates {
              |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
              |    FROM lineitem)
              |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)
+    ),
+    // Bivariate statistics (corr / covar_samp / stddev_samp) per group —
+    // NOT via the built-in double-accumulating aggregates, whose merge
+    // order makes the low bits partitioning-dependent (and whose Welford /
+    // naive formulations differ cross-engine). Instead: the five moment
+    // sums accumulate as EXACT decimals (merge-order-free), and the
+    // statistics are one fixed tree of IEEE ops over their double casts.
+    // The operand pair (l_quantity, l_discount) keeps every unscaled sum
+    // below 2^53 at bench SFs, so the decimal→double cast is exact in both
+    // engines and every later op is bit-determined. (At unbounded SF the
+    // casts round — then emit the exact decimal moments and let the reader
+    // finish; the contract note lives in SURVEY §2.5 R2.)
+    GQ(
+      "q_agg_stats",
+      (s, d) => {
+        val x = C.dec2(col("l_quantity"))
+        val y = C.dec2(col("l_discount"))
+        def dbl(c: String) = col(c).cast("double")
+        val (nd, sx, sy, sxx, sxy, syy) =
+          (dbl("n"), dbl("sx"), dbl("sy"), dbl("sxx"), dbl("sxy"), dbl("syy"))
+        val dxx = nd * sxx - sx * sx
+        val dyy = nd * syy - sy * sy
+        val dxy = nd * sxy - sx * sy
+        Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            (dxy / sqrt(dxx * dyy)).as("corr_qty_disc"),
+            (dxy / (nd * (nd - 1))).as("covar_qty_disc"),
+            sqrt(dxx / (nd * (nd - 1))).as("stddev_qty"),
+            sqrt(dyy / (nd * (nd - 1))).as("stddev_disc"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             |    SUM(CAST(l_discount AS DECIMAL(18,2))) AS sy,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sxy,
+             |    SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS syy
+             |  FROM lineitem GROUP BY 1),
+             |b AS (SELECT l_returnflag, n,
+             |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+             |  FROM a)
+             |SELECT l_returnflag, n,
+             |  (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+             |    AS corr_qty_disc,
+             |  (nd * sxyd - sxd * syd) / (nd * (nd - 1)) AS covar_qty_disc,
+             |  sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - 1))) AS stddev_qty,
+             |  sqrt((nd * syyd - syd * syd) / (nd * (nd - 1))) AS stddev_disc
+             |FROM b ORDER BY l_returnflag""".stripMargin)
+    ),
+    // Mode + exact median per group. Mode is NOT the built-in `mode()`
+    // (tie-breaking is engine-unspecified): most-frequent value with
+    // lowest-value tie-break via a count agg + one row_number window over
+    // the tiny (group × distinct-value) relation. Median is exact linear
+    // interpolation (both engines: a + (b-a)/2 over the two middle values
+    // — exact for the .0/.5 halves integer-valued quantities produce).
+    // Plan at scale: the value-count agg carries |groups × values| rows,
+    // the window runs over that bounded relation, never the corpus.
+    GQ(
+      "q_agg_median_mode",
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+        val wM = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("cnt").desc, col("l_quantity"))
+        val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(wM))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(percentile(col("l_quantity"), lit(0.5)).as("median_qty"))
+        mode.join(med, "l_returnflag").orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |m AS (SELECT l_returnflag, l_quantity AS mode_qty FROM (
+             |    SELECT l_returnflag, l_quantity,
+             |      row_number() OVER (PARTITION BY l_returnflag
+             |        ORDER BY cnt DESC, l_quantity) AS rn
+             |    FROM c) WHERE rn = 1),
+             |md AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+             |  FROM lineitem GROUP BY 1)
+             |SELECT m.l_returnflag, m.mode_qty, md.median_qty
+             |FROM m JOIN md USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
     )
   )
 }

@@ -340,6 +340,43 @@ object Ann {
            |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
       }
     ),
+    // SemDeDup-shape semantic dedup (Abbas et al.): embedding near-dup
+    // candidates come from WITHIN k-means cells only — the corpus is
+    // cell-blocked by the same Lloyd-refined IVF assignment the ANN path
+    // uses, so candidate volume is Σ_cell |cell|²/2 instead of N²/2 (16
+    // cells ≈ a 16× cut here; at 100 TB k grows with N to hold cells at a
+    // target size, keeping per-cell pairs bounded — the standard SemDeDup
+    // recipe). Emits the global top-20 most-similar within-cell pairs,
+    // ranked on the floor-quantized cosine with (a,b) tie-break (R7) and
+    // displayed at 3 dp with sign-zero normalization (R8).
+    GQ(
+      "q_dedup_semantic",
+      (s, d) => {
+        val cents = kmeansCentroids(s, d)
+        val asg = assignTo(s, Tables.t(s, d, "embeddings"), cents)
+        val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+          col("embedding").as("ea"))
+        val b = asg.select(col("cid"), col("vec_id").as("b_id"),
+          col("embedding").as("eb"))
+        a.join(b, "cid").filter(col("a_id") < col("b_id"))
+          .select(col("cid"), col("a_id"), col("b_id"),
+            call_function("cosine_sim", col("ea"), col("eb")).as("c"))
+          .select(col("cid"), col("a_id"), col("b_id"),
+            vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
+          .orderBy(col("cq").desc, col("a_id"), col("b_id"))
+          .limit(20)
+          .select(col("cid"), col("a_id"), col("b_id"), col("cos_sim"))
+      },
+      Some(s"""$sqlAssignCte,
+             |v AS (SELECT a1.cid, a1.vec_id, e.emb
+             |  FROM a1 JOIN e USING (vec_id)),
+             |p AS (SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+             |    (ROUND(${sqlCos("x.emb", "y.emb")}, 3) + 0.0) AS cos_sim,
+             |    ${sqlCosQ("x.emb", "y.emb")} AS cq
+             |  FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+             |SELECT cid, a_id, b_id, cos_sim FROM p
+             |ORDER BY cq DESC, a_id, b_id LIMIT 20""".stripMargin)
+    ),
     // IVF cell statistics via the custom typed UDAF: per-cell vector count
     // and the exact-math centroid (graft.functions.VectorCentroid — the
     // k-means refinement aggregation). The centroid accumulates quantized

@@ -146,6 +146,68 @@ object Curation {
              |  CAST(max_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_share
              |FROM a ORDER BY doc_id""".stripMargin)
     ),
+    // DSIR-style domain-affinity scoring (hashed n-gram importance
+    // weighting, per Xie et al.'s data-selection recipe re-expressed as
+    // exact integer math): word bigrams hash into 1024 buckets (h60 —
+    // cross-engine basis); a bucket is TARGET-ENRICHED when its target-
+    // domain (lang='en') occurrence share exceeds the corpus share, by
+    // exact integer cross-multiplication (tgt·TOT > tot·TGT — no
+    // log-likelihood doubles whose accumulation order could drift); a
+    // doc's affinity is the fraction of its bigram occurrences landing in
+    // enriched buckets — ONE IEEE division of two exact ints (R7).
+    // Plan at scale: gram hashing is scan-side (KGrams, zero shuffles);
+    // the bucket stats relation is 1024 rows (broadcast both ways); the
+    // only corpus-sized shuffle is the per-doc agg keyed on doc_id. The
+    // long cross-products hold to ~4e9 grams per side; past that the
+    // comparison lifts to DECIMAL unchanged.
+    GQ(
+      "q_dsir_affinity",
+      (s, d) => {
+        val grams = Grams
+          .kgramRows(Tables.t(s, d, "documents"), 2, Seq("lang"))
+          .select(col("doc_id"), col("lang"),
+            pmod(XHash.h60(col("item")), lit(1024L)).as("b"))
+        val stats = grams.groupBy(col("b")).agg(
+          count(lit(1)).as("tot"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt"))
+        val totals = stats.agg(
+          sum(col("tot")).as("tot_all"), sum(col("tgt")).as("tgt_all"))
+        val enriched = stats.crossJoin(broadcast(totals))
+          .select(col("b"),
+            (col("tgt") * col("tot_all") > col("tot") * col("tgt_all"))
+              .as("enr"))
+        grams.join(broadcast(enriched), "b")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("enr"), 1L).otherwise(0L)).as("n_enriched"))
+          .select(col("doc_id"), col("n_grams"), col("n_enriched"),
+            (col("n_enriched").cast(DoubleType) /
+              col("n_grams").cast(DoubleType)).as("affinity"))
+          .orderBy(col("affinity").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH ws AS (SELECT doc_id, lang, text,
+             |    string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+             |    THEN list_transform(range(1, len(w)),
+             |         i -> array_to_string(w[i:i+1], ' '))
+             |    ELSE [text] END) AS item FROM ws),
+             |bk AS (SELECT doc_id, lang,
+             |    ${XHash.sqlH60("item")} % 1024 AS b FROM g),
+             |st AS (SELECT b, COUNT(*) AS tot,
+             |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+             |  FROM bk GROUP BY 1),
+             |t AS (SELECT CAST(SUM(tot) AS BIGINT) AS tot_all,
+             |    CAST(SUM(tgt) AS BIGINT) AS tgt_all FROM st),
+             |en AS (SELECT b, (tgt * tot_all > tot * tgt_all) AS enr FROM st, t),
+             |p AS (SELECT doc_id, COUNT(*) AS n_grams,
+             |    CAST(SUM(CASE WHEN enr THEN 1 ELSE 0 END) AS BIGINT) AS n_enriched
+             |  FROM bk JOIN en USING (b) GROUP BY 1)
+             |SELECT doc_id, n_grams, n_enriched,
+             |  CAST(n_enriched AS DOUBLE) / CAST(n_grams AS DOUBLE) AS affinity
+             |FROM p ORDER BY affinity DESC, doc_id LIMIT 20""".stripMargin)
+    ),
     // Exact-duplicate cluster report: one row per duplicate group (same
     // text), with the canonical survivor (min doc_id) and the group size —
     // the accounting view a dedup pass emits alongside the retained corpus

@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
 object EventsOps {
 
   private val NanosPerHour = 3600L * 1000 * 1000 * 1000
+  private val NanosPerDay = 24L * NanosPerHour
 
   /** Gaps-and-islands session assignment, per EVENT: every event row tagged
     * with its (user_id, sid) 30-min-gap session — the shared core under
@@ -271,6 +272,171 @@ object EventsOps {
              |  CAST(COUNT(*) - 1 AS BIGINT) AS n_dupes
              |FROM r GROUP BY user_id, sid, event_type
              |ORDER BY user_id, sid, event_type""".stripMargin)
+    ),
+    // Ordered conversion funnel (signup → view → click → purchase): each
+    // stage keeps users whose earliest qualifying event strictly FOLLOWS
+    // their previous-stage time — the event-sequence query every product/
+    // telemetry warehouse runs. Shape: one conditional-filter aggregation
+    // per stage, every join and groupBy keyed on user_id, so all four
+    // stages ride the SAME hash partitioning (exchange reuse; at 100 TB
+    // the event scan dominates and nothing ever shuffles on a wider key).
+    // Time comparisons are exact nanos longs (R5).
+    GQ(
+      "q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def first(df: DataFrame, typ: String, out: String): DataFrame =
+          df.filter(col("event_type") === typ)
+            .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+        val s1 = first(ev, "signup", "t1")
+        val s2 = first(ev.join(s1, "user_id").filter(col("ts") > col("t1")),
+          "view", "t2")
+        val s3 = first(ev.join(s2, "user_id").filter(col("ts") > col("t2")),
+          "click", "t3")
+        val s4 = first(ev.join(s3, "user_id").filter(col("ts") > col("t3")),
+          "purchase", "t4")
+        Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
+          "4_purchase" -> s4)
+          .map { case (nm, df) =>
+            df.agg(count(lit(1)).as("n_users"))
+              .select(lit(nm).as("stage"), col("n_users"))
+          }
+          .reduce(_.unionAll(_))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             |  JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, MIN(e.ts) AS t4 FROM events e
+             |  JOIN s3 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY 1)
+             |SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+             |UNION ALL SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+             |UNION ALL SELECT '3_click', CAST(COUNT(*) AS BIGINT) FROM s3
+             |UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+             |ORDER BY stage""".stripMargin)
+    ),
+    // Cohort retention: users grouped by first-activity week, distinct
+    // actives counted per week offset — the second standard event-sequence
+    // report. All bucketing is exact integer division over epoch nanos
+    // (day = ts DIV 86.4e12, week = day DIV 7; R5). Plan: per-user min
+    // (one agg), join back keyed on user_id (same partitioning), distinct
+    // on (user, cohort, offset) then a tiny matrix agg — at 100 TB the
+    // distinct is the only corpus-sized shuffle and it is keyed as
+    // narrowly as the semantics allow.
+    GQ(
+      "q_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts DIV $NanosPerDay").as("day"))
+        val firstDay = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        ev.join(firstDay, "user_id")
+          .select(
+            col("user_id"),
+            expr("cohort_day DIV 7").as("cohort_week"),
+            expr("(day - cohort_day) DIV 7").as("week_offset"))
+          .distinct()
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_ns(ts) // $NanosPerDay AS day
+             |  FROM events),
+             |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1),
+             |a AS (SELECT DISTINCT e.user_id, f.cohort_day // 7 AS cohort_week,
+             |    (e.day - f.cohort_day) // 7 AS week_offset
+             |  FROM e JOIN f USING (user_id))
+             |SELECT cohort_week, week_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+    // Time-series gap fill: the hourly per-type series densified over the
+    // full observed hour range (sequence + explode builds the grid — types
+    // × hours, tiny vs the corpus) with missing buckets carried forward by
+    // a last-non-null window (IGNORE NULLS). Gap hours report cnt=0 and
+    // the last seen sum; leading gaps stay NULL. The carry-forward runs
+    // over exact decimal sums and casts to DOUBLE once at the end (R2).
+    // At 100 TB the grid is |types| × |hours| — never corpus-sized — and
+    // the window partitions by type over it, not over raw events.
+    GQ(
+      "q_time_gapfill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), expr(s"ts DIV $NanosPerHour").as("b"),
+            C.dec2(col("value")).as("v"))
+        val agg = ev.groupBy(col("event_type"), col("b"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
+        val bounds = ev.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+        val grid = ev.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(sequence(col("b0"), col("b1"))).as("b"))
+        val wFill = Window.partitionBy(col("event_type")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(agg, Seq("event_type", "b"), "left")
+          .select(
+            col("event_type"), (col("b") * 3600).as("epoch_s"),
+            coalesce(col("cnt"), lit(0L)).as("cnt"),
+            last(col("sv"), ignoreNulls = true).over(wFill)
+              .cast(DoubleType).as("filled_sum"))
+          .orderBy(col("event_type"), col("epoch_s"))
+      },
+      Some(s"""WITH ev AS (SELECT event_type, epoch_ns(ts) // $NanosPerHour AS b,
+             |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+             |agg AS (SELECT event_type, b, COUNT(*) AS cnt, SUM(v) AS sv
+             |  FROM ev GROUP BY 1, 2),
+             |bounds AS (SELECT MIN(b) AS b0, MAX(b) AS b1 FROM ev),
+             |types AS (SELECT DISTINCT event_type FROM ev),
+             |grid AS (SELECT event_type, unnest(generate_series(b0, b1)) AS b
+             |  FROM types, bounds)
+             |SELECT g.event_type, g.b * 3600 AS epoch_s,
+             |  CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+             |  CAST(last_value(a.sv IGNORE NULLS) OVER (
+             |    PARTITION BY g.event_type ORDER BY g.b
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS filled_sum
+             |FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.b = a.b
+             |ORDER BY g.event_type, epoch_s""".stripMargin)
+    ),
+    // IGNORE NULLS window navigation: per user in event order, the most
+    // recent and the next purchase-props value — the standard
+    // carry-forward/backward pair (last_value/first_value IGNORE NULLS,
+    // identical frame semantics in both engines; lag/lead IGNORE NULLS
+    // offset semantics differ subtly across engines, so the declared
+    // surface pins the frame-based pair). One window shuffle on user_id.
+    GQ(
+      "q_window_ignore_nulls",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        Tables.events(s, d)
+          .withColumn("k",
+            when(col("event_type") === "purchase",
+              get_json_object(col("props"), "$.k").cast(IntegerType)))
+          .select(
+            col("user_id"), col("event_id"),
+            last(col("k"), ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("last_k"),
+            first(col("k"), ignoreNulls = true)
+              .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+              .as("next_k"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+             |  CASE WHEN event_type = 'purchase'
+             |    THEN CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS INTEGER)
+             |  END AS k FROM events)
+             |SELECT user_id, event_id,
+             |  last_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_k,
+             |  first_value(k IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_k
+             |FROM e ORDER BY user_id, event_id""".stripMargin)
     ),
     // HLL sketch values are engine-specific ⇒ no cross-engine oracle
     // (driver records rows-only). Built-in HLL++ is the idiomatic path...

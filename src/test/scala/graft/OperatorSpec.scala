@@ -110,6 +110,100 @@ class OperatorSpec extends AnyFunSuite {
       Seq(12L, 1L, "signup", 5L, 0L)))
   }
 
+  test("q_funnel: only user 12 signs up, and converts no further") {
+    // MiniData: signup = e5 (user 12), who has no later view/click/purchase
+    assert(rows("q_funnel") === Seq(
+      Seq("1_signup", 1L), Seq("2_view", 0L),
+      Seq("3_click", 0L), Seq("4_purchase", 0L)))
+  }
+
+  test("q_cohort_retention: all three users cohort on day 19723, offset 0") {
+    // 1704067200 s = day 19723 = week 2817; both hour buckets land in it
+    assert(rows("q_cohort_retention") === Seq(Seq(2817L, 0L, 3L)))
+  }
+
+  test("q_time_gapfill: dense 2-hour grid, carry-forward fills the gaps") {
+    // hours 473352/473353; click+error only in h0 (carried into h1),
+    // signup+view only in h1 (leading gap stays null), purchase in both
+    assert(rows("q_time_gapfill") === Seq(
+      Seq("click", 1704067200L, 1L, 0.25),
+      Seq("click", 1704070800L, 0L, 0.25),
+      Seq("error", 1704067200L, 1L, 1.5),
+      Seq("error", 1704070800L, 0L, 1.5),
+      Seq("purchase", 1704067200L, 1L, 185.22),
+      Seq("purchase", 1704070800L, 1L, 99.99),
+      Seq("signup", 1704067200L, 0L, null),
+      Seq("signup", 1704070800L, 1L, 0.0),
+      Seq("view", 1704067200L, 0L, null),
+      Seq("view", 1704070800L, 1L, 2.75)))
+  }
+
+  test("q_window_ignore_nulls: purchase-k carried forward and backward") {
+    // purchases: e1 (user 10, k=7), e6 (user 11, k=3); all other ks null
+    assert(rows("q_window_ignore_nulls") === Seq(
+      Seq(10L, 1L, 7, 7), Seq(10L, 2L, 7, null), Seq(10L, 4L, 7, null),
+      Seq(11L, 3L, null, 3), Seq(11L, 6L, 3, 3),
+      Seq(12L, 5L, null, null)))
+  }
+
+  test("q_agg_stats: moments from exact decimal sums, stats from one IEEE tree") {
+    // hand-derived moment sums per flag (quantity, discount):
+    //   A: n=2 sx=91 sy=0.19 sxx=4321   sxy=8.55 syy=0.0181
+    //   N: n=2 sx=43 sy=0.01 sxx=1609   sxy=0.03 syy=0.0001
+    //   R: n=4 sx=85 sy=0.20 sxx=2155   sxy=3.77 syy=0.0114
+    // expected values re-derived here through the SAME double-op tree the
+    // query declares, from exact-sum literals — pins the formula, and any
+    // accumulation-order drift in the engine would break the equality
+    def stats(n: Double, sx: Double, sy: Double, sxx: Double, sxy: Double,
+        syy: Double): Seq[Double] = {
+      val (dxx, dyy, dxy) =
+        (n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy)
+      Seq(dxy / math.sqrt(dxx * dyy), dxy / (n * (n - 1)),
+        math.sqrt(dxx / (n * (n - 1))), math.sqrt(dyy / (n * (n - 1))))
+    }
+    assert(rows("q_agg_stats") === Seq(
+      Seq[Any]("A", 2L) ++ stats(2, 91, 0.19, 4321, 8.55, 0.0181),
+      Seq[Any]("N", 2L) ++ stats(2, 43, 0.01, 1609, 0.03, 0.0001),
+      Seq[Any]("R", 4L) ++ stats(4, 85, 0.20, 2155, 3.77, 0.0114)))
+  }
+
+  test("q_agg_median_mode: lowest-value mode tie-break, interpolated median") {
+    // A: qtys {36,55} tie -> mode 36, median 45.5; N: {40,3} -> 3, 21.5;
+    // R: {17,8,31,29} all once -> 8, median (17+29)/2 = 23
+    assert(rows("q_agg_median_mode") === Seq(
+      Seq("A", 36.0, 45.5), Seq("N", 3.0, 21.5), Seq("R", 8.0, 23.0)))
+  }
+
+  test("q_dsir_affinity: gram counts per doc, affinity is the exact ratio") {
+    // bigram occurrence counts are hand-derivable (words-1, short doc -> 1):
+    // docs 1..6 have 6,6,8,8,2,6 words -> 5,5,7,7,1,5 bigrams; affinity
+    // must equal n_enriched/n_grams bit-exactly and sort descending
+    // (enrichment itself depends on md5 bucket collisions — pinned by the
+    // DuckDB oracle at the sf levels, not hand-derivable here)
+    import org.apache.spark.sql.Row
+    val out = Registry.byName("q_dsir_affinity").run(spark, dir).collect()
+    val expectedGrams = Map(1L -> 5L, 2L -> 5L, 3L -> 7L, 4L -> 7L,
+      5L -> 1L, 6L -> 5L)
+    assert(out.map(_.getLong(0)).toSet === expectedGrams.keySet)
+    out.foreach { case Row(id: Long, n: Long, e: Long, aff: Double) =>
+      assert(n === expectedGrams(id))
+      assert(e >= 0L && e <= n)
+      assert(aff === e.toDouble / n.toDouble)
+    }
+    val affs = out.map(_.getDouble(3))
+    assert(affs.zip(affs.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q_dedup_semantic: within-cell pairs only, ordered ids") {
+    // MiniData's 4-dim vectors exercise the plan shape (value-level
+    // correctness is the DuckDB oracle's job on the real 64-dim corpora):
+    // every emitted pair must come from one shared cell with a_id < b_id
+    import org.apache.spark.sql.Row
+    val out = Registry.byName("q_dedup_semantic").run(spark, dir).collect()
+    out.foreach { case Row(_, a: Long, b: Long, _) => assert(a < b) }
+    assert(out.length <= 20)
+  }
+
   test("componentLabels: empty edge set yields empty labels, no NPE") {
     // round-3 ADVICE: labelSum on an empty relation returned null and the
     // first compareTo threw — the coalesce-to-zero path must converge to
