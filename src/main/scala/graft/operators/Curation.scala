@@ -167,9 +167,13 @@ object Curation {
           .kgramRows(Tables.t(s, d, "documents"), 2, Seq("lang"))
           .select(col("doc_id"), col("lang"),
             pmod(XHash.h60(col("item")), lit(1024L)).as("b"))
-        val stats = grams.groupBy(col("b")).agg(
-          count(lit(1)).as("tot"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt"))
+        // 1024-row relation; persisted so the totals rollup and the
+        // enrichment projection share ONE gram scan+agg — unpersisted,
+        // each consumer re-executes the full corpus gram pipeline
+        val stats = graft.Caches.persist(
+          grams.groupBy(col("b")).agg(
+            count(lit(1)).as("tot"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt")))
         val totals = stats.agg(
           sum(col("tot")).as("tot_all"), sum(col("tgt")).as("tgt_all"))
         val enriched = stats.crossJoin(broadcast(totals))

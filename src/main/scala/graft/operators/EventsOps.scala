@@ -273,35 +273,48 @@ object EventsOps {
              |FROM r GROUP BY user_id, sid, event_type
              |ORDER BY user_id, sid, event_type""".stripMargin)
     ),
-    // Ordered conversion funnel (signup → view → click → purchase): each
-    // stage keeps users whose earliest qualifying event strictly FOLLOWS
-    // their previous-stage time — the event-sequence query every product/
-    // telemetry warehouse runs. Shape: one conditional-filter aggregation
-    // per stage, every join and groupBy keyed on user_id, so all four
-    // stages ride the SAME hash partitioning (exchange reuse; at 100 TB
-    // the event scan dominates and nothing ever shuffles on a wider key).
-    // Time comparisons are exact nanos longs (R5).
+    // Ordered conversion funnel (signup → view → click → purchase): a user
+    // completes stage k at the earliest stage-k event strictly AFTER their
+    // stage-(k−1) completion — the event-sequence query every product/
+    // telemetry warehouse runs. Single-scan shape: stage-completion times
+    // chain through stacked `min(...) OVER (RANGE UNBOUNDED PRECEDING..-1)`
+    // windows — the exact-nanos range frame (R5) enforces STRICTLY-earlier,
+    // and "earliest valid previous-stage event exists" ⟺ "this event
+    // extends the chain" (greedy earliest-first matching is optimal for
+    // subsequence tests). All windows and the per-user rollup share ONE
+    // user_id exchange and ONE sort, so the whole funnel costs a single
+    // shuffle of the scan — the naive per-stage join chain scans the
+    // events 1+2+3+4 times (each stage's lineage re-executes per branch)
+    // and shuffles four times; the oracle keeps that direct form.
     GQ(
       "q_funnel",
       (s, d) => {
-        val ev = Tables.events(s, d)
-        def first(df: DataFrame, typ: String, out: String): DataFrame =
-          df.filter(col("event_type") === typ)
-            .groupBy(col("user_id")).agg(min(col("ts")).as(out))
-        val s1 = first(ev, "signup", "t1")
-        val s2 = first(ev.join(s1, "user_id").filter(col("ts") > col("t1")),
-          "view", "t2")
-        val s3 = first(ev.join(s2, "user_id").filter(col("ts") > col("t2")),
-          "click", "t3")
-        val s4 = first(ev.join(s3, "user_id").filter(col("ts") > col("t3")),
-          "purchase", "t4")
-        Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3,
-          "4_purchase" -> s4)
-          .map { case (nm, df) =>
-            df.agg(count(lit(1)).as("n_users"))
-              .select(lit(nm).as("stage"), col("n_users"))
-          }
-          .reduce(_.unionAll(_))
+        val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val staged = Tables.events(s, d)
+          .withColumn("t1r",
+            min(when(col("event_type") === "signup", col("ts"))).over(wPrev))
+          .withColumn("v2",
+            when(col("event_type") === "view" && col("t1r").isNotNull, col("ts")))
+          .withColumn("t2r", min(col("v2")).over(wPrev))
+          .withColumn("v3",
+            when(col("event_type") === "click" && col("t2r").isNotNull, col("ts")))
+          .withColumn("t3r", min(col("v3")).over(wPrev))
+          .withColumn("v4",
+            when(col("event_type") === "purchase" && col("t3r").isNotNull, col("ts")))
+        staged.groupBy(col("user_id"))
+          .agg(
+            count(when(col("event_type") === "signup", lit(1))).as("n1"),
+            count(col("v2")).as("n2"), count(col("v3")).as("n3"),
+            count(col("v4")).as("n4"))
+          .agg(
+            count(when(col("n1") > 0, lit(1))).as("c1"),
+            count(when(col("n2") > 0, lit(1))).as("c2"),
+            count(when(col("n3") > 0, lit(1))).as("c3"),
+            count(when(col("n4") > 0, lit(1))).as("c4"))
+          .select(expr(
+            """stack(4, '1_signup', c1, '2_view', c2,
+              |'3_click', c3, '4_purchase', c4) AS (stage, n_users)""".stripMargin))
           .orderBy(col("stage"))
       },
       Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
