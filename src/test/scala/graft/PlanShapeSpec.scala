@@ -106,6 +106,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus count must broadcast into the cap filter:\n$p")
   }
 
+  test("q_funnel: one events scan, one user_id exchange under the windows") {
+    // round 4 rework: the per-stage join chain re-executed each stage's
+    // lineage per union branch (1+2+3+4 scans, four shuffles); the window
+    // form must keep exactly one scan and one hash exchange (plus the
+    // single-row global-agg gather, which partitions to 1, not by hash)
+    val p = plan("q_funnel")
+    assert(!p.contains("Join"), s"per-stage join chain came back:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"funnel must scan events once, found $scans:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected only the user_id window/agg exchange, found $exchanges:\n$p")
+  }
+
+  test("q_dsir_affinity: bucket stats broadcast; doc agg is the only wide exchange") {
+    val p = plan("q_dsir_affinity")
+    // the 1024-row enrichment relation must reach the gram stream as a
+    // broadcast — a hash-join here would shuffle every gram occurrence
+    assert(p.contains("BroadcastHashJoin"),
+      s"enrichment must broadcast into the gram stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram-side shuffle join is the anti-pattern this plan avoids:\n$p")
+  }
+
+  test("q_dedup_semantic: cell assignment is scan-side — no exchange below the cell join inputs") {
+    // both join inputs are projections of the same scan (argmax over lit()
+    // centroids); any Exchange or Window below the join means assignment
+    // regressed to the crossJoin/row_number shape
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("Window"), s"assignment must not use a rank window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan lost:\n$p")
+  }
+
   test("q_layout_zorder: the interleave stays scan-side under one 256-group agg") {
     val p = plan("q_layout_zorder")
     assert(!p.contains("Join") && !p.contains("Window"), p)
