@@ -146,6 +146,81 @@ object Curation {
              |  CAST(max_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_share
              |FROM a ORDER BY doc_id""".stripMargin)
     ),
+    // Pretraining sequence packing accounting (concat-then-chunk, the GPT
+    // recipe: per language stream, documents concatenate in doc_id order
+    // and split into fixed 512-token chunks): per doc, the chunk index
+    // range it lands in, from an exact-integer prefix sum over whitespace
+    // token counts. One window shuffle keyed on lang; chunk ids are pure
+    // integer division of the running sum — deterministic on any cluster,
+    // so shards can be packed independently and stitched by offset.
+    GQ(
+      "q_pack_chunks",
+      (s, d) => {
+        val Cap = 512L
+        val wCum = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, d, "documents")
+          .select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(wCum))
+          .select(col("lang"), col("doc_id"), col("n_tok"),
+            expr(s"(cum - n_tok) DIV $Cap").as("chunk_first"),
+            expr(s"(cum - 1) DIV $Cap").as("chunk_last"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT lang, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT lang, doc_id, n_tok,
+             |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+             |SELECT lang, doc_id, n_tok,
+             |  CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_first,
+             |  CAST((cum - 1) // 512 AS BIGINT) AS chunk_last
+             |FROM c ORDER BY lang, doc_id""".stripMargin)
+    ),
+    // Domain-mixture reweighting (DoReMi-lite accounting): per language,
+    // the deterministic downsampling rate that moves the corpus toward a
+    // UNIFORM per-language token budget — rate = min(1, target/actual)
+    // with target = total_tokens/n_langs. Exact integer token counts; the
+    // rate is a fixed two-division IEEE tree over exact ints (R7), and the
+    // expected-kept-tokens floor is integer-exact both engines. The
+    // per-lang relation is tiny (broadcast of the 1-row totals); the only
+    // corpus work is the token-count scan + lang agg.
+    GQ(
+      "q_mix_weights",
+      (s, d) => {
+        val perLang = Tables.t(s, d, "documents")
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+        val totals = perLang.agg(
+          sum(col("toks")).as("total_toks"), count(lit(1)).as("n_langs"))
+        perLang.crossJoin(broadcast(totals))
+          .select(col("lang"), col("n_docs"), col("toks"),
+            least(lit(1.0),
+              (col("total_toks").cast(DoubleType) / col("n_langs").cast(DoubleType))
+                / col("toks").cast(DoubleType)).as("rate"))
+          .withColumn("kept_toks",
+            floor(col("toks").cast(DoubleType) * col("rate")).cast(LongType))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT lang,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |pl AS (SELECT lang, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_tok) AS BIGINT) AS toks FROM t GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks,
+             |    COUNT(*) AS n_langs FROM pl)
+             |SELECT lang, n_docs, toks,
+             |  least(1.0, (CAST(total_toks AS DOUBLE) / CAST(n_langs AS DOUBLE))
+             |    / CAST(toks AS DOUBLE)) AS rate,
+             |  CAST(floor(CAST(toks AS DOUBLE) *
+             |    least(1.0, (CAST(total_toks AS DOUBLE) / CAST(n_langs AS DOUBLE))
+             |      / CAST(toks AS DOUBLE))) AS BIGINT) AS kept_toks
+             |FROM pl, tt ORDER BY lang""".stripMargin)
+    ),
     // DSIR-style domain-affinity scoring (hashed n-gram importance
     // weighting, per Xie et al.'s data-selection recipe re-expressed as
     // exact integer math): word bigrams hash into 1024 buckets (h60 —

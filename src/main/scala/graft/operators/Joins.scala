@@ -197,6 +197,56 @@ object Joins {
              |  WHERE o.o_custkey = c.c_custkey
              |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
              |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+    ),
+    // MERGE / upsert (the CDC-apply shape: `MERGE INTO base USING changes
+    // ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`), composed as a
+    // full-outer join + per-column coalesce — the engine-agnostic batch
+    // form that a lakehouse MERGE compiles to. The change set here derives
+    // deterministically from the base (every 7th key re-prices +10% and
+    // flags status 'X'; every 97th key inserts a fresh key above the base
+    // range), so the op is self-contained on the driver tables. Money math
+    // stays exact: DECIMAL(18,2) × DECIMAL(2,1) is exact in both engines,
+    // cast to DOUBLE once on output (R2). Plan at scale: one shuffle of
+    // each side on the merge key (changes are typically ≪ base and
+    // broadcast; AQE decides here), coalesce is a projection.
+    GQ(
+      "q_merge_upsert",
+      (s, d) => {
+        val base = Tables.t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("b_status"),
+            C.dec2(col("o_totalprice")).as("b_price"))
+        val orders = Tables.t(s, d, "orders")
+        val updates = orders.filter(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .select(col("o_orderkey").as("k"), lit("X").as("c_status"),
+            (C.dec2(col("o_totalprice")) * lit(BigDecimal("1.1")).cast("decimal(2,1)"))
+              .as("c_price"))
+        val inserts = orders.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
+          .select((col("o_orderkey") + 10000000L).as("k"), lit("I").as("c_status"),
+            C.dec2(col("o_totalprice")).cast("decimal(21,3)").as("c_price"))
+        base.join(updates.unionByName(inserts), Seq("k"), "full_outer")
+          .select(col("k").as("o_orderkey"),
+            coalesce(col("c_status"), col("b_status")).as("status"),
+            coalesce(col("c_price"), col("b_price").cast("decimal(21,3)"))
+              .cast("double").as("totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS b_status,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS b_price FROM orders),
+             |ch AS (
+             |  SELECT o_orderkey AS k, 'X' AS c_status,
+             |      CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+             |        AS c_price
+             |    FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, 'I',
+             |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+             |    FROM orders WHERE o_orderkey % 97 = 0)
+             |SELECT COALESCE(base.k, ch.k) AS o_orderkey,
+             |  COALESCE(ch.c_status, base.b_status) AS status,
+             |  CAST(COALESCE(ch.c_price, CAST(base.b_price AS DECIMAL(21,3)))
+             |    AS DOUBLE) AS totalprice
+             |FROM base FULL OUTER JOIN ch ON base.k = ch.k
+             |ORDER BY o_orderkey""".stripMargin)
     )
   )
 }

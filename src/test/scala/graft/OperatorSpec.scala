@@ -204,6 +204,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.length <= 20)
   }
 
+  test("q_pack_chunks: exact prefix-sum chunk spans per language stream") {
+    // word counts: de docs 3,6 -> 8,6; en docs 1,2,5 -> 6,6,2; es doc 4 -> 8;
+    // all streams far below the 512 cap -> every doc lands in chunk 0
+    assert(rows("q_pack_chunks") === Seq(
+      Seq("de", 3L, 8L, 0L, 0L), Seq("de", 6L, 6L, 0L, 0L),
+      Seq("en", 1L, 6L, 0L, 0L), Seq("en", 2L, 6L, 0L, 0L),
+      Seq("en", 5L, 2L, 0L, 0L),
+      Seq("es", 4L, 8L, 0L, 0L)))
+  }
+
+  test("q_mix_weights: uniform token target, rate capped at 1") {
+    // tokens: de=14 en=14 es=8, total=36 over 3 langs -> target 12.0;
+    // expected values derived through the same fixed IEEE tree the query
+    // declares (floor(toks*rate) rides the rounded double, not exact 12)
+    val rDe = math.min(1.0, (36.0 / 3.0) / 14.0)
+    val keptDe = math.floor(14.0 * rDe).toLong
+    assert(rows("q_mix_weights") === Seq(
+      Seq("de", 2L, 14L, rDe, keptDe),
+      Seq("en", 3L, 14L, rDe, keptDe),
+      Seq("es", 1L, 8L, 1.0, 8L)))
+  }
+
+  test("q_merge_upsert: matched key re-priced, unmatched base passes through") {
+    // only key 105 is a multiple of 7 (update -> 'X', 750.75*1.1 = 825.825);
+    // no key is a multiple of 97 (no inserts)
+    assert(rows("q_merge_upsert") === Seq(
+      Seq(100L, "F", 1000.50), Seq(101L, "O", 2000.25),
+      Seq(102L, "F", 1500.00), Seq(103L, "P", 300.10),
+      Seq(104L, "O", 1000.50), Seq(105L, "X", 825.825)))
+  }
+
   test("componentLabels: empty edge set yields empty labels, no NPE") {
     // round-3 ADVICE: labelSum on an empty relation returned null and the
     // first compareTo threw — the coalesce-to-zero path must converge to
