@@ -60,6 +60,22 @@ object Ann {
     * quantize the same double differently at a half boundary. */
   private val CosQuantScale = 1e12
 
+  /** PQ geometry: M subspaces of Dim/M dims, [[PqCodebook]] codewords per
+    * subspace. Chosen by a measured recall sweep on the driver data (DuckDB
+    * replay, sf0.001): (M=8,Ks=16)→0.13, (16,16)→0.33, (16,64)→0.40,
+    * (32,64)→0.60, (64,128)→0.87 — uniform random 64-dim vectors are PQ's
+    * WORST case (no manifold structure, concentrated distances), so recall
+    * buys code width almost linearly. (16,64) is the codegen-friendly knee:
+    * 1024 four-dim distance expressions per row — the same op count as the
+    * existing 16×64-dim cosine machinery — where (32,64)+ risks the >64KB
+    * generated-method interpreter fallback round 3 closed out. Subspace
+    * squared distances quantize at this scale to BIGINT BEFORE the integer
+    * ADC sum (see q_sim_ann_pq — exactness by identical op trees, not
+    * quantized-tie luck). */
+  private val NumSubspaces = 16
+  private val PqCodebook = 64
+  private val D2QuantScale = 1e12
+
   /** Fixed pseudo-random hyperplanes for sign-LSH (splitmix walk, seed
     * distinct from the MinHash coefficients — deterministic across JVMs);
     * component values uniform in [-1, 1]. Driver-side constants: they enter
@@ -175,17 +191,21 @@ object Ann {
         col("vec_id"), col("embedding"),
         (lit(NumCentroids - 1) - col("p")("fc")).cast("bigint").as("cid"))
 
-  /** First-16 seeds (deterministic: vec_id < 16, pushdown-pruned scan of 16
-    * rows). At 100 TB seeds would come from a tiny `sample(seed)` — the
-    * collect is 16 rows either way. */
-  private def seedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
+  /** First-n seed vectors (deterministic: vec_id < n, pushdown-pruned scan
+    * of n rows). At 100 TB seeds would come from a tiny `sample(seed)` —
+    * the collect is n (16 or 64) rows either way. */
+  private def firstVectors(
+      s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
     Tables.t(s, d, "embeddings")
-      .filter(col("vec_id") < NumCentroids)
+      .filter(col("vec_id") < n)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
       .sortBy(_._1)
       .toSeq
+
+  private def seedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
+    firstVectors(s, d, NumCentroids)
 
   /** One deterministic Lloyd iteration: assign to the seeds, recompute each
     * cell's exact-math centroid ([[VectorCentroid]] — quantized-long sums,
@@ -417,6 +437,193 @@ object Ann {
              |  ROUND(sqrt(list_reduce(list_prepend(0.0, cent),
              |    (a, x) -> a + x * x)), 3) AS centroid_norm
              |FROM c2 ORDER BY cid""".stripMargin)
+    ),
+    // PRODUCT QUANTIZATION ANN (Jégou et al., TPAMI'11) — the memory-bound
+    // scale path beside IVF/LSH: each vector is compressed to M=16
+    // codebook ids (6 bits each at Ks=64 ⇒ 12 B/vector vs 256 B of float32
+    // — a 21× compression that lets a 100 TB corpus's index fit a
+    // cluster's RAM), and queries score candidates by ASYMMETRIC DISTANCE
+    // (ADC): approx d² = Σ_m table[m][code_m], a per-query 16×64 lookup
+    // table of exact subspace distances to every codeword. Codebooks are
+    // LLOYD-TRAINED per subspace, one deterministic iteration from the
+    // first-64 seed subvectors (the IVF coarse quantizer's recipe):
+    // assign every subvector to its nearest seed codeword, recompute each
+    // codeword as the exact-math mean of its cell (quantized-long per-dim
+    // sums — merge-order-free, VectorCentroid semantics), re-encode.
+    // Plan shape: encode is ONE corpus projection computing all 16 argmin
+    // codes (1024 codegen'd 4-dim distances against lit() constants — no
+    // join, no shuffle); training adds one explode + 1024-group aggregation
+    // (the shuffle carries 16 rows per vector, collected as ≤1024
+    // codewords);
+    // ADC is a projection over driver-side lut arrays, and the only other
+    // exchange is the per-query top-k window. Cross-engine exactness BY
+    // CONSTRUCTION rather than by quantized-tie luck: every subspace d² is
+    // the SAME left-associative 8-term IEEE sum in Spark codegen, DuckDB
+    // SQL, and the driver-side lut fold (identical op trees over identical
+    // doubles — float→double widening is exact), quantized to BIGINT at
+    // 1e12 BEFORE the integer ADC sum, so ranking never rides on FP merge
+    // order. Display approx_d2 = one division of the exact integer.
+    // Geometry (M=16, Ks=64) is the measured codegen-friendly knee — see
+    // the NumSubspaces sweep note; uniform random data is PQ's worst case,
+    // and the recall eval in AnnSpec tracks it.
+    GQ(
+      "q_sim_ann_pq",
+      (s, d) => {
+        val seeds = firstVectors(s, d, PqCodebook)
+        val dim = seeds.head._2.length
+        val subDim = if (dim % NumSubspaces == 0) dim / NumSubspaces else 1
+        val mCount = dim / subDim
+        // subspace d² against a codeword given as i -> component (absolute
+        // index into the full vector); identical left-assoc term tree in
+        // Spark, SQL, and Scala
+        def d2q(emb: Column, at: Int => Double, m: Int): Column = {
+          val terms = (m * subDim until (m + 1) * subDim).map { i =>
+            val diff = element_at(emb, i + 1).cast("double") - lit(at(i))
+            diff * diff
+          }
+          floor(terms.reduce(_ + _) * lit(D2QuantScale)).cast("bigint")
+        }
+        def d2qScala(a: Array[Float], at: Int => Double, m: Int): Long = {
+          var acc = 0.0
+          var i = m * subDim
+          while (i < (m + 1) * subDim) {
+            val diff = a(i).toDouble - at(i)
+            acc += diff * diff
+            i += 1
+          }
+          math.floor(acc * D2QuantScale).toLong
+        }
+        def codeCols(cw: (Int, Int) => Int => Double): Seq[Column] =
+          (0 until mCount).map { m =>
+            array_min(array(seeds.map { case (k, _) =>
+              struct(d2q(col("embedding"), cw(m, k), m).as("d"), lit(k).as("k"))
+            }: _*))("k").as(s"code$m")
+          }
+        val e = Tables.t(s, d, "embeddings")
+        val seedAt: (Int, Int) => Int => Double =
+          (_, k) => i => seeds(k)._2(i).toDouble
+        // one Lloyd iteration per subspace: explode each row into its M
+        // (subspace, code, subvector) assignments under the seed codebooks,
+        // aggregate exact quantized-long per-dim sums per (m, code), and
+        // collect the <=128 refined codewords (bounded, like the IVF seeds)
+        val subStructs = (0 until mCount).map { m =>
+          struct(lit(m).as("m"), col(s"code$m").as("code"),
+            slice(col("embedding"), m * subDim + 1, subDim).as("sv"))
+        }
+        val sumCols = (0 until subDim).map { i =>
+          sum(floor(element_at(col("sv"), i + 1).cast("double") * lit(1e6)
+            + lit(0.5)).cast("bigint")).as(s"s$i")
+        }
+        val trained: Map[(Int, Int), Array[Float]] =
+          e.select(col("embedding") +: codeCols(seedAt): _*)
+            .select(explode(array(subStructs: _*)).as("a"))
+            .select(col("a")("m").as("m"), col("a")("code").as("code"),
+              col("a")("sv").as("sv"))
+            .groupBy(col("m"), col("code"))
+            .agg(count(lit(1)).as("n"), sumCols: _*)
+            .collect()
+            .map { r =>
+              val n = r.getLong(2)
+              val cwv = (0 until subDim).map { i =>
+                (r.getLong(3 + i).toDouble / 1e6 / n).toFloat
+              }.toArray
+              (r.getInt(0), r.getInt(1)) -> cwv
+            }.toMap
+        val trainedAt: (Int, Int) => Int => Double = (m, k) => {
+          val cwv = trained.get((m, k))
+          i => cwv.map(_(i - m * subDim).toDouble)
+            .getOrElse(seeds(k)._2(i).toDouble)
+        }
+        val qvecs = e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        val adcPerQuery = qvecs.map { case (qid, qe) =>
+          val total = (0 until mCount).map { m =>
+            val lutArr = array(seeds.map { case (k, _) =>
+              lit(d2qScala(qe, trainedAt(m, k), m))
+            }: _*)
+            element_at(lutArr, col(s"code$m") + 1)
+          }.reduce(_ + _)
+          struct(lit(qid).as("query_id"), total.as("ad2q"))
+        }
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("ad2q"), col("neighbor_id"))
+        e.select(col("vec_id").as("neighbor_id") +: codeCols(trainedAt): _*)
+          .select(col("neighbor_id"),
+            explode(array(adcPerQuery.toIndexedSeq: _*)).as("p"))
+          .select(col("p")("query_id").as("query_id"), col("neighbor_id"),
+            col("p")("ad2q").as("ad2q"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("rn", row_number().over(wTop).cast("bigint"))
+          .filter(col("rn") <= TopK)
+          .select(col("query_id"), col("neighbor_id"),
+            (col("ad2q").cast("double") / lit(D2QuantScale)).as("approx_d2"),
+            col("rn"))
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some {
+        val sub = Dim / NumSubspaces
+        // absolute-indexed d² (codeword = slice of a full 64-dim vector,
+        // subspace picked by the range var r.m) and relative-indexed d²
+        // (codeword = an 8-element refined list, subspace from cb1.m)
+        def sqlD2qAbs(a: String, b: String): String = {
+          val terms = (1 to sub).map { i =>
+            s"($a[r.m*$sub+$i] - $b[r.m*$sub+$i]) * ($a[r.m*$sub+$i] - $b[r.m*$sub+$i])"
+          }
+          s"CAST(floor(${terms.reduce((x, y) => s"($x + $y)")} * ${D2QuantScale.toLong}.0) AS BIGINT)"
+        }
+        def sqlD2qRel(a: String, b: String, mExpr: String): String = {
+          val terms = (1 to sub).map { i =>
+            s"($a[$mExpr*$sub+$i] - $b[$i]) * ($a[$mExpr*$sub+$i] - $b[$i])"
+          }
+          s"CAST(floor(${terms.reduce((x, y) => s"($x + $y)")} * ${D2QuantScale.toLong}.0) AS BIGINT)"
+        }
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |cb AS (SELECT vec_id AS k, emb FROM e WHERE vec_id < $PqCodebook),
+           |enc0 AS (SELECT vec_id, m, k AS code FROM (
+           |    SELECT e.vec_id, r.m, cb.k,
+           |      row_number() OVER (PARTITION BY e.vec_id, r.m
+           |        ORDER BY ${sqlD2qAbs("e.emb", "cb.emb")}, cb.k) AS rn
+           |    FROM e CROSS JOIN cb CROSS JOIN range($NumSubspaces) r(m))
+           |  WHERE rn = 1),
+           |t1 AS (SELECT enc0.m, enc0.code AS k, r2.i,
+           |    SUM(CAST(floor(e.emb[enc0.m*$sub + r2.i + 1] * 1000000.0 + 0.5)
+           |      AS BIGINT)) AS s,
+           |    COUNT(*) AS n
+           |  FROM enc0 JOIN e USING (vec_id) CROSS JOIN range($sub) r2(i)
+           |  GROUP BY 1, 2, 3),
+           |cbt AS (SELECT m, k,
+           |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
+           |         ORDER BY i) AS cw
+           |  FROM t1 GROUP BY m, k),
+           |cb1 AS (SELECT r.m, cb.k,
+           |    COALESCE(cbt.cw, cb.emb[r.m*$sub+1 : r.m*$sub+$sub]) AS cw
+           |  FROM cb CROSS JOIN range($NumSubspaces) r(m)
+           |  LEFT JOIN cbt ON cbt.m = r.m AND cbt.k = cb.k),
+           |enc AS (SELECT vec_id, m, k AS code FROM (
+           |    SELECT e.vec_id, cb1.m, cb1.k,
+           |      row_number() OVER (PARTITION BY e.vec_id, cb1.m
+           |        ORDER BY ${sqlD2qRel("e.emb", "cb1.cw", "cb1.m")}, cb1.k) AS rn
+           |    FROM e CROSS JOIN cb1)
+           |  WHERE rn = 1),
+           |lut AS (SELECT qq.vec_id AS query_id, cb1.m, cb1.k,
+           |    ${sqlD2qRel("qq.emb", "cb1.cw", "cb1.m")} AS d2q
+           |  FROM e qq CROSS JOIN cb1
+           |  WHERE qq.vec_id < $NumQueries),
+           |ad AS (SELECT l.query_id, enc.vec_id AS neighbor_id,
+           |    CAST(SUM(l.d2q) AS BIGINT) AS ad2q
+           |  FROM enc JOIN lut l ON l.m = enc.m AND l.k = enc.code
+           |  WHERE l.query_id <> enc.vec_id
+           |  GROUP BY 1, 2),
+           |r AS (SELECT query_id, neighbor_id,
+           |    CAST(ad2q AS DOUBLE) / ${D2QuantScale.toLong}.0 AS approx_d2,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY ad2q, neighbor_id) AS BIGINT) AS rn FROM ad)
+           |SELECT query_id, neighbor_id, approx_d2, rn FROM r
+           |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+      }
     )
   )
 }

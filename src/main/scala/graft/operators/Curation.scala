@@ -508,6 +508,37 @@ object Curation {
            |SELECT n_total, n_quality, n_sampled, n_unique, corpus_fp
            |FROM f1, f2""".stripMargin
       }
+    ),
+    // Derandomized reservoir sampling (round 4): uniform k-per-stratum
+    // without replacement, realized as a hash-rank — docs rank inside each
+    // language by a salted h60 of their id and the k smallest survive.
+    // Distributionally this IS a uniform k-sample for any non-adversarial
+    // id set, but unlike rand()-reservoirs it is REPRODUCIBLE across
+    // engines, reruns, and cluster sizes (R3), and stable under appends:
+    // a new doc can displace at most one survivor. At 100 TB the per-group
+    // top-k runs as WindowGroupLimit — every map task keeps its local k
+    // smallest BEFORE the single lang-keyed shuffle, so the exchange
+    // carries ~k rows per partition per stratum, never the corpus.
+    GQ(
+      "q_sample_reservoir",
+      (s, d) => {
+        val hk = XHash.h60(concat(lit("rsv:"), col("doc_id").cast(StringType)))
+        val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+        Tables.t(s, d, "documents")
+          .select(col("lang"), col("doc_id"), hk.as("hk"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("lang"), col("doc_id"), col("rnk").cast(LongType).as("rnk"))
+          .orderBy(col("lang"), col("rnk"))
+      },
+      Some(s"""WITH h AS (SELECT lang, doc_id,
+             |    ${XHash.sqlH60("'rsv:' || CAST(doc_id AS VARCHAR)")} AS hk
+             |  FROM documents),
+             |r AS (SELECT lang, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+             |      AS BIGINT) AS rnk FROM h)
+             |SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
+             |ORDER BY lang, rnk""".stripMargin)
     )
   )
 }

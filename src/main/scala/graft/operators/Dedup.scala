@@ -539,6 +539,75 @@ object Dedup {
            |GROUP BY component_id ORDER BY component_id""".stripMargin
       }
     ),
+    // INCREMENTAL dedup against an indexed corpus (round 4) — the shape a
+    // production pipeline actually runs daily: a small NEW batch (here
+    // doc_id ≡ 0 mod 10, ~10% of the corpus) is checked against the
+    // already-INDEXED rest, and each new doc that near-duplicates an
+    // indexed doc reports its best match to be dropped/linked. Candidates
+    // come from the same r=4/b=4 MinHash band machinery, but the join is
+    // ASYMMETRIC: new-batch bands × index bands — never index × index, so
+    // the cost is |new| band rows probing the index, not the full self-join
+    // the batch queries pay. At 100 TB the index side's band table is
+    // PRECOMPUTED and stored (bucketed by band key); the daily run only
+    // computes signatures for the new batch and broadcast-probes — the
+    // recomputation here stands in for that stored table, and the plan's
+    // join/verify shape is identical. Verification is the exact shingle-set
+    // Jaccard (≥ Tau), best match = max jaccard with min-id tie-break.
+    GQ(
+      "q_dedup_incremental",
+      (s, d) => {
+        val isNew = pmod(col("doc_id"), lit(10L)) === 0L
+        val bl = bandRows(minhashSignatures(s, d))
+        val cand = bl.filter(isNew).as("n")
+          .join(bl.filter(!isNew).as("i"),
+            col("n.bpos") === col("i.bpos") && col("n.bkey") === col("i.bkey"))
+          .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("idx_id"))
+          .distinct()
+        val sets = shingleItems(s, d)
+          .groupBy(col("doc_id")).agg(collect_set(col("item")).as("sh"))
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+        val w = Window.partitionBy(col("new_id"))
+          .orderBy(col("jaccard").desc, col("idx_id"))
+        cand
+          .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
+          .join(sets.select(col("doc_id").as("idx_id"), col("sh").as("sb")), "idx_id")
+          .select(col("new_id"), col("idx_id"),
+            (inter / (size(col("sa")) + size(col("sb")) - inter)).as("jaccard"))
+          .filter(col("jaccard") >= Tau)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("new_id"), col("idx_id").as("dup_of"), col("jaccard"))
+          .orderBy(col("new_id"))
+      },
+      Some {
+        val bandCase = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"WHEN $b THEN ${XHash.sqlH60(cat)}"
+        }.mkString(" ")
+        s"""$sqlSignatureCte,
+           |bl AS (SELECT doc_id, r.b AS bpos,
+           |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+           |cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+           |  FROM bl n JOIN bl i ON n.bpos = i.bpos AND n.bkey = i.bkey
+           |  WHERE n.doc_id % 10 = 0 AND i.doc_id % 10 <> 0),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+           |  THEN list_transform(range(1, len(ws) - 1),
+           |       i -> array_to_string(ws[i:i+2], ' '))
+           |  ELSE [text] END) AS sh FROM d),
+           |sc AS (SELECT c.new_id, c.idx_id,
+           |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+           |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+           |  FROM cand c
+           |  JOIN sets x ON x.doc_id = c.new_id
+           |  JOIN sets y ON y.doc_id = c.idx_id),
+           |r AS (SELECT new_id, idx_id, jaccard,
+           |    row_number() OVER (PARTITION BY new_id
+           |      ORDER BY jaccard DESC, idx_id) AS rn
+           |  FROM sc WHERE jaccard >= $Tau)
+           |SELECT new_id, idx_id AS dup_of, jaccard FROM r
+           |WHERE rn = 1 ORDER BY new_id""".stripMargin
+      }
+    ),
     // 32-bit SimHash per document from term-frequency-weighted word hashes
     // (bits 0..31 of the h60 basis; duplicates of a word vote once each).
     GQ(

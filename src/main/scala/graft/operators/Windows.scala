@@ -140,6 +140,49 @@ object Windows {
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM customer JOIN orders ON c_custkey = o_custkey)
              |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)
+    ),
+    // SCD Type-2 effective dating (round 4): build a slowly-changing-
+    // dimension history from a change stream — each customer's orders,
+    // taken in date order, are successive versions of their "latest total
+    // price" attribute; every version gets [valid_from, valid_to) epoch-
+    // second bounds (R4) and the open-ended newest row is flagged current.
+    // This is the warehouse-standard effective-dating build (the write
+    // side of what q_merge_upsert applies): ONE window shuffle keyed on
+    // the dimension key, lead() closes each interval, no self-join — the
+    // naive "join each version to the next" doubles the shuffle for the
+    // same answer. Order key carries o_orderkey (R1): (custkey, orderdate)
+    // is NOT unique in the data, so lead() without the tie-break would be
+    // nondeterministic. At 100 TB: dimension keys partition the exchange;
+    // history build is embarrassingly parallel per key.
+    GQ(
+      "q_scd2_history",
+      (s, d) => {
+        // window orders on valid_from (the epoch-second cast is monotonic in
+        // o_orderdate, so the order is identical) + o_orderkey (R1 tie)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("valid_from"), col("o_orderkey"))
+        Tables.t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice"),
+            // driver parquet reads o_orderdate as TIMESTAMP_NTZ, which has
+            // no direct BIGINT cast; the timestamp hop interprets the wall
+            // clock in the session zone (pinned UTC) — exactly DuckDB's
+            // epoch_ms of a naive timestamp
+            col("o_orderdate").cast("timestamp").cast(LongType).as("valid_from"))
+          .withColumn("version", row_number().over(w).cast(LongType))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w) - 1L)
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) AS valid_from,
+             |  CAST(row_number() OVER w AS BIGINT) AS version,
+             |  CAST(epoch_ms(lead(o_orderdate, 1) OVER w) // 1000 - 1 AS BIGINT)
+             |    AS valid_to,
+             |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, version""".stripMargin)
     )
   )
 }

@@ -101,6 +101,38 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.0, "multi-probe found none of the true neighbors")
   }
 
+  test("PQ recall@3 vs brute-force L2 is measured") {
+    // PQ approximates EUCLIDEAN distance (ADC sums subspace d²), so its
+    // ground truth is the exhaustive L2 top-3 — not the cosine truth the
+    // IVF/LSH evals use. Uniform random 64-dim data is PQ's worst case
+    // (no manifold structure), so even the Lloyd-trained (M=16, Ks=64)
+    // geometry is modest here — the sweep that chose it is recorded at
+    // Ann.NumSubspaces; the eval records recall so a codebook change shows
+    // up as a tracked delta (chance level: 3 draws of 499 ≈ 0.006).
+    import org.apache.spark.sql.Row
+    val e = Tables.t(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val brute = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qe, ne, (x, y) -> CAST((x - y) * (x - y) AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)").as("d2"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map { case Row(q: Long, n: Long) => (q, n) }.toSet
+    val pq = Registry.byName("q_sim_ann_pq").run(spark, sf).collect()
+      .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"PQ recall@3 on sf0.001 (vs brute L2): $recall%.2f")
+    // chance level: 3 draws of 499 ≈ 0.006 — any real signal clears 0.2
+    assert(recall >= 0.3, f"PQ index below the measured (16,64) floor: recall $recall%.2f")
+  }
+
   test("refined centroids are bit-identical across recomputation") {
     val a = Ann.kmeansCentroids(spark, sf)
     val b = Ann.kmeansCentroids(spark, sf)

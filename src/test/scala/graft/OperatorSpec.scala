@@ -301,4 +301,44 @@ class OperatorSpec extends AnyFunSuite {
       .collect().head
     assert(out.isNullAt(0))
   }
+
+  test("q_scd2_history: effective-dated versions, open-ended current row") {
+    // hand-derived UTC epochs: 1995-03-15=795225600, 1996-07-01=836179200,
+    // 1997-11-30=880848000, 1998-01-02=883699200, 1999-12-31=946598400;
+    // each closed version's valid_to = successor's valid_from - 1
+    assert(rows("q_scd2_history") === Seq(
+      Seq(1L, 100L, 1000.50, 795225600L, 1L, 836179199L, false),
+      Seq(1L, 101L, 2000.25, 836179200L, 2L, null, true),
+      Seq(2L, 102L, 1500.00, 795225600L, 1L, 946598399L, false),
+      Seq(2L, 105L, 750.75, 946598400L, 2L, null, true),
+      Seq(3L, 103L, 300.10, 880848000L, 1L, null, true),
+      Seq(4L, 104L, 1000.50, 883699200L, 1L, null, true)))
+  }
+
+  test("q_sample_reservoir: each stratum keeps min(n, k) docs, ranks contiguous") {
+    val r = rows("q_sample_reservoir")
+    // MiniData strata: en={1,2,5}, de={3,6}, es={4} — all below k=5, so the
+    // sample is the whole stratum; what the query pins is the deterministic
+    // hash-rank assignment (contiguous from 1, no duplicate ranks)
+    val byLang = r.groupBy(_.head.asInstanceOf[String])
+    assert(byLang.keySet === Set("en", "de", "es"))
+    assert(byLang("en").map(_(2)).toSet === Set(1L, 2L, 3L))
+    assert(byLang("de").map(_(2)).toSet === Set(1L, 2L))
+    assert(byLang("es").map(_(2)) === Seq(1L))
+    assert(byLang("en").map(_(1)).toSet === Set(1L, 2L, 5L))
+  }
+
+  test("q_sim_ann_pq: full top-3 per query, ADC distances sorted and finite") {
+    val r = rows("q_sim_ann_pq")
+    assert(r.length === 5 * 3)
+    val byQ = r.groupBy(_.head.asInstanceOf[Long])
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, rs) <- byQ) {
+      assert(rs.map(_(3)) === Seq(1L, 2L, 3L), s"query $q rank sequence")
+      val d = rs.map(_(2).asInstanceOf[Double])
+      assert(d === d.sorted, s"query $q ADC distances must ascend")
+      assert(d.forall(x => x >= 0.0 && !x.isNaN), s"query $q distances sane")
+      assert(!rs.map(_(1)).contains(q), s"query $q must exclude itself")
+    }
+  }
 }
