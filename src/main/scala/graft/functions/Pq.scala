@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native product-quantization encoder: per row, the argmin codeword id in
+  * each of `numSubspaces` subspaces against a driver-side codebook.
+  *
+  * WHY AN EXPRESSION (round 4): the same argmin written as a Column tree —
+  * M=16 × Ks=64 `array_min(struct(d², k))` over 4-term squared-distance
+  * expressions — is ~25k Catalyst nodes; analysis + optimization + codegen
+  * of that tree cost ~55 s PER RUN at any data size (measured at sf0.001
+  * AND sf0.1 — pure plan overhead, not data). This expression is ONE node
+  * holding the codebook as a reference object and loops over it in
+  * codegen, exactly like a hand-written encoder: sub-second planning, and
+  * the per-row work is the same 1024 fused multiply-adds.
+  *
+  * DETERMINISM CONTRACT (shared with the q_sim_ann_pq oracle): each
+  * subspace d² accumulates (emb[i]−cw[i])² left-to-right in element order
+  * over float→double widenings (exact), is quantized
+  * `floor(d² · quantScale)` to a long BEFORE comparison, and ties break
+  * toward the SMALLEST codeword id (strict `<` keeps the first minimum).
+  * The interpreted and generated paths run the identical op sequence, and
+  * the DuckDB replay spells out the same left-associative term tree.
+  *
+  * Codebook width must equal the input vector length; mismatched input
+  * yields NULL (the [[CosineSimilarity]] length contract).
+  */
+case class PqEncode(
+    child: Expression,
+    codebook: Vector[Vector[Float]],
+    numSubspaces: Int,
+    quantScale: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val ks = codebook.size
+  private val dim = codebook.head.size
+  private val subDim = dim / numSubspaces
+
+  /** k-major flattened double codebook shared by both eval paths. */
+  @transient private lazy val flat: Array[Double] =
+    codebook.flatten.map(_.toDouble).toArray
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val codes = new Array[Int](numSubspaces)
+    var m = 0
+    while (m < numSubspaces) {
+      var best = Long.MaxValue
+      var bestK = 0
+      var k = 0
+      while (k < ks) {
+        var acc = 0.0
+        var i = m * subDim
+        while (i < (m + 1) * subDim) {
+          val diff = x.getFloat(i).toDouble - flat(k * dim + i)
+          acc += diff * diff
+          i += 1
+        }
+        val q = math.floor(acc * quantScale).toLong
+        if (q < best) { best = q; bestK = k }
+        k += 1
+      }
+      codes(m) = bestK
+      m += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebook", flat, "double[]")
+      val codes = ctx.freshName("codes")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val q = ctx.freshName("q")
+      val best = ctx.freshName("best")
+      val bestK = ctx.freshName("bestK")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int[] $codes = new int[$numSubspaces];
+         |  for (int $m = 0; $m < $numSubspaces; $m++) {
+         |    long $best = Long.MAX_VALUE; int $bestK = 0;
+         |    for (int $k = 0; $k < $ks; $k++) {
+         |      double $acc = 0.0;
+         |      for (int $i = $m * $subDim; $i < ($m + 1) * $subDim; $i++) {
+         |        final double $diff = ((double) $a.getFloat($i)) - $cb[$k * $dim + $i];
+         |        $acc += $diff * $diff;
+         |      }
+         |      final long $q = (long) java.lang.Math.floor($acc * ${quantScale}D);
+         |      if ($q < $best) { $best = $q; $bestK = $k; }
+         |    }
+         |    $codes[$m] = $bestK;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) scorer over PQ codes: Σ_m lut[m·Ks + code_m],
+  * an exact integer sum of the per-subspace quantized distances one query
+  * precomputed against every codeword (the lookup table is a driver-side
+  * reference object — [[PqEncode]]'s companion on the query side, one node
+  * instead of M `element_at`s over M×Ks literal arrays). Null in → null
+  * out; a code outside [0, Ks) cannot occur by construction ([[PqEncode]]
+  * emits argmin ids). */
+case class PqAdc(
+    child: Expression,
+    lut: Vector[Long],
+    numSubspaces: Int,
+    ks: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val flat: Array[Long] = lut.toArray
+
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    var total = 0L
+    var m = 0
+    while (m < numSubspaces) {
+      total += flat(m * ks + codes.getInt(m))
+      m += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val lutRef = ctx.addReferenceObj("pqLut", flat, "long[]")
+      val m = ctx.freshName("m")
+      val total = ctx.freshName("total")
+      s"""
+         |long $total = 0L;
+         |for (int $m = 0; $m < $numSubspaces; $m++) {
+         |  $total += $lutRef[$m * $ks + $a.getInt($m)];
+         |}
+         |${ev.value} = $total;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdc =
+    copy(child = newChild)
+}
+
+/** Registry front door for the PQ expressions: the codebook/lookup-table is
+  * plan-build data (collected seeds / trained codewords), so the Column API
+  * can't take it as a SQL argument — instead each plan registers a temp
+  * function whose BUILDER captures the instance, then reaches it via
+  * `call_function` (the [[vec.register]] pattern; createOrReplace semantics,
+  * and Verify/Bench drive one query at a time on a session, so the last
+  * registration is always the live plan's). */
+object pq {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+  def register(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+}

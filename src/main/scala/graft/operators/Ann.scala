@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{vec, VectorCentroid}
+import graft.functions.{vec, PqAdc, PqEncode, VectorCentroid}
 import graft.{GQ, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
@@ -469,45 +469,41 @@ object Ann {
     GQ(
       "q_sim_ann_pq",
       (s, d) => {
+        import graft.functions.pq
         val seeds = firstVectors(s, d, PqCodebook)
         val dim = seeds.head._2.length
         val subDim = if (dim % NumSubspaces == 0) dim / NumSubspaces else 1
         val mCount = dim / subDim
-        // subspace d² against a codeword given as i -> component (absolute
-        // index into the full vector); identical left-assoc term tree in
-        // Spark, SQL, and Scala
-        def d2q(emb: Column, at: Int => Double, m: Int): Column = {
-          val terms = (m * subDim until (m + 1) * subDim).map { i =>
-            val diff = element_at(emb, i + 1).cast("double") - lit(at(i))
-            diff * diff
-          }
-          floor(terms.reduce(_ + _) * lit(D2QuantScale)).cast("bigint")
+        // encode = ONE native expression per pass ([[graft.functions
+        // .PqEncode]]): the same argmin as a Column tree (M×Ks array_min-
+        // over-structs of 4-term d² expressions) is ~25k Catalyst nodes and
+        // cost ~55 s of pure plan analysis/codegen PER RUN at ANY data size
+        // (measured at sf0.001 and sf0.1) — the expression is one node
+        // holding the codebook as a reference object, same 1024 fused
+        // multiply-adds per row, sub-second planning
+        def codesOf(cb: Vector[Vector[Float]], name: String): Column = {
+          pq.register(s, name,
+            exprs => PqEncode(exprs.head, cb, mCount, D2QuantScale))
+          call_function(name, col("embedding"))
         }
-        def d2qScala(a: Array[Float], at: Int => Double, m: Int): Long = {
+        def d2qScala(a: Array[Float], cw: Int => Double, m: Int): Long = {
           var acc = 0.0
           var i = m * subDim
           while (i < (m + 1) * subDim) {
-            val diff = a(i).toDouble - at(i)
+            val diff = a(i).toDouble - cw(i)
             acc += diff * diff
             i += 1
           }
           math.floor(acc * D2QuantScale).toLong
         }
-        def codeCols(cw: (Int, Int) => Int => Double): Seq[Column] =
-          (0 until mCount).map { m =>
-            array_min(array(seeds.map { case (k, _) =>
-              struct(d2q(col("embedding"), cw(m, k), m).as("d"), lit(k).as("k"))
-            }: _*))("k").as(s"code$m")
-          }
+        val cb0: Vector[Vector[Float]] = seeds.map(_._2.toVector).toVector
         val e = Tables.t(s, d, "embeddings")
-        val seedAt: (Int, Int) => Int => Double =
-          (_, k) => i => seeds(k)._2(i).toDouble
         // one Lloyd iteration per subspace: explode each row into its M
         // (subspace, code, subvector) assignments under the seed codebooks,
         // aggregate exact quantized-long per-dim sums per (m, code), and
-        // collect the <=128 refined codewords (bounded, like the IVF seeds)
+        // collect the <=1024 refined codewords (bounded, like the IVF seeds)
         val subStructs = (0 until mCount).map { m =>
-          struct(lit(m).as("m"), col(s"code$m").as("code"),
+          struct(lit(m).as("m"), element_at(col("codes"), m + 1).as("code"),
             slice(col("embedding"), m * subDim + 1, subDim).as("sv"))
         }
         val sumCols = (0 until subDim).map { i =>
@@ -515,7 +511,7 @@ object Ann {
             + lit(0.5)).cast("bigint")).as(s"s$i")
         }
         val trained: Map[(Int, Int), Array[Float]] =
-          e.select(col("embedding") +: codeCols(seedAt): _*)
+          e.select(col("embedding"), codesOf(cb0, "pq_encode_seed").as("codes"))
             .select(explode(array(subStructs: _*)).as("a"))
             .select(col("a")("m").as("m"), col("a")("code").as("code"),
               col("a")("sv").as("sv"))
@@ -529,28 +525,35 @@ object Ann {
               }.toArray
               (r.getInt(0), r.getInt(1)) -> cwv
             }.toMap
-        val trainedAt: (Int, Int) => Int => Double = (m, k) => {
-          val cwv = trained.get((m, k))
-          i => cwv.map(_(i - m * subDim).toDouble)
-            .getOrElse(seeds(k)._2(i).toDouble)
-        }
+        // refined full-width codebook; a (m, k) cell no vector chose keeps
+        // its seed subvector
+        val cb1: Vector[Vector[Float]] = seeds.map { case (k, sv) =>
+          (0 until dim).map { i =>
+            val m = i / subDim
+            trained.get((m, k)).map(_(i - m * subDim)).getOrElse(sv(i))
+          }.toVector
+        }.toVector
         val qvecs = e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id"), col("embedding"))
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           .sortBy(_._1)
-        val adcPerQuery = qvecs.map { case (qid, qe) =>
-          val total = (0 until mCount).map { m =>
-            val lutArr = array(seeds.map { case (k, _) =>
-              lit(d2qScala(qe, trainedAt(m, k), m))
-            }: _*)
-            element_at(lutArr, col(s"code$m") + 1)
-          }.reduce(_ + _)
-          struct(lit(qid).as("query_id"), total.as("ad2q"))
+        // per-query ADC lookup table (m-major, Ks entries per subspace),
+        // folded with the same left-assoc op tree as PqEncode and the SQL
+        val adcPerQuery = qvecs.zipWithIndex.map { case ((qid, qe), qi) =>
+          val lut: Vector[Long] = (for {
+            m <- 0 until mCount
+            k <- seeds.indices
+          } yield d2qScala(qe, i => cb1(k)(i).toDouble, m)).toVector
+          pq.register(s, s"pq_adc_$qi",
+            exprs => PqAdc(exprs.head, lut, mCount, seeds.size))
+          struct(lit(qid).as("query_id"),
+            call_function(s"pq_adc_$qi", col("codes")).as("ad2q"))
         }
         val wTop = Window.partitionBy(col("query_id"))
           .orderBy(col("ad2q"), col("neighbor_id"))
-        e.select(col("vec_id").as("neighbor_id") +: codeCols(trainedAt): _*)
+        e.select(col("vec_id").as("neighbor_id"),
+          codesOf(cb1, "pq_encode_trained").as("codes"))
           .select(col("neighbor_id"),
             explode(array(adcPerQuery.toIndexedSeq: _*)).as("p"))
           .select(col("p")("query_id").as("query_id"), col("neighbor_id"),
