@@ -30,7 +30,13 @@ object ScaleStress {
     "q_sample_stratified", "q_text_pii_scrub",
     // round 4: the composed funnel (scan-dominated — must stay linear),
     // the iterative CC (rounds × cost growth), and the sessionized dedup
-    "q_curation_pipeline", "q_dedup_components", "q_dedup_sessioned")
+    "q_curation_pipeline", "q_dedup_components", "q_dedup_sessioned",
+    // round 4, fourth batch: incremental dedup (asymmetric band join —
+    // candidate volume must track new-batch size, not corpus²), PQ ANN
+    // (encode is a scan projection — must stay linear), reservoir (one
+    // WindowGroupLimit exchange), SCD2 (one dimension-key window)
+    "q_dedup_incremental", "q_sim_ann_pq", "q_sample_reservoir",
+    "q_scd2_history")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
