@@ -145,4 +145,32 @@ class PlanShapeSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"z-audit needs exactly the bucket agg exchange:\n$p")
   }
+
+  test("q_sample_reservoir: per-group top-k is rank-limited before the full window") {
+    // WindowGroupLimit keeps each map task's local k smallest before the
+    // lang-keyed exchange — losing it means the whole corpus sorts per group
+    val p = plan("q_sample_reservoir")
+    assert(p.contains("WindowGroupLimit"), s"reservoir lost its rank-limit:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"reservoir needs only the lang window exchange:\n$p")
+  }
+
+  test("q_scd2_history: one dimension-key window, no self-join") {
+    val p = plan("q_scd2_history")
+    assert(!p.contains("Join"), s"SCD2 must not self-join versions:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"SCD2 needs exactly the custkey window exchange:\n$p")
+  }
+
+  test("q_sim_ann_pq: encode is scan-side — no exchange below the per-query top-k window") {
+    // both encode passes are single projections (PqEncode reference-object
+    // loop); the only exchanges are the training 1024-group agg (separate
+    // job) and the query_id top-k window here
+    val p = plan("q_sim_ann_pq")
+    assert(p.contains("pq_encode"), s"native encoder missing from plan:\n$p")
+    assert(!p.contains("Join"), s"PQ scoring must not join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"PQ needs exactly the top-k window exchange, found $exchanges:\n$p")
+  }
 }
