@@ -608,6 +608,54 @@ object Dedup {
            |WHERE rn = 1 ORDER BY new_id""".stripMargin
       }
     ),
+    // SUB-DOCUMENT (span-level) dedup accounting (round 4) — the C4/
+    // RefinedWeb curation step the doc-level family can't express: repeated
+    // SPANS (boilerplate, citations, templates) are dropped or discounted
+    // even when the containing documents are unique. Documents chunk into
+    // non-overlapping 10-word spans (KGrams at pos ≡ 0 mod 10; sub-10-word
+    // docs are their own single span; sub-span tails are dropped by
+    // contract, mirrored in the oracle), and each doc reports how many of
+    // its spans occur in ≥2 DISTINCT docs — the signal a pipeline uses to
+    // strip spans or down-weight documents. Span keys travel as xxhash64
+    // longs (equality-only use, the blockedJaccard trick: ~9× narrower
+    // shuffles; the oracle intersects the original strings). Plan: one
+    // scan-side chunk projection, then distinct + span-keyed agg + join
+    // back + doc agg — every shuffle keyed on span hash or doc_id, linear
+    // at any corpus size. The emitted fraction is ONE IEEE division of two
+    // exact ints (R7).
+    GQ(
+      "q_dedup_spans",
+      (s, d) => {
+        val chunks = Grams.kgramRows(Tables.t(s, d, "documents"), 10, Seq())
+          .filter(pmod(col("pos"), lit(10)) === 0)
+          .select(col("doc_id"), xxhash64(col("item")).as("ih"))
+        val spanDf = chunks.distinct()
+          .groupBy(col("ih")).agg(count(lit(1)).as("nd"))
+        chunks.join(spanDf, "ih")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+            (col("n_dup_chunks").cast(DoubleType) /
+              col("n_chunks").cast(DoubleType)).as("dup_fraction"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+             |  FROM documents),
+             |c AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 10
+             |    THEN list_transform(range(len(ws) // 10),
+             |         p -> array_to_string(ws[10*p+1 : 10*p+10], ' '))
+             |    ELSE [text] END) AS item FROM d),
+             |f AS (SELECT item, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY item),
+             |a AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+             |    CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_dup_chunks
+             |  FROM c JOIN f USING (item) GROUP BY c.doc_id)
+             |SELECT doc_id, n_chunks, n_dup_chunks,
+             |  CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+             |    AS dup_fraction
+             |FROM a ORDER BY doc_id""".stripMargin)
+    ),
     // 32-bit SimHash per document from term-frequency-weighted word hashes
     // (bits 0..31 of the h60 basis; duplicates of a word vote once each).
     GQ(

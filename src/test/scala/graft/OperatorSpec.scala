@@ -302,6 +302,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("q_dedup_spans: duplicated whole-text spans flagged, unique docs clean") {
+    // docs 1/2 share their (sub-10-word) text, so each one's single span
+    // occurs in 2 distinct docs; every other doc's span is unique
+    assert(rows("q_dedup_spans") === Seq(
+      Seq(1L, 1L, 1L, 1.0), Seq(2L, 1L, 1L, 1.0),
+      Seq(3L, 1L, 0L, 0.0), Seq(4L, 1L, 0L, 0.0),
+      Seq(5L, 1L, 0L, 0.0), Seq(6L, 1L, 0L, 0.0)))
+  }
+
   test("q_scd2_history: effective-dated versions, open-ended current row") {
     // hand-derived UTC epochs: 1995-03-15=795225600, 1996-07-01=836179200,
     // 1997-11-30=880848000, 1998-01-02=883699200, 1999-12-31=946598400;
