@@ -247,6 +247,35 @@ object Joins {
              |    AS DOUBLE) AS totalprice
              |FROM base FULL OUTER JOIN ch ON base.k = ch.k
              |ORDER BY o_orderkey""".stripMargin)
+    ),
+    // Declared end-to-end run of Skew.saltedJoin (round 4, the join-side
+    // twin of q_agg_skew_salted): fact lineitem joins dim part on
+    // (l_partkey, salt) with the part side replicated once per salt value,
+    // so a hot part key spreads over 16 reducers instead of one. The shape
+    // matters when the dim is too big to BROADCAST but cheap to REPLICATE
+    // ×16 — the gap between AQE's two automatic answers (BHJ below the
+    // threshold, runtime skew-split for sort-merge above it) where explicit
+    // salting is the standard fix. Salting is INVISIBLE to results by
+    // construction (deterministic salt from l_orderkey, R3; exact decimal
+    // revenue, R2), so the oracle is the plain join + GROUP BY.
+    GQ(
+      "q_join_skew_salted",
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+          .select(col("l_partkey").as("p_partkey"), col("l_orderkey"),
+            C.revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        val part = Tables.t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"))
+        Skew.saltedJoin(li, part, "p_partkey", col("l_orderkey"), 16)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("rev")).cast("double").as("revenue"))
+          .orderBy(col("p_brand"))
+      },
+      Some(s"""SELECT p_brand, COUNT(*) AS n_lines,
+             |  CAST(SUM(${C.sqlRevenue}) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     )
   )
 }

@@ -142,4 +142,28 @@ class PropertySpec extends AnyFunSuite {
         s"seed $s: planted shared run must produce a shared fingerprint")
     }
   }
+
+  test("PqEncode: interpreted eval equals the codegen path on random vectors") {
+    // the dual-path contract every native expression owes (SURVEY §7.3):
+    // the generated Java and nullSafeEval must run the identical op
+    // sequence. Random float vectors + a random codebook; the DataFrame
+    // path (whole-stage codegen) must agree with direct interpreted eval.
+    import graft.functions.{pq, PqEncode}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))
+    val cb: Vector[Vector[Float]] =
+      samples(vecGen, 8).map(_.toVector).toVector
+    val rows: Seq[Seq[Float]] = samples(vecGen, 40).map(_.toSeq)
+    pq.register(spark, "pq_encode_prop",
+      exprs => PqEncode(exprs.head, cb, 4, 1e12))
+    val viaCodegen = rows.toDF("embedding")
+      .select(call_function("pq_encode_prop", col("embedding")).as("c"))
+      .collect().map(_.getSeq[Int](0).toVector).toSeq
+    val direct = rows.map { v =>
+      PqEncode(org.apache.spark.sql.catalyst.expressions.Literal(0), cb, 4, 1e12)
+        .nullSafeEval(new GenericArrayData(v.toArray))
+        .asInstanceOf[GenericArrayData].toIntArray().toVector
+    }
+    assert(viaCodegen === direct)
+  }
 }
