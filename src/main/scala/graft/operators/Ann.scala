@@ -397,6 +397,52 @@ object Ann {
              |SELECT cid, a_id, b_id, cos_sim FROM p
              |ORDER BY cq DESC, a_id, b_id LIMIT 20""".stripMargin)
     ),
+    // k-NN JOIN (round 4) — ANN as a JOIN, not query serving: EVERY vector
+    // gets its top-3 most-similar neighbors, the per-row enrichment an
+    // embedding pipeline runs before clustering / label propagation /
+    // kNN-classification. Same cell-blocked candidate generation as
+    // q_dedup_semantic (within Lloyd-refined IVF cells only — Σ|cell|²
+    // directed pairs, never N²; at scale k grows with N and multi-cell
+    // probing buys recall, exactly the q_sim_ann_ivf knob), but ranked PER
+    // LEFT VECTOR: one vec_id-keyed window instead of a global top-k.
+    // Vectors in singleton cells legitimately emit <3 (or 0) neighbors —
+    // a kNN join reports what the index can prove, it never invents
+    // candidates. R7 ranking (quantized cosine, neighbor-id tie-break),
+    // R8 display.
+    GQ(
+      "q_knn_join",
+      (s, d) => {
+        val cents = kmeansCentroids(s, d)
+        val asg = assignTo(s, Tables.t(s, d, "embeddings"), cents)
+        val a = asg.select(col("cid"), col("vec_id"), col("embedding").as("ea"))
+        val b = asg.select(col("cid"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"))
+        val wTop = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cq").desc, col("neighbor_id"))
+        a.join(b, "cid").filter(col("vec_id") =!= col("neighbor_id"))
+          .select(col("vec_id"), col("neighbor_id"),
+            call_function("cosine_sim", col("ea"), col("eb")).as("c"))
+          .select(col("vec_id"), col("neighbor_id"),
+            vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
+          .withColumn("rn", row_number().over(wTop).cast("bigint"))
+          .filter(col("rn") <= TopK)
+          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
+          .orderBy(col("vec_id"), col("rn"))
+      },
+      Some(s"""$sqlAssignCte,
+             |v AS (SELECT a1.cid, a1.vec_id, e.emb
+             |  FROM a1 JOIN e USING (vec_id)),
+             |p AS (SELECT x.vec_id, y.vec_id AS neighbor_id,
+             |    (ROUND(${sqlCos("x.emb", "y.emb")}, 3) + 0.0) AS cos_sim,
+             |    ${sqlCosQ("x.emb", "y.emb")} AS cq
+             |  FROM v x JOIN v y
+             |  ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+             |r AS (SELECT vec_id, neighbor_id, cos_sim,
+             |    CAST(row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+             |SELECT vec_id, neighbor_id, cos_sim, rn FROM r
+             |WHERE rn <= $TopK ORDER BY vec_id, rn""".stripMargin)
+    ),
     // IVF cell statistics via the custom typed UDAF: per-cell vector count
     // and the exact-math centroid (graft.functions.VectorCentroid — the
     // k-means refinement aggregation). The centroid accumulates quantized
