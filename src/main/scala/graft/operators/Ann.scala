@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{vec, PqAdc, PqEncode, VectorCentroid}
+import graft.functions.{pq, vec, PqAdc, PqEncode, TopCells, VectorCentroid}
 import graft.{GQ, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
@@ -46,6 +46,10 @@ object Ann {
     * recall knob. Cost scales linearly (nprobe/NumCentroids of the corpus
     * per query); measured recall@3 on sf0.001 rises 0.73 → ≥0.9. */
   private[graft] val NumProbe = 4
+
+  /** Target vectors per IVF cell; the coarse-quantizer size derives from it
+    * (see [[seedCentroids]] — k = max(NumCentroids, N/CellTarget)). */
+  private[graft] val CellTarget = 125L
 
   /** All assignment/sign/rank decisions quantize the cosine FIRST
     * (round-3 ADVICE): `floor(cos · 1e12)` as a BIGINT — argmax/sign flips
@@ -123,7 +127,8 @@ object Ann {
     */
   private def sqlAssignCte: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, emb AS cent FROM e WHERE vec_id < $NumCentroids),
+       |c0 AS (SELECT vec_id AS cid, emb AS cent FROM e
+       |  WHERE vec_id < GREATEST($NumCentroids, (SELECT COUNT(*) // $CellTarget FROM e))),
        |a0 AS (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c0.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -144,24 +149,30 @@ object Ann {
        |        ORDER BY ${sqlCosQ("e.emb", "c1.cent")} DESC, c1.cid) AS rn
        |    FROM e CROSS JOIN c1) WHERE rn = 1)""".stripMargin
 
-  /** Scan-side cell assignment: argmax-cosine centroid per vector, computed
-    * as one projection over `lit()` centroid arrays — `NumCentroids` codegen
-    * cosines per row, argmax via `array_max` over `struct(cos, flippedCid)`
-    * (struct ordering is lexicographic, so max = best cosine, ties = largest
-    * flipped cid = SMALLEST cid). No crossJoin, no window, no exchange. */
-  /** Per-row array of (quantized cosine, flipped cid) structs against the
-    * `lit()` centroid constants — the shared basis for argmax assignment and
-    * multi-cell probing. Struct ordering is lexicographic: max/descending
-    * sort = best cosine first, ties = largest flipped cid = SMALLEST cid. */
-  private def packedCells(
-      s: SparkSession, cents: Seq[(Int, Array[Float])]): Column = {
-    vec.register(s)
-    array(cents.map { case (cid, c) =>
-      struct(
-        quant(call_function("cosine_sim", col("embedding"), litVec(c)))
-          .as("cos"),
-        lit(NumCentroids - 1 - cid).as("fc"))
-    }: _*)
+  /** Scan-side cell selection, round-4 form: the native
+    * [[graft.functions.TopCells]] expression (centroid matrix as a codegen
+    * reference object, one node) replaces the k-struct
+    * `array_max`/`sort_array` Column tree. Bit-compatible by construction —
+    * TopCells runs the same per-centroid accumulation order, zero-norm
+    * guard, floor-quantization, and smallest-cid tie-break the
+    * `cosine_sim` + flipped-cid structs encoded (the DuckDB oracles replay
+    * that contract) — and keeps planning O(1) in k, which matters now that
+    * k SCALES WITH CORPUS SIZE ([[CellTarget]]): at k in the hundreds the
+    * struct tree would hit the wide-tree planning trap [[PqEncode]]
+    * documents. Each call registers a temp function capturing the centroid
+    * set (analysis binds the builder at Dataset creation, so sequential
+    * re-registrations never cross plans). Still a pure projection: no
+    * crossJoin, no window, no exchange. */
+  private def cellsOf(
+      s: SparkSession,
+      cents: Seq[(Int, Array[Float])],
+      topN: Int,
+      name: String): Column = {
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be contiguous from 0 (cid == position)")
+    val m = cents.map(_._2.toVector).toVector
+    pq.register(s, name, exprs => TopCells(exprs.head, m, topN, CosQuantScale))
+    call_function(name, col("embedding"))
   }
 
   private[graft] def assignTo(
@@ -170,14 +181,14 @@ object Ann {
       cents: Seq[(Int, Array[Float])]): DataFrame =
     e.select(
       col("vec_id"), col("embedding"),
-      (lit(NumCentroids - 1) - array_max(packedCells(s, cents))("fc"))
+      element_at(cellsOf(s, cents, 1, "ann_assign"), 1)
         .cast("bigint").as("cid"))
 
   /** Query-side multi-cell probe: one row per (vector, probed cid) for the
-    * top-[[NumProbe]] cells by quantized cosine — still a single projection
-    * (sort the 16-element packed array, slice, explode), zero exchanges.
-    * Probed cids are distinct per query and every candidate lives in exactly
-    * one cell, so the downstream cell join never duplicates a pair. */
+    * top-[[NumProbe]] cells by quantized cosine — one projection + explode,
+    * zero exchanges. Probed cids are distinct per query and every candidate
+    * lives in exactly one cell, so the downstream cell join never
+    * duplicates a pair. */
   private[graft] def probeCells(
       s: SparkSession,
       e: DataFrame,
@@ -185,15 +196,13 @@ object Ann {
       nprobe: Int): DataFrame =
     e.select(
       col("vec_id"), col("embedding"),
-      explode(slice(sort_array(packedCells(s, cents), asc = false), 1, nprobe))
-        .as("p"))
+      explode(cellsOf(s, cents, nprobe, "ann_probe")).as("p"))
       .select(
-        col("vec_id"), col("embedding"),
-        (lit(NumCentroids - 1) - col("p")("fc")).cast("bigint").as("cid"))
+        col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
 
   /** First-n seed vectors (deterministic: vec_id < n, pushdown-pruned scan
     * of n rows). At 100 TB seeds would come from a tiny `sample(seed)` —
-    * the collect is n (16 or 64) rows either way. */
+    * the collect is n rows either way. */
   private def firstVectors(
       s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
     Tables.t(s, d, "embeddings")
@@ -204,8 +213,18 @@ object Ann {
       .sortBy(_._1)
       .toSeq
 
-  private def seedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] =
-    firstVectors(s, d, NumCentroids)
+  /** Coarse-quantizer size SCALES WITH THE CORPUS: k = max(16, N/125), so
+    * cells hold ~[[CellTarget]] vectors at any N. This is the load-bearing
+    * scale mechanism for every cell-BLOCKED consumer (q_dedup_semantic,
+    * q_knn_join): within-cell pair volume is Σ|cell|² ≈ N·CellTarget —
+    * LINEAR in N — where a fixed k gives N²/k (measured: the ×10 stress
+    * k-NN join took 204 s before, ~linear after). At the driver SFs
+    * (N ≤ 2000) k stays 16, so every oracle output is unchanged; the
+    * oracle CTE computes the same k via GREATEST over COUNT(*). */
+  private def seedCentroids(s: SparkSession, d: String): Seq[(Int, Array[Float])] = {
+    val n = Tables.t(s, d, "embeddings").count()
+    firstVectors(s, d, math.max(NumCentroids, (n / CellTarget).toInt))
+  }
 
   /** One deterministic Lloyd iteration: assign to the seeds, recompute each
     * cell's exact-math centroid ([[VectorCentroid]] — quantized-long sums,
@@ -234,6 +253,7 @@ object Ann {
     * genuinely-worse neighbor win a display-tie on id (costing measured
     * recall). Display stays 3 dp. */
   private def topkPerQuery(s: SparkSession, pairs: DataFrame): DataFrame = {
+    vec.register(s)
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cq").desc, col("neighbor_id"))
     pairs
@@ -372,6 +392,7 @@ object Ann {
     GQ(
       "q_dedup_semantic",
       (s, d) => {
+        vec.register(s)
         val cents = kmeansCentroids(s, d)
         val asg = assignTo(s, Tables.t(s, d, "embeddings"), cents)
         val a = asg.select(col("cid"), col("vec_id").as("a_id"),
@@ -412,6 +433,7 @@ object Ann {
     GQ(
       "q_knn_join",
       (s, d) => {
+        vec.register(s)
         val cents = kmeansCentroids(s, d)
         val asg = assignTo(s, Tables.t(s, d, "embeddings"), cents)
         val a = asg.select(col("cid"), col("vec_id"), col("embedding").as("ea"))

@@ -36,7 +36,10 @@ object ScaleStress {
     // (encode is a scan projection — must stay linear), reservoir (one
     // WindowGroupLimit exchange), SCD2 (one dimension-key window)
     "q_dedup_incremental", "q_sim_ann_pq", "q_sample_reservoir",
-    "q_scd2_history")
+    "q_scd2_history",
+    // round 4, fifth batch: span dedup (span-keyed aggs — linear), the
+    // k-NN join (within-cell pairs — cell-size bound), the salted join
+    "q_dedup_spans", "q_knn_join", "q_join_skew_salted", "q_dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
