@@ -10,22 +10,27 @@ import org.apache.spark.sql.functions._
 /** Approximate nearest-neighbor search — the scale path for similarity
   * (`Similarity.q_sim_cosine` is the brute-force baseline).
   *
-  * IVF (inverted-file) flavor: a small set of coarse centroids — seeded from
-  * the first 16 vectors, then refined with one deterministic Lloyd (k-means)
-  * iteration via the exact-math [[VectorCentroid]] UDAF — every vector is
-  * assigned to its best centroid scan-side, and a query probes its best
-  * [[NumProbe]] cells (the recall knob; round 3).
+  * IVF (inverted-file) flavor: k coarse centroids — k = max(16, N/125)
+  * SCALES WITH THE CORPUS (round 4, [[CellTarget]]) so cells stay ~125
+  * vectors at any N; seeded from the first k vectors, then refined with one
+  * deterministic Lloyd (k-means) iteration via the exact-math
+  * [[VectorCentroid]] UDAF — every vector is assigned to its best centroid
+  * scan-side, and a query probes its best [[NumProbe]] cells (the recall
+  * knob; round 3).
   *
-  * Plan shape at scale (the round-2 rewrite): the centroids/hyperplanes are
-  * driver-side constants (16 rows collected once, resp. a fixed seed walk),
-  * injected into the scan as `lit()` float arrays. Assignment is therefore a
-  * SINGLE PROJECTION — 16 native-codegen cosines per row and an
-  * `array_max`-over-structs argmax — with ZERO exchanges before the cell-id
-  * shuffle. The previous shape (`crossJoin(broadcast(centroids))` + a
-  * `row_number` window keyed on vec_id) amplified the scan 16× and shuffled
-  * the amplified rows *carrying the embeddings* just to keep rank 1; at
-  * 100 TB that shuffle is the bottleneck, and it is entirely avoidable
-  * because the argmax is a pure per-row function of broadcast constants.
+  * Plan shape at scale (round-2 rewrite, round-4 hardening): the
+  * centroids/hyperplanes are driver-side constants (k rows collected once,
+  * resp. a fixed seed walk) carried into the scan by the native
+  * [[graft.functions.TopCells]] expression. Assignment is therefore a
+  * SINGLE PROJECTION — one reference-object loop per row — with ZERO
+  * exchanges before the cell-id shuffle. The round-1 shape
+  * (`crossJoin(broadcast(centroids))` + a `row_number` window keyed on
+  * vec_id) amplified the scan k× and shuffled the amplified rows *carrying
+  * the embeddings* just to keep rank 1; at 100 TB that shuffle is the
+  * bottleneck, and it is entirely avoidable because the argmax is a pure
+  * per-row function of broadcast constants. (At k beyond a few thousand the
+  * collected-constants form gives way to sample-trained hierarchical
+  * quantizers — the loop structure is unchanged.)
   *
   * Determinism: centroid refinement accumulates quantized longs
   * ([[VectorCentroid]]), so the refined centroids are bit-stable under any
