@@ -539,6 +539,50 @@ object Curation {
              |      AS BIGINT) AS rnk FROM h)
              |SELECT lang, doc_id, rnk FROM r WHERE rnk <= 5
              |ORDER BY lang, rnk""".stripMargin)
+    ),
+    // Statistical outlier detection (round 4): the 20 documents whose
+    // token counts sit furthest (in population z-score) from the corpus
+    // mean — the "truncated/concatenated document" tell beside the
+    // absolute length gates of q_quality_filter. Top-k rather than a fixed
+    // |z| threshold: the synthetic corpus is near-uniform (max |z| ≈ 1.8 at
+    // sf0.01), so a 2σ gate demonstrates nothing; a real pipeline tunes
+    // the cut, and the ranking is the operator. Determinism by
+    // construction: with exact integer moments n, S=Σt, S2=Σt², the
+    // z-score algebra (t−mean)/sd rearranges to (t·n − S)/sqrt(n·S2 − S²)
+    // — two exact integers, ONE division and ONE sqrt over their double
+    // casts, identical IEEE ops in both engines (all magnitudes < 2^53,
+    // casts exact) — so ranking on |z| with a doc_id tie-break is
+    // cross-engine stable, and the 3-dp display (R8) rounds after. Plan:
+    // one token-count scan + a 1-row moment agg broadcast back + top-k
+    // (TakeOrderedAndProject) — zero wide shuffles, linear at any size.
+    GQ(
+      "q_text_outliers",
+      (s, d) => {
+        val t = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("t"))
+        val stats = t.agg(count(lit(1)).as("n"), sum(col("t")).as("s1"),
+          sum(col("t") * col("t")).as("s2"))
+        t.crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("t").as("n_tokens"),
+            ((col("t") * col("n") - col("s1")).cast(DoubleType) /
+              sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+                .cast(DoubleType))).as("z"))
+          .orderBy(abs(col("z")).desc, col("doc_id"))
+          .limit(20)
+          .select(col("doc_id"), col("n_tokens"),
+            graft.functions.vec.roundz(col("z"), 3).as("z"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+             |  FROM documents),
+             |st AS (SELECT COUNT(*) AS n, SUM(t) AS s1, SUM(t*t) AS s2 FROM t),
+             |z AS (SELECT doc_id, t AS n_tokens,
+             |    CAST(t*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE))
+             |      AS z
+             |  FROM t, st)
+             |SELECT doc_id, n_tokens, (ROUND(z, 3) + 0.0) AS z FROM z
+             |ORDER BY abs(z) DESC, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

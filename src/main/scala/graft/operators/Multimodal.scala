@@ -161,6 +161,34 @@ object Multimodal {
              |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
              |FROM documents ORDER BY kind""".stripMargin)
     ),
+    // Declared run of the remaining two multimodal verbs (round 4):
+    // [[thumbnails]] — distributed RESIZE (stride downsample to a fixed
+    // 16-byte thumb) + KEYFRAME SAMPLING (every 4th frame) in one narrow
+    // iterator pass. Both are pure byte math the oracle replays without
+    // the codec: thumb byte i = payload[(i·len) DIV 16] (hex-extracted in
+    // SQL), keyframes = ⌈⌈len/32⌉/4⌉ — so the driver hash checks the
+    // DISTRIBUTED pass's bytes end to end. A real resampler changes the
+    // byte values, not the plan: output stays fixed-size per record, no
+    // shuffle anywhere — the property that lets a thumbnail pass run over
+    // 100 TB of video.
+    GQ(
+      "q_multimodal_frames",
+      (s, d) =>
+        thumbnails(asMedia(s, d)).toDF()
+          .select(col("doc_id"),
+            col("n_keyframes").cast(LongType).as("n_keyframes"),
+            hex(col("thumb")).as("thumb_hex"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH b AS (SELECT doc_id, encode(text) AS p,
+             |    octet_length(encode(text)) AS len FROM documents)
+             |SELECT doc_id,
+             |  CAST(((len + ${FakeCodec.FrameSize - 1}) // ${FakeCodec.FrameSize}
+             |    + 3) // 4 AS BIGINT) AS n_keyframes,
+             |  array_to_string(list_transform(range(16),
+             |    i -> substr(hex(p), 2 * ((i * len) // 16) + 1, 2)), '')
+             |    AS thumb_hex
+             |FROM b ORDER BY doc_id""".stripMargin)
+    ),
     // End-to-end media near-dup: decode → fixed-width feature vector →
     // cosine top-10 pairs within an id block — the full multimodal dedup
     // pipeline (ingest, distributed decode, embedding similarity) in one

@@ -166,4 +166,43 @@ class PropertySpec extends AnyFunSuite {
     }
     assert(viaCodegen === direct)
   }
+
+  test("TopCells: interpreted eval equals the codegen path on random vectors") {
+    // same dual-path law for the IVF cell selector, including the ordering
+    // contract: (quantized cosine DESC, cid ASC)
+    import graft.functions.{pq, TopCells}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    val cents: Vector[Vector[Float]] =
+      samples(vecGen, 12).map(_.toVector).toVector
+    val rows: Seq[Seq[Float]] = samples(vecGen, 40).map(_.toSeq)
+    pq.register(spark, "top_cells_prop",
+      exprs => TopCells(exprs.head, cents, 3, 1e12))
+    val viaCodegen = rows.toDF("embedding")
+      .select(call_function("top_cells_prop", col("embedding")).as("c"))
+      .collect().map(_.getSeq[Int](0).toVector).toSeq
+    val direct = rows.map { v =>
+      TopCells(org.apache.spark.sql.catalyst.expressions.Literal(0), cents, 3, 1e12)
+        .nullSafeEval(new GenericArrayData(v.toArray))
+        .asInstanceOf[GenericArrayData].toIntArray().toVector
+    }
+    assert(viaCodegen === direct)
+    // ranking sanity against a scala-side reference ordering
+    for ((v, got) <- rows.zip(direct)) {
+      def cos(c: Vector[Float]): Double = {
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        for (i <- v.indices) {
+          dot += v(i).toDouble * c(i).toDouble
+          nx += v(i).toDouble * v(i).toDouble
+          ny += c(i).toDouble * c(i).toDouble
+        }
+        val den = math.sqrt(nx) * math.sqrt(ny)
+        if (den == 0.0) 0.0 else dot / den
+      }
+      val want = cents.indices
+        .map(i => (math.floor(cos(cents(i)) * 1e12).toLong, i))
+        .sortBy { case (q, i) => (-q, i) }.take(3).map(_._2).toVector
+      assert(got === want)
+    }
+  }
 }
