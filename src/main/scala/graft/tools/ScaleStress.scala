@@ -39,7 +39,8 @@ object ScaleStress {
     "q_scd2_history",
     // round 4, fifth batch: span dedup (span-keyed aggs — linear), the
     // k-NN join (within-cell pairs — cell-size bound), the salted join
-    "q_dedup_spans", "q_knn_join", "q_join_skew_salted", "q_dedup_semantic")
+    "q_dedup_spans", "q_knn_join", "q_join_skew_salted", "q_dedup_semantic",
+    "q_multimodal_frames", "q_text_outliers")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
