@@ -583,6 +583,46 @@ object Curation {
              |  FROM t, st)
              |SELECT doc_id, n_tokens, (ROUND(z, 3) + 0.0) AS z FROM z
              |ORDER BY abs(z) DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    // Deterministic train/val/test split (round 4): the 80/10/10 assignment
+    // every training run needs to be REPRODUCIBLE — salted h60 gate per
+    // doc (the q_sample_stratified mechanism, distinct salt), so the same
+    // doc lands in the same split on any engine, rerun, or cluster size
+    // (R3), and adding docs never moves existing ones. Each split reports
+    // doc/token counts plus an ORDER-INDEPENDENT membership fingerprint
+    // (bit_xor of per-doc h60 over id:text — the q_curation_pipeline audit
+    // pattern), so two runs can prove split equality without comparing
+    // row-by-row. Scan-side labels, one 3-group agg — linear at any size.
+    GQ(
+      "q_split_assign",
+      (s, d) => {
+        val gate = pmod(
+          XHash.h60(concat(lit("split:"), col("doc_id").cast(StringType))),
+          lit(100L))
+        Tables.t(s, d, "documents")
+          .select(
+            when(gate < 80, "train").when(gate < 90, "val")
+              .otherwise("test").as("split"),
+            size(split(col("text"), " ")).cast(LongType).as("toks"),
+            XHash.h60(concat_ws(":", col("doc_id").cast(StringType),
+              col("text"))).as("fp"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+            bit_xor(col("fp")).as("membership_fp"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH t AS (SELECT
+             |    CASE WHEN ${XHash.sqlH60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 80
+             |      THEN 'train'
+             |    WHEN ${XHash.sqlH60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+             |      THEN 'val' ELSE 'test' END AS split,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             |    ${XHash.sqlH60("CAST(doc_id AS VARCHAR) || ':' || text")} AS fp
+             |  FROM documents)
+             |SELECT split, COUNT(*) AS n_docs,
+             |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+             |  bit_xor(fp) AS membership_fp
+             |FROM t GROUP BY split ORDER BY split""".stripMargin)
     )
   )
 }

@@ -167,6 +167,30 @@ class PropertySpec extends AnyFunSuite {
     assert(viaCodegen === direct)
   }
 
+  test("q_dedup_incremental: planted near-dup reports new->index, never the reverse") {
+    // MiniData has no doc_id divisible by 10, so the incremental query's
+    // semantics need a planted corpus: doc 10 (NEW batch, id % 10 == 0)
+    // near-duplicates indexed doc 3; doc 20 is new and unique. The query
+    // must report exactly (10 -> 3) — the new doc is the one dropped, the
+    // indexed corpus is never reported, and unique new docs pass through.
+    import java.nio.file.Files
+    import spark.implicits._
+    val shared = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (3L, shared, "en", "src0"),
+      (10L, shared + " tail", "en", "src0"),
+      (20L, (1 to 30).map(i => s"u$i").mkString(" "), "en", "src0"),
+      (7L, (1 to 30).map(i => s"v$i").mkString(" "), "en", "src0"))
+    val dir = Files.createTempDirectory("incprop-").toString
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("q_dedup_incremental").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((10L, 3L)),
+      s"planted duplicate must surface as new->index exactly once: ${out.toSeq}")
+  }
+
   test("TopCells: interpreted eval equals the codegen path on random vectors") {
     // same dual-path law for the IVF cell selector, including the ordering
     // contract: (quantized cosine DESC, cid ASC)
