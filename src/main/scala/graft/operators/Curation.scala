@@ -623,6 +623,123 @@ object Curation {
              |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
              |  bit_xor(fp) AS membership_fp
              |FROM t GROUP BY split ORDER BY split""".stripMargin)
+    ),
+    // Cross-source overlap estimation via KMV (k-minimum-values / bottom-k)
+    // sketches — the sketch family that supports set INTERSECTION, which
+    // HLL (q_approx_distinct_native) and CMS (q_heavy_hitters) cannot: per
+    // source, keep the k=16 smallest h60 values of its distinct 3-gram
+    // shingle set; for each source pair, the k smallest of the sketch UNION
+    // estimate Jaccard as (members in both) / k [Beyer et al. 2007]. The
+    // real pipeline question this answers: which crawl sources are
+    // near-copies of each other, WITHOUT an all-pairs shingle join.
+    //
+    // Determinism: min-k of exact integer hashes — no FP, no RNG; the
+    // estimate is one int/int IEEE division (R7).
+    //
+    // Plan shape (100 TB): zero-shuffle shingling → one (source, h)
+    // distinct agg → one source-keyed top-k window = 16 rows/source
+    // forever, independent of corpus size. The pairwise stage touches only
+    // sketches (sources² · k rows — sources is a bounded dimension), never
+    // the corpus; that asymmetry is the entire point of sketching.
+    GQ(
+      "q_set_overlap_kmv",
+      (s, d) => {
+        val k = 16
+        val items = Grams.kgramRows(
+            Tables.t(s, d, "documents")
+              .select(col("doc_id"), col("source"), col("text")),
+            3, Seq("source"))
+          .select(col("source"), XHash.h60(col("item")).as("h"))
+          .distinct()
+        val bySrc = Window.partitionBy(col("source")).orderBy(col("h"))
+        val sk = graft.Caches.persist(
+          items.withColumn("rk", row_number().over(bySrc))
+            .filter(col("rk") <= k).select(col("source"), col("h")))
+        val srcs = sk.select(col("source")).distinct()
+        val pairs = srcs.select(col("source").as("sa"))
+          .join(srcs.select(col("source").as("sb")), col("sa") < col("sb"))
+        val tagged = pairs.join(sk.withColumnRenamed("source", "sa"), "sa")
+          .select(col("sa"), col("sb"), col("h"),
+            lit(1L).as("ina"), lit(0L).as("inb"))
+          .union(pairs.join(sk.withColumnRenamed("source", "sb"), "sb")
+            .select(col("sa"), col("sb"), col("h"),
+              lit(0L).as("ina"), lit(1L).as("inb")))
+          .groupBy(col("sa"), col("sb"), col("h"))
+          .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+        val byPair = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+        tagged.withColumn("rk", row_number().over(byPair))
+          .filter(col("rk") <= k)
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("k_used"),
+            sum(col("ina") * col("inb")).as("n_both"))
+          .select(col("sa"), col("sb"), col("k_used"), col("n_both"),
+            (col("n_both").cast(DoubleType) / col("k_used").cast(DoubleType))
+              .as("jaccard_est"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some(s"""WITH g AS (SELECT source,
+             |    unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+             |      THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+             |      ELSE [text] END) AS item
+             |  FROM documents),
+             |it AS (SELECT DISTINCT source, ${XHash.sqlH60("item")} AS h FROM g),
+             |sk AS (SELECT source, h FROM (SELECT source, h,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM it)
+             |  WHERE rk <= 16),
+             |srcs AS (SELECT DISTINCT source FROM sk),
+             |pairs AS (SELECT x.source AS sa, y.source AS sb
+             |  FROM srcs x JOIN srcs y ON x.source < y.source),
+             |tg AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (
+             |    SELECT p.sa, p.sb, s.h, 1 AS ina, 0 AS inb
+             |      FROM pairs p JOIN sk s ON s.source = p.sa
+             |    UNION ALL
+             |    SELECT p.sa, p.sb, s.h, 0 AS ina, 1 AS inb
+             |      FROM pairs p JOIN sk s ON s.source = p.sb)
+             |  GROUP BY sa, sb, h),
+             |rk AS (SELECT sa, sb, ina, inb,
+             |    ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk FROM tg)
+             |SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS k_used,
+             |  CAST(SUM(ina * inb) AS BIGINT) AS n_both,
+             |  CAST(SUM(ina * inb) AS DOUBLE) / COUNT(*) AS jaccard_est
+             |FROM rk WHERE rk <= 16 GROUP BY sa, sb ORDER BY sa, sb""".stripMargin)
+    ),
+    // Deterministic sharded training shuffle: the reader-side contract of
+    // every large training run — a reproducible pseudo-random global order,
+    // materialized as (shard, position-within-shard) so NO engine ever
+    // needs a single-partition global sort. Readers consume shards
+    // round-robin; shard = h % 16 and the intra-shard order (h, doc_id) are
+    // pure data math (R3), so any engine, rerun, or cluster size produces
+    // the identical order. (Unlike q_split_assign's per-doc gate, POSITIONS
+    // are not append-stable — an appended doc shifts later positions in its
+    // shard, as any total order must; the shard assignment itself is.)
+    //
+    // Plan shape (100 TB): scan-side hash + ONE shard-keyed window sort —
+    // 16-way parallel, each shard 1/16 of the corpus; contrast a global
+    // ROW_NUMBER() OVER (ORDER BY h), which serializes the corpus through
+    // one partition.
+    GQ(
+      "q_shuffle_shards",
+      (s, d) => {
+        val byShard = Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            XHash.h60(concat(lit("shuffle:"), col("doc_id").cast(StringType)))
+              .as("h"))
+          .withColumn("shard", pmod(col("h"), lit(16L)))
+          .withColumn("pos", row_number().over(byShard).cast(LongType))
+          .select(col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    ${XHash.sqlH60("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS h
+             |  FROM documents)
+             |SELECT h % 16 AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+             |    AS BIGINT) AS pos,
+             |  doc_id
+             |FROM t ORDER BY shard, pos""".stripMargin)
     )
   )
 }

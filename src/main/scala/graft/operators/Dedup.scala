@@ -656,6 +656,82 @@ object Dedup {
              |    AS dup_fraction
              |FROM a ORDER BY doc_id""".stripMargin)
     ),
+    // CONTENT-DEFINED chunking dedup (round 4) — the fixed-grid weakness of
+    // q_dedup_spans is that ONE inserted word shifts every later 10-word
+    // span boundary, so a near-copy with a single edit shares zero spans.
+    // CDC (rsync/LBFS lineage; word-level gear-hash here) cuts a chunk
+    // boundary AFTER every word whose h60 ≡ 0 (mod 8) — boundaries depend
+    // only on LOCAL content, so an edit perturbs at most the chunk it sits
+    // in and its immediate neighbor while every other chunk re-aligns
+    // (expected chunk length 8 words, geometric). Per doc: chunk count,
+    // how many of its chunks appear in ≥2 distinct docs, the dup fraction
+    // (ONE int/int IEEE division, R7), and an order-independent bit_xor
+    // fingerprint of the chunk hashes — any boundary drift anywhere flips
+    // it, which is what makes the oracle comparison sensitive to the whole
+    // chunking, not just the dup counts.
+    //
+    // Plan shape (100 TB): scan-side per-word hash+flag, ONE doc-keyed
+    // window sum assigns chunk ids, one (doc,chunk) agg reassembles chunk
+    // text (sorted by pos before joining — R3, collect order never shows),
+    // then the q_dedup_spans distinct/count/join-back shape keyed on chunk
+    // hash — all shuffles keyed on doc_id or chunk hash, linear forever.
+    // Production CDC adds min/max chunk-size clamps against degenerate
+    // boundary runs; the fixed mod-8 gate keeps the declared semantics
+    // minimal (the clamp is a WHERE on the same window).
+    GQ(
+      "q_dedup_cdc",
+      (s, d) => {
+        val words = Grams.kgramRows(Tables.t(s, d, "documents"), 1, Seq())
+        val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val chunks = words
+          .withColumn("bnd",
+            when(pmod(XHash.h60(col("item")), lit(8L)) === 0L, 1L)
+              .otherwise(0L))
+          .withColumn("chunk", coalesce(sum(col("bnd")).over(byPos), lit(0L)))
+          .groupBy(col("doc_id"), col("chunk"))
+          .agg(XHash.h60(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("item")))),
+            x => x.getField("item")), " ")).as("ch"))
+        val freq = chunks.select(col("doc_id"), col("ch")).distinct()
+          .groupBy(col("ch")).agg(count(lit(1)).as("nd"))
+        chunks.join(freq, "ch")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+            bit_xor(col("ch")).as("chunks_fp"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+            (col("n_dup_chunks").cast(DoubleType) /
+              col("n_chunks").cast(DoubleType)).as("dup_fraction"),
+            col("chunks_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |w AS (SELECT doc_id, unnest(ws) AS item,
+             |    unnest(range(1, len(ws) + 1)) AS i FROM d),
+             |b AS (SELECT doc_id, item, i,
+             |    CASE WHEN ${XHash.sqlH60("item")} % 8 = 0 THEN 1 ELSE 0 END
+             |      AS bnd FROM w),
+             |ck AS (SELECT doc_id, item, i,
+             |    COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY i
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS chunk FROM b),
+             |c AS (SELECT doc_id, chunk,
+             |    ${XHash.sqlH60("string_agg(item, ' ' ORDER BY i)")} AS ch
+             |  FROM ck GROUP BY doc_id, chunk),
+             |f AS (SELECT ch, COUNT(DISTINCT doc_id) AS nd FROM c GROUP BY ch),
+             |a AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+             |    CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_dup_chunks,
+             |    bit_xor(c.ch) AS chunks_fp
+             |  FROM c JOIN f USING (ch) GROUP BY c.doc_id)
+             |SELECT doc_id, n_chunks, n_dup_chunks,
+             |  CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+             |    AS dup_fraction,
+             |  chunks_fp
+             |FROM a ORDER BY doc_id""".stripMargin)
+    ),
     // 32-bit SimHash per document from term-frequency-weighted word hashes
     // (bits 0..31 of the h60 basis; duplicates of a word vote once each).
     GQ(

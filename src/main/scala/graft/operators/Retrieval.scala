@@ -121,6 +121,81 @@ object Retrieval {
              |FROM p GROUP BY gram
              |HAVING COUNT(*) * 2 <= (SELECT COUNT(*) FROM documents)
              |ORDER BY df DESC, gram LIMIT 20""".stripMargin)
+    ),
+    // TextRank keyword salience (Mihalcea & Tarau 2004): PageRank over the
+    // word co-occurrence graph — nodes are words, an undirected edge per
+    // adjacent word pair, edge weight = corpus-wide co-occurrence count.
+    // Five damped iterations (d=0.85), then the global top-20 words.
+    //
+    // Determinism (R7 extended): PageRank in IEEE doubles is aggregation-
+    // order-dependent (Σ of neighbor contributions), so ranks are carried as
+    // BIGINT billionths — pr0 = 1e9/N, contribution = (pr·w) div strength,
+    // damping = base + (85·Σ) div 100, all floor division of positive
+    // integers, bit-identical in Spark (`div`) and DuckDB (`//`) and
+    // order-independent under the BIGINT Σ. Headroom: Σpr ≤ 1e9 and
+    // pr·w < 2^63 for any w < 9.2e9 occurrences of one word pair.
+    //
+    // Plan shape (100 TB): KGrams k=2 scan-side pair emit (zero shuffles) →
+    // one (src,dst) hash agg builds the weighted edge list, one src-keyed
+    // window adds strength; the edge relation persists (vocab²-bounded,
+    // corpus-size-independent) and each iteration is ONE join + ONE
+    // word-keyed agg over it. The corpus is touched exactly once.
+    GQ(
+      "q_text_textrank",
+      (s, d) => {
+        val Scale = 1000000000L
+        val pj = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
+          .select(col("p")(0).as("a"), col("p")(1).as("b"))
+        val ed = pj.select(col("a").as("src"), col("b").as("dst"))
+          .union(pj.select(col("b").as("src"), col("a").as("dst")))
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        val ew = graft.Caches.persist(
+          ed.withColumn("wt", sum(col("w")).over(Window.partitionBy(col("src")))))
+        val n = ew.select(col("src")).distinct().count() // bounded: one scalar
+        val base = (15L * Scale) / (100L * n)
+        var pr = ew.select(col("src").as("word")).distinct()
+          .select(col("word"), lit(Scale / n).as("pr"))
+        for (_ <- 1 to 5) {
+          pr = ew.join(pr.withColumnRenamed("word", "src"), "src")
+            .groupBy(col("dst").as("word"))
+            .agg(sum(expr("(pr * w) div wt")).as("s"))
+            .select(col("word"), (lit(base) + expr("(85 * s) div 100")).as("pr"))
+        }
+        pr.orderBy(col("pr").desc, col("word")).limit(20)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("pr").desc, col("word"))).cast(LongType))
+          .select(col("rn"), col("word"), col("pr"))
+          .orderBy(col("rn"))
+      },
+      Some {
+        def step(k: Int): String =
+          s"""pr$k AS (SELECT e.dst AS word,
+             |  CAST(15000000000 // (100 * (SELECT n FROM nn)) AS BIGINT) +
+             |  CAST((85 * SUM((p.pr * e.w) // e.wt)) // 100 AS BIGINT) AS pr
+             |  FROM pr${k - 1} p JOIN ew e ON e.src = p.word GROUP BY e.dst)"""
+            .stripMargin
+        s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |pj AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |    i -> ws[i] || ' ' || ws[i+1])) AS p FROM d WHERE len(ws) >= 2),
+           |ab AS (SELECT string_split(p, ' ')[1] AS a, string_split(p, ' ')[2] AS b
+           |  FROM pj WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
+           |ed AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM
+           |    (SELECT a AS src, b AS dst FROM ab
+           |     UNION ALL SELECT b AS src, a AS dst FROM ab)
+           |  GROUP BY src, dst),
+           |ew AS (SELECT src, dst, w,
+           |  CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS wt FROM ed),
+           |nn AS (SELECT COUNT(DISTINCT src) AS n FROM ed),
+           |pr0 AS (SELECT src AS word,
+           |  CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS pr
+           |  FROM (SELECT DISTINCT src FROM ed)),
+           |${(1 to 5).map(step).mkString(",\n")}
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, word) AS BIGINT) AS rn,
+           |  word, pr
+           |FROM pr5 ORDER BY rn LIMIT 20""".stripMargin
+      }
     )
   )
 }

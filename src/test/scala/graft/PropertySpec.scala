@@ -229,4 +229,78 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  /** Write a planted documents corpus and return its dir (the
+    * q_dedup_incremental pattern, shared by the round-4 planted-law tests). */
+  private def plantDocs(rows: Seq[(Long, String, String, String)]): String = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("plantprop-").toString
+    rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q_dedup_cdc: boundaries re-align after an edit where fixed spans cannot") {
+    // THE content-defined-chunking law: insert one word near the front of a
+    // copy — chunks after the edit's chunk re-align (shared), while the
+    // fixed 10-word grid of q_dedup_spans shifts every span, sharing none.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val edited = "xx " + base
+    val dir = plantDocs(Seq(
+      (1L, base, "en", "src0"),
+      (2L, edited, "en", "src0"),
+      (3L, (1 to 60).map(i => s"u$i").mkString(" "), "en", "src0")))
+    val cdc = Registry.byName("q_dedup_cdc").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cdc(1L) > 0 && cdc(2L) > 0,
+      s"edited near-copy must share re-aligned chunks: $cdc")
+    assert(cdc(3L) === 0, s"unrelated doc must share nothing: $cdc")
+    val spans = Registry.byName("q_dedup_spans").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(spans(1L) === 0 && spans(2L) === 0,
+      s"fixed grid shares no span after a 1-word shift (the contrast CDC exists for): $spans")
+  }
+
+  test("q_text_textrank: hub of a planted star ranks first; mass is conserved") {
+    // star graph: 'hub' co-occurs with every spoke, spokes only with hub —
+    // the highest-centrality node must rank #1; quantized PR mass can only
+    // shrink (floor losses), never exceed the initial 1e9.
+    val dir = plantDocs((1 to 10).map(i =>
+      (i.toLong, s"hub s$i", "en", "src0")))
+    val out = Registry.byName("q_text_textrank").run(spark, dir).collect()
+    assert(out.head.getString(1) === "hub",
+      s"star hub must rank first: ${out.map(_.getString(1)).toSeq}")
+    val mass = out.map(_.getLong(2)).sum
+    assert(mass > 0L && mass <= 1000000000L,
+      s"quantized PR mass must stay within the initial budget: $mass")
+  }
+
+  test("q_set_overlap_kmv: identical sources estimate 1.0, disjoint 0.0") {
+    val texts = (1 to 5).map(k => (1 to 12).map(i => s"t${k}x$i").mkString(" "))
+    val other = (1 to 5).map(k => (1 to 12).map(i => s"z${k}y$i").mkString(" "))
+    val dir = plantDocs(
+      texts.zipWithIndex.map { case (t, i) => (i + 1L, t, "en", "src0") } ++
+        texts.zipWithIndex.map { case (t, i) => (i + 101L, t, "en", "src1") } ++
+        other.zipWithIndex.map { case (t, i) => (i + 201L, t, "en", "src2") })
+    val est = Registry.byName("q_set_overlap_kmv").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(est(("src0", "src1")) === 1.0, s"identical shingle sets: $est")
+    assert(est(("src0", "src2")) === 0.0 && est(("src1", "src2")) === 0.0,
+      s"disjoint shingle sets: $est")
+  }
+
+  test("q_shuffle_shards: output is a permutation with consistent shard math") {
+    val dir = plantDocs((1 to 40).map(i =>
+      (i.toLong, s"doc body $i", "en", s"src${i % 3}")))
+    val out = Registry.byName("q_shuffle_shards").run(spark, dir).collect()
+    assert(out.length === 40)
+    assert(out.map(_.getLong(2)).toSet === (1L to 40L).toSet,
+      "every doc appears exactly once")
+    // positions are 1..count(shard) within each shard — a dense ranking
+    out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"dense positions in shard $shard")
+    }
+  }
 }
