@@ -23,7 +23,8 @@ object Registry {
       Curation.queries ++
       BloomPrune.queries ++
       Retrieval.queries ++
-      Layout.queries
+      Layout.queries ++
+      GraphOps.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

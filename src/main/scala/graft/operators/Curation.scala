@@ -740,6 +740,52 @@ object Curation {
              |    AS BIGINT) AS pos,
              |  doc_id
              |FROM t ORDER BY shard, pos""".stripMargin)
+    ),
+    // Robust outlier detection via MAD (median absolute deviation) — the
+    // companion q_text_outliers needs: the z-score's own mean/stddev are
+    // dragged by the outliers being hunted (one 10⁶-token doc inflates σ
+    // enough to hide every other anomaly), while median/MAD have a 50%
+    // breakdown point. Score = |tokens − median| / MAD over token counts;
+    // top-20 by (score, doc_id).
+    //
+    // Determinism: both medians interpolate two middle values of integer
+    // (or .5-exact) data — the q_agg_median_mode contract — so med, dev,
+    // and mad are exact doubles and the score is ONE IEEE division of
+    // exact operands (R7); a zero MAD (≥half the corpus at the median)
+    // yields NULL scores ranked last rather than a division blowup.
+    //
+    // Plan shape (100 TB): the token-count projection persists (narrow:
+    // two longs/doc); two sequential 1-row median aggs broadcast back —
+    // the corpus is scanned once and only ordered inside percentile's
+    // partial aggregation. (Exact percentile shuffles value-counts; at
+    // real scale the same shape runs on the binned doclen histogram —
+    // q_doclen_hist — with interpolation inside the median bin.)
+    GQ(
+      "q_text_mad_outliers",
+      (s, d) => {
+        val t = graft.Caches.persist(
+          Tables.t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("t")))
+        val med = t.agg(percentile(col("t"), lit(0.5)).as("med"))
+        val dev = t.crossJoin(broadcast(med))
+          .select(col("doc_id"), col("t"), abs(col("t") - col("med")).as("dev"))
+        val mad = dev.agg(percentile(col("dev"), lit(0.5)).as("mad"))
+        dev.crossJoin(broadcast(mad))
+          .select(col("doc_id"), col("t").as("n_tokens"), col("dev"),
+            when(col("mad") > 0, col("dev") / col("mad")).as("score"))
+          .orderBy(col("score").desc_nulls_last, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+             |  FROM documents),
+             |m AS (SELECT quantile_cont(t, 0.5) AS med FROM t),
+             |dv AS (SELECT doc_id, t, abs(t - med) AS dev FROM t, m),
+             |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dv)
+             |SELECT doc_id, t AS n_tokens, dev,
+             |  CASE WHEN mad > 0 THEN dev / mad END AS score
+             |FROM dv, md
+             |ORDER BY score DESC NULLS LAST, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -481,6 +481,58 @@ object EventsOps {
       },
       Some(graft.functions.HllSketch.oracleSql("event_type", "user_id", "events")
         + "\nORDER BY event_type")
+    ),
+    // Last-touch attribution (round 4) — the event-analytics verb the
+    // funnel/cohort/sessionize trio still lacked: each purchase is
+    // attributed to the SAME user's most recent preceding click, with the
+    // exact microsecond gap (µs, not ns: DuckDB reads the ns parquet as a
+    // µs TIMESTAMP, so µs is the finest cross-engine-exact resolution —
+    // the q_join_asof contract; `ts div 1000` ≡ `epoch_us`).
+    // First-purchase-without-click emits NULLs (an honest "organic" row,
+    // not a dropped one).
+    //
+    // The scale-right shape is ONE user-keyed window pass — `last(...,
+    // ignoreNulls)` over a preceding-rows frame picks the latest click
+    // per (ts, event_id) order — never the textbook self-join of
+    // purchases × clicks, whose per-user pair volume is quadratic in
+    // activity and skew-bound by the heaviest user. Exact integer µs
+    // (R5); (ts, event_id) is a unique order key (R1).
+    GQ(
+      "q_events_attribution",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("tsu"), col("event_type"))
+          .withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("click_ts",
+            last(when(col("event_type") === "click", col("tsu")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("click_id"),
+            (col("tsu") - col("click_ts")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS tsn,
+             |    event_type FROM events),
+             |a AS (SELECT event_id, user_id, event_type, tsn,
+             |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+             |        IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS click_id,
+             |    last_value(CASE WHEN event_type = 'click' THEN tsn END
+             |        IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS click_ts
+             |  FROM t)
+             |SELECT event_id, user_id, click_id, tsn - click_ts AS gap_us
+             |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
     )
   )
 }

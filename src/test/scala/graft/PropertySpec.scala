@@ -290,6 +290,58 @@ class PropertySpec extends AnyFunSuite {
       s"disjoint shingle sets: $est")
   }
 
+  test("q_graph_triangles: planted triangle found once; open path contributes none") {
+    // docs induce edges a-b, b-c, a-c (one triangle) and x-y, y-z (a path:
+    // wedge at y must NOT close) — each triangle vertex counts exactly 1.
+    val dir = plantDocs(Seq(
+      (1L, "ta tb", "en", "src0"), (2L, "tb tc", "en", "src0"),
+      (3L, "ta tc", "en", "src0"), (4L, "xx yy", "en", "src0"),
+      (5L, "yy zz", "en", "src0")))
+    val out = Registry.byName("q_graph_triangles").run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out.toSet === Set("ta" -> 1L, "tb" -> 1L, "tc" -> 1L),
+      s"exactly the triangle's vertices, once each: $out")
+  }
+
+  test("q_events_attribution: purchase takes the latest preceding click, else NULL") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("attrprop-").toString
+    // (event_id, ts_ns, user_id, type): user 1 has click→view→click→purchase
+    // (latest click 5 wins); user 2 purchases with no prior click (NULL).
+    Seq((1L, 100000L, 1L, "click", 1.0, "{}"),
+      (2L, 200000L, 1L, "view", 1.0, "{}"),
+      (5L, 300000L, 1L, "click", 1.0, "{}"),
+      (6L, 500000L, 1L, "purchase", 9.0, "{}"),
+      (7L, 400000L, 2L, "purchase", 5.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_attribution").run(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))).toMap
+    assert(byId(6L) === Some((5L, 200L)),
+      s"latest preceding click (id 5, gap 200us) must win: $byId")
+    assert(byId(7L) === None, s"clickless purchase is organic/NULL: $byId")
+  }
+
+  test("q_text_mad_outliers: MAD flags the monster doc; zero MAD degrades to NULLs") {
+    val spread = (1 to 9).map(i =>
+      (i.toLong, (1 to (7 + i)).map(j => s"w$j").mkString(" "), "en", "src0"))
+    val monster = Seq((99L, (1 to 500).map(j => s"m$j").mkString(" "), "en", "src0"))
+    val out = Registry.byName("q_text_mad_outliers")
+      .run(spark, plantDocs(spread ++ monster)).collect()
+    assert(out.head.getLong(0) === 99L, "monster doc must rank first")
+    // tokens {8..16, 500}: median 12.5, devs sorted give MAD 2.5,
+    // monster dev 487.5 -> score exactly 195.0
+    assert(out.head.getDouble(3) === 195.0,
+      s"hand-computed dev/mad: ${out.head.getDouble(3)}")
+    // degenerate corpus: >=half the docs at the median -> MAD 0 -> NULL scores
+    val flat = (1 to 6).map(i => (i.toLong, "a b c", "en", "src0"))
+    val deg = Registry.byName("q_text_mad_outliers")
+      .run(spark, plantDocs(flat)).collect()
+    assert(deg.forall(_.isNullAt(3)), "zero MAD must yield NULL scores, not a blowup")
+    assert(deg.map(_.getLong(0)).toSeq === (1L to 6L).toSeq, "NULLs rank last, id order")
+  }
+
   test("q_shuffle_shards: output is a permutation with consistent shard math") {
     val dir = plantDocs((1 to 40).map(i =>
       (i.toLong, s"doc body $i", "en", s"src${i % 3}")))
