@@ -24,7 +24,8 @@ object Registry {
       BloomPrune.queries ++
       Retrieval.queries ++
       Layout.queries ++
-      GraphOps.queries
+      GraphOps.queries ++
+      DataQuality.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality gates (round 4) — the Deequ/Great-Expectations-shaped
+  * verification pass every production pipeline runs BEFORE training data
+  * ships: key uniqueness, referential integrity, domain and range
+  * constraints, null contracts. The reference implicitly assumes all of
+  * these (its pandas `astype(str)` would happily persist garbage,
+  * /root/reference/spotify-etl.py:211); here they are a declared,
+  * oracle-checked report.
+  */
+object DataQuality {
+
+  val queries: Seq[GQ] = Seq(
+    // One row per check: (check, n_bad, passed). The per-table constraint
+    // checks FUSE into a single aggregation pass per table (at 100 TB you
+    // never scan a table twice to evaluate two column constraints); the
+    // two referential checks are anti-join counts whose dimension side
+    // broadcasts. Pure integer counts — no FP anywhere.
+    GQ(
+      "q_dq_checks",
+      (s, d) => {
+        val orders = Tables.t(s, d, "orders")
+        val li = Tables.t(s, d, "lineitem")
+        val cust = Tables.t(s, d, "customer")
+        // single fused pass over orders: domain + PK-uniqueness inputs
+        val ordersAgg = orders.agg(
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+            .otherwise(0L)).as("bad_status"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_pk"))
+        val liAgg = li.agg(
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("bad_qty"))
+        val custAgg = cust.agg(
+          sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("null_bal"))
+        val fkOrders = orders.select(col("o_custkey"))
+          .join(broadcast(cust.select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        val fkLineitem = li.select(col("l_orderkey")).distinct()
+          .join(orders.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        def row(name: String, from: DataFrame, c: String): DataFrame =
+          from.select(lit(name).as("check_name"),
+            coalesce(col(c), lit(0L)).cast(LongType).as("n_bad"))
+        row("customer_acctbal_nonnull", custAgg, "null_bal")
+          .union(row("lineitem_orderkey_fk", fkLineitem, "orphans"))
+          .union(row("lineitem_qty_range", liAgg, "bad_qty"))
+          .union(row("orders_custkey_fk", fkOrders, "orphans"))
+          .union(row("orders_pk_unique", ordersAgg, "dup_pk"))
+          .union(row("orders_status_domain", ordersAgg, "bad_status"))
+          .withColumn("passed", col("n_bad") === 0L)
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH checks(check_name, n_bad) AS (
+             |  SELECT 'customer_acctbal_nonnull',
+             |    (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL)
+             |  UNION ALL SELECT 'lineitem_orderkey_fk',
+             |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem
+             |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |  UNION ALL SELECT 'lineitem_qty_range',
+             |    (SELECT COUNT(*) FROM lineitem
+             |     WHERE l_quantity < 1 OR l_quantity > 50)
+             |  UNION ALL SELECT 'orders_custkey_fk',
+             |    (SELECT COUNT(*) FROM orders
+             |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |  UNION ALL SELECT 'orders_pk_unique',
+             |    (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+             |  UNION ALL SELECT 'orders_status_domain',
+             |    (SELECT COUNT(*) FROM orders
+             |     WHERE o_orderstatus NOT IN ('F', 'O', 'P')))
+             |SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad, n_bad = 0 AS passed
+             |FROM checks ORDER BY check_name""".stripMargin)
+    )
+  )
+}

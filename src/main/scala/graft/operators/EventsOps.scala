@@ -122,6 +122,35 @@ object EventsOps {
               |event_type, COUNT(*) AS cnt, ${C.sqlSumDec2("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
     ),
+    // Batch form of a SLIDING (hopping) event-time window — 2-hour length,
+    // 1-hour hop, the standard smoothing shape tumbling can't give (every
+    // event influences two adjacent readings). An event in hour-bucket b
+    // belongs to the windows starting at hours b-1 and b; the window
+    // assignment is an EXPLODE into exactly length/hop rows, which is how
+    // Spark's own `window(ts, "2 hours", "1 hour")` desugars — no
+    // self-join, no range predicate, a fixed ×2 row factor that map-side
+    // combines straight into the (window, type) hash agg. Exact integer
+    // hour math (R5/R4 epoch-second output, same as q_time_tumbling).
+    GQ(
+      "q_time_sliding",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("b", expr(s"ts DIV $NanosPerHour"))
+          .select(col("event_type"), col("value"),
+            explode(array(col("b") - 1, col("b"))).as("w"))
+          .groupBy(col("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), C.sumDec2(col("value")).as("sum_value"))
+          .select((col("w") * 3600).as("win_start_s"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy(col("win_start_s"), col("event_type")),
+      Some(s"""WITH e AS (SELECT event_type, value,
+              |    unnest([epoch_ns(ts) // $NanosPerHour - 1,
+              |            epoch_ns(ts) // $NanosPerHour]) AS w
+              |  FROM events)
+              |SELECT w * 3600 AS win_start_s, event_type,
+              |  COUNT(*) AS cnt, ${C.sqlSumDec2("value")} AS sum_value
+              |FROM e GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin)
+    ),
     // Declared end-to-end run of the Skew toolkit (round 4): the same
     // per-event_type count/sum as a plain GROUP BY, but computed through
     // Skew.saltedCountSum — partials keyed on (event_type, hash(user_id)

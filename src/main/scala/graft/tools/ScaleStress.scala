@@ -40,7 +40,14 @@ object ScaleStress {
     // round 4, fifth batch: span dedup (span-keyed aggs — linear), the
     // k-NN join (within-cell pairs — cell-size bound), the salted join
     "q_dedup_spans", "q_knn_join", "q_join_skew_salted", "q_dedup_semantic",
-    "q_multimodal_frames", "q_text_outliers")
+    "q_multimodal_frames", "q_text_outliers",
+    // round 4, sixth batch: CDC (per-word hash + doc window — linear),
+    // KMV (16 rows/source regardless of corpus), TextRank + triangles
+    // (vocab-bounded graph, corpus touched once), attribution (one
+    // user-keyed window), MAD (two median aggs over a 2-long projection)
+    "q_dedup_cdc", "q_set_overlap_kmv", "q_text_textrank",
+    "q_graph_triangles", "q_events_attribution", "q_text_mad_outliers",
+    "q_shuffle_shards")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -342,6 +342,50 @@ class PropertySpec extends AnyFunSuite {
     assert(deg.map(_.getLong(0)).toSeq === (1L to 6L).toSeq, "NULLs rank last, id order")
   }
 
+  test("q_dq_checks: planted violations are counted exactly, clean checks pass") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("dqprop-").toString
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    // customer 9 missing (orphan custkey), one NULL acctbal; orderkey 70
+    // duplicated (PK); status 'X' out of domain; qty 99 out of range;
+    // lineitem orderkey 999 dangling
+    Seq((1L, "a", 1, Some(10.0), "BUILDING"), (2L, "b", 1, None, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((70L, 1L, "F", 10.0, ts, "1-URGENT"), (70L, 1L, "O", 11.0, ts, "5-LOW"),
+      (71L, 9L, "X", 12.0, ts, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((70L, 1L, 1L, 1, 99.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (999L, 1L, 1L, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Registry.byName("q_dq_checks").run(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("customer_acctbal_nonnull") === ((1L, false)))
+    assert(out("lineitem_orderkey_fk") === ((1L, false)))
+    assert(out("lineitem_qty_range") === ((1L, false)))
+    assert(out("orders_custkey_fk") === ((1L, false)))
+    assert(out("orders_pk_unique") === ((1L, false)))
+    assert(out("orders_status_domain") === ((1L, false)))
+  }
+
+  test("q_time_sliding: every 2h window is the sum of its two tumbling hours") {
+    val dir = "/root/testdata/sf0.001"
+    val tumb = Registry.byName("q_time_tumbling").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val slide = Registry.byName("q_time_sliding").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(slide.nonEmpty)
+    for (((w, t), c) <- slide) {
+      val want = tumb.getOrElse((w, t), 0L) + tumb.getOrElse((w + 3600L, t), 0L)
+      assert(c === want, s"window ($w, $t): sliding $c != tumbling parts $want")
+    }
+  }
+
   test("q_shuffle_shards: output is a permutation with consistent shard math") {
     val dir = plantDocs((1 to 40).map(i =>
       (i.toLong, s"doc body $i", "en", s"src${i % 3}")))
