@@ -173,4 +173,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"PQ needs exactly the top-k window exchange, found $exchanges:\n$p")
   }
+
+  test("q_set_overlap_kmv: bottom-k is rank-limited map-side before the source exchange") {
+    // WindowGroupLimit(partial) keeps each task's local 16 smallest hashes,
+    // so the source-keyed exchange carries ≤16 rows per (task, source) —
+    // losing it shuffles the whole distinct shingle-hash set
+    val p = plan("q_set_overlap_kmv")
+    assert(p.contains("WindowGroupLimit"), s"KMV lost its rank-limit:\n$p")
+  }
+
+  test("q_shuffle_shards: one shard-keyed exchange, never a global-order window") {
+    val p = plan("q_shuffle_shards")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"sharded shuffle needs exactly the shard window exchange, found $exchanges:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a single-partition exchange means the global sort came back:\n$p")
+  }
+
+  test("q_events_attribution: one user-keyed window pass, no purchases-clicks self-join") {
+    val p = plan("q_events_attribution")
+    assert(!p.contains("Join"), s"attribution must not self-join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"attribution needs exactly the user window exchange, found $exchanges:\n$p")
+  }
+
+  test("q_time_sliding: the window explode stays scan-side under one agg exchange") {
+    val p = plan("q_time_sliding")
+    assert(p.contains("Generate explode"), s"hop assignment must be an explode:\n$p")
+    assert(!p.contains("Join"), s"sliding windows must not range-join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"sliding needs exactly the (window,type) agg exchange, found $exchanges:\n$p")
+  }
+
+  test("q_dq_checks: referential checks broadcast their dimension side") {
+    val p = plan("q_dq_checks")
+    assert(p.contains("BroadcastHashJoin"),
+      s"FK anti-joins must broadcast the key side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no check should shuffle both sides:\n$p")
+  }
 }
