@@ -25,7 +25,8 @@ object Registry {
       Retrieval.queries ++
       Layout.queries ++
       GraphOps.queries ++
-      DataQuality.queries
+      DataQuality.queries ++
+      LinearAlgebra.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed linear algebra over the embeddings table (round 4) — the
+  * analysis family beyond similarity search: what DIRECTION explains the
+  * corpus's variance, and which vectors sit at its extremes. The classic
+  * use in an LLM data pipeline is embedding-drift / outlier triage (a batch
+  * whose top principal direction shifts, or whose extreme projections
+  * cluster, signals a scraper change or contamination).
+  */
+object LinearAlgebra {
+
+  private val Q = 1048576L // 2^20 quantization scale
+  private val SDiv = 268435456L // 2^28 projection rescale
+
+  val queries: Seq[GQ] = Seq(
+    // Top principal direction via POWER ITERATION (6 rounds), reported as
+    // the 10 most extreme vectors along it (|projection| DESC) — the
+    // embedding-outlier triage list.
+    //
+    // Determinism (R7 extended, the q_text_textrank pattern): floats
+    // quantize to BIGINT once (floor(x·2^20) — exact: float widens to
+    // double losslessly, the product has ≤44 significant bits), then EVERY
+    // step is integer math — truncating division (Spark `div` ≡ DuckDB
+    // `//`, verified equal on negatives too: both truncate toward zero)
+    // and order-independent BIGINT sums. Centering uses the truncated mean
+    // (≤1-unit bias, identically on both engines). Per round: s_r =
+    // (Σ_j c_rj·v_j) div 2^28 per row, w_j = Σ_r s_r·c_rj, v = w div
+    // max(|w| div 2^20, 1); after round 6 the sign normalizes so the
+    // first nonzero component is positive (eigenvectors are sign-
+    // ambiguous). Overflow budget: |c| ≤ 2^21 centered, |v| ≤ ~2^20 ⇒
+    // dot terms ≤ 2^41·64 = 2^47, s ≤ 2^19, w terms ≤ 2^40 ⇒ exact up to
+    // N ≈ 4M rows in one partial; beyond that the same sums split into
+    // block partials (still exact — BIGINT addition is associative).
+    //
+    // Plan shape (100 TB): the quantized/centered array persists (one
+    // corpus scan); each round is ONE aggregation job over it (64 sums +
+    // the scan-side dot product), with only a 64-long vector on the
+    // driver — the Lloyd-iteration collect pattern. The final output is a
+    // scan-side projection + TakeOrderedAndProject, never a global sort.
+    GQ(
+      "q_embed_pca",
+      (s, d) => {
+        val emb = Tables.t(s, d, "embeddings")
+        // dimension from the data (bounded 1-row probe), so the same query
+        // runs on any embedding width; the oracle derives it per row
+        val dim = emb.select(size(col("embedding"))).head.getInt(0)
+        val base = graft.Caches.persist(emb.select(col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * $Q.0D) AS BIGINT))")
+            .as("c")))
+        // truncated per-dim mean, one (dim+1)-expression agg (count + sums)
+        val meanRow = base.agg(
+          count(lit(1)).as("n"),
+          (0 until dim).map(j =>
+            sum(expr(s"element_at(c, ${j + 1})")).as(s"s$j")): _*).head()
+        val n = meanRow.getLong(0)
+        val m = (0 until dim).map(j => meanRow.getLong(j + 1) / n)
+        val mSql = m.mkString("array(", "L, ", "L)")
+        val cent = graft.Caches.persist(base.select(col("vec_id"),
+          expr(s"zip_with(c, $mSql, (x, y) -> x - y)").as("c")))
+        def dot(v: IndexedSeq[Long]): String = {
+          val vSql = v.mkString("array(", "L, ", "L)")
+          s"aggregate(zip_with(c, $vSql, (x, y) -> x * y), 0L, (a, x) -> a + x) div $SDiv"
+        }
+        var v: IndexedSeq[Long] = IndexedSeq.fill(dim)(Q)
+        for (_ <- 1 to 6) {
+          val w = cent.select(expr(dot(v)).as("s"), col("c"))
+            .agg(sum(expr("s * element_at(c, 1)")).as("w0"),
+              (1 until dim).map(j =>
+                sum(expr(s"s * element_at(c, ${j + 1})")).as(s"w$j")): _*)
+            .head()
+          val ws = (0 until dim).map(w.getLong)
+          val dsc = math.max(ws.map(math.abs).max / Q, 1L)
+          v = ws.map(_ / dsc)
+        }
+        val sgn = v.find(_ != 0L) match {
+          case Some(x) if x < 0 => -1L
+          case _ => 1L
+        }
+        val vf = v.map(_ * sgn)
+        cent.select(col("vec_id"), expr(dot(vf)).as("proj"))
+          .orderBy(abs(col("proj")).desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        // MATERIALIZED is load-bearing: ce is referenced 13× and each
+        // round's w twice — DuckDB's default CTE inlining would recompute
+        // the whole upstream chain per reference (×2 per round ⇒ 2^6 the
+        // base cost); materializing pins each CTE to one evaluation.
+        def round(k: Int): String = {
+          val prev = if (k == 1) "v0" else s"v${k - 1}"
+          s"""s$k AS MATERIALIZED (SELECT vec_id,
+             |    CAST(SUM(cv * v) // $SDiv AS BIGINT) AS s
+             |  FROM ce JOIN $prev USING (j) GROUP BY vec_id),
+             |w$k AS MATERIALIZED (SELECT j, CAST(SUM(s * cv) AS BIGINT) AS w
+             |  FROM ce JOIN s$k USING (vec_id) GROUP BY j),
+             |n$k AS (SELECT GREATEST(MAX(ABS(w)) // $Q, 1) AS dsc FROM w$k),
+             |v$k AS MATERIALIZED (SELECT j,
+             |    CAST(w // (SELECT dsc FROM n$k) AS BIGINT) AS v
+             |  FROM w$k)"""
+        }
+        s"""WITH c0 AS (SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * $Q.0) AS BIGINT)) AS c
+           |  FROM embeddings),
+           |e AS (SELECT vec_id, unnest(c) AS cv,
+           |    unnest(range(1, len(c) + 1)) AS j FROM c0),
+           |mn AS (SELECT j, CAST(SUM(cv) // (SELECT COUNT(*) FROM c0) AS BIGINT)
+           |    AS m FROM e GROUP BY j),
+           |ce AS MATERIALIZED (SELECT e.vec_id, e.j, e.cv - mn.m AS cv
+           |  FROM e JOIN mn USING (j)),
+           |v0 AS (SELECT DISTINCT j, CAST($Q AS BIGINT) AS v FROM e),
+           |${(1 to 6).map(round).mkString(",\n")},
+           |sg AS (SELECT CASE WHEN (SELECT v FROM v6
+           |    WHERE j = (SELECT MIN(j) FROM v6 WHERE v <> 0)) < 0
+           |  THEN -1 ELSE 1 END AS sgn),
+           |pr AS (SELECT vec_id,
+           |    CAST(SUM(cv * v * (SELECT sgn FROM sg)) // $SDiv AS BIGINT) AS proj
+           |  FROM ce JOIN v6 USING (j) GROUP BY vec_id)
+           |SELECT vec_id, proj FROM pr
+           |ORDER BY ABS(proj) DESC, vec_id LIMIT 10""".stripMargin
+      }
+    )
+  )
+}

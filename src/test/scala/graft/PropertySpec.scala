@@ -386,6 +386,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_pca: a planted dominant axis is recovered; extremes rank by |projection|") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pcaprop-").toString
+    // variance lives almost entirely in dim 7: vectors are ±spread along it
+    // plus per-dim noise elsewhere; the two largest-|spread| vectors must
+    // top the extreme list, symmetric pairs adjacent
+    val rows = (1 to 20).map { i =>
+      val spread = (if (i % 2 == 0) 1f else -1f) * (0.2f + 0.03f * i)
+      val v = Array.tabulate(64)(j =>
+        if (j == 7) spread else 0.001f * ((i * 31 + j) % 7 - 3))
+      (i.toLong, v.toSeq, i % 10)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.byName("q_embed_pca").run(spark, dir).collect()
+    assert(out.length === 10)
+    // ids 20 and 19 carry the largest |spread| (0.8, 0.77)
+    assert(Set(out(0).getLong(0), out(1).getLong(0)) === Set(19L, 20L),
+      s"largest-spread vectors must be the extremes: ${out.map(_.getLong(0)).toSeq}")
+    // |projection| must be non-increasing down the list
+    val absProj = out.map(r => math.abs(r.getLong(1)))
+    assert(absProj.zip(absProj.tail).forall { case (a, b) => a >= b },
+      s"extremes must rank by |projection|: ${absProj.toSeq}")
+  }
+
   test("q_shuffle_shards: output is a permutation with consistent shard math") {
     val dir = plantDocs((1 to 40).map(i =>
       (i.toLong, s"doc body $i", "en", s"src${i % 3}")))
