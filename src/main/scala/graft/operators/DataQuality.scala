@@ -76,6 +76,41 @@ object DataQuality {
              |     WHERE o_orderstatus NOT IN ('F', 'O', 'P')))
              |SELECT check_name, CAST(n_bad AS BIGINT) AS n_bad, n_bad = 0 AS passed
              |FROM checks ORDER BY check_name""".stripMargin)
+    ),
+    // k-anonymity audit (k=5) over the documents quasi-identifier pair
+    // (lang, source) — the privacy gate run before a corpus release: any
+    // equivalence class smaller than k re-identifies its members by the
+    // quasi-identifiers alone (Sweeney 2002). Emits every violating class
+    // with its size plus one summary row ('__total__', distinct violating
+    // classes, docs at risk) so the gate is both actionable (which
+    // classes) and thresholdable (how bad).
+    //
+    // Plan shape (100 TB): ONE hash agg on the quasi-identifier key —
+    // group count is bounded by the QI domain (langs × sources), so the
+    // violating set and the summary are tiny whatever the corpus size.
+    GQ(
+      "q_dq_kanonymity",
+      (s, d) => {
+        val k = 5
+        val classes = Tables.t(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("class_size"))
+          .filter(col("class_size") < k)
+        classes
+          .select(col("lang"), col("source"), col("class_size"))
+          .union(classes.agg(
+            lit("__total__").as("lang"), lit("__total__").as("source"),
+            coalesce(sum(col("class_size")), lit(0L)).as("class_size")))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH cl AS (SELECT lang, source, COUNT(*) AS class_size
+             |  FROM documents GROUP BY lang, source
+             |  HAVING COUNT(*) < 5)
+             |SELECT lang, source, class_size FROM cl
+             |UNION ALL
+             |SELECT '__total__', '__total__',
+             |  CAST(COALESCE(SUM(class_size), 0) AS BIGINT) FROM cl
+             |ORDER BY lang, source""".stripMargin)
     )
   )
 }

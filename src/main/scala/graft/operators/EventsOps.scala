@@ -562,6 +562,52 @@ object EventsOps {
              |  FROM t)
              |SELECT event_id, user_id, click_id, tsn - click_ts AS gap_us
              |FROM a WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+    ),
+    // Event-sequence pattern matching (round 4) — the batch analog of SQL
+    // MATCH_RECOGNIZE / CEP: encode each user's event history as an
+    // ordered initial-letter string (c/e/p/s/v) and count regex matches of
+    // a behavioral pattern — here "signup, then a purchase with no error
+    // in between" (`s[cpv]*p` — possible because the five types have
+    // distinct initials). Reported per user with the full journey string;
+    // users without a match still appear (n_matches 0) so the output is a
+    // per-user behavioral profile, not a filtered list.
+    //
+    // Determinism: the journey string is built from a SORTED struct
+    // collect (R3 — collect order never shows) on the unique (µs, event_id)
+    // key (µs, not ns — the q_events_attribution cross-engine resolution);
+    // the regex is char-class-only (identical Java/RE2 semantics — the
+    // q_text_pii_scrub precedent).
+    //
+    // Plan shape (100 TB): ONE user-keyed agg builds the journey, the
+    // regex runs scan-side on its output — per-user state is one string
+    // bounded by activity, the CEP engine's per-key buffer in batch form.
+    // (A user with pathological event counts would need the sessionized
+    // variant — compose with q_sessionize's boundaries.)
+    GQ(
+      "q_events_pattern",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), substring(col("event_type"), 1, 1).as("init"))
+          .groupBy(col("user_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("tsu"), col("event_id"),
+              col("init")))),
+            x => x.getField("init")), "").as("journey"))
+          .select(col("user_id"), col("journey"),
+            size(regexp_extract_all(col("journey"), lit("s[cpv]*p"), lit(0)))
+              .cast(LongType).as("n_matches"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             |    substring(event_type, 1, 1) AS init FROM events),
+             |j AS (SELECT user_id,
+             |    string_agg(init, '' ORDER BY tsu, event_id) AS journey
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id, journey,
+             |  CAST(len(regexp_extract_all(journey, 's[cpv]*p')) AS BIGINT)
+             |    AS n_matches
+             |FROM j ORDER BY user_id""".stripMargin)
     )
   )
 }

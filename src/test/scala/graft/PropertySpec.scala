@@ -411,6 +411,41 @@ class PropertySpec extends AnyFunSuite {
       s"extremes must rank by |projection|: ${absProj.toSeq}")
   }
 
+  test("q_events_pattern: planted journeys count the behavioral regex exactly") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("patprop-").toString
+    // user 1: s c v p           -> 1 match
+    // user 2: s e p             -> 0 (error breaks the pattern)
+    // user 3: s p s c p         -> 2 (non-overlapping matches)
+    val ev = Seq(
+      (1L, 1L, "signup"), (2L, 1L, "click"), (3L, 1L, "view"), (4L, 1L, "purchase"),
+      (5L, 2L, "signup"), (6L, 2L, "error"), (7L, 2L, "purchase"),
+      (8L, 3L, "signup"), (9L, 3L, "purchase"), (10L, 3L, "signup"),
+      (11L, 3L, "click"), (12L, 3L, "purchase"))
+    ev.map { case (id, u, t) => (id, id * 1000000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_pattern").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("scvp", 1L)), s"journey + one match: $out")
+    assert(out(2L) === (("sep", 0L)), s"error breaks the pattern: $out")
+    assert(out(3L) === (("spscp", 2L)), s"two non-overlapping matches: $out")
+  }
+
+  test("q_dq_kanonymity: only sub-k classes surface, with an exact risk total") {
+    // lang/source classes: (en,a)=2 docs (violates k=5), (en,b)=6 (passes),
+    // (fr,a)=1 (violates) -> rows for the two violators + total 3 at risk
+    val dir = plantDocs(
+      (1 to 2).map(i => (i.toLong, s"t $i", "en", "a")) ++
+        (11 to 16).map(i => (i.toLong, s"t $i", "en", "b")) ++
+        Seq((21L, "t 21", "fr", "a")))
+    val out = Registry.byName("q_dq_kanonymity").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("__total__", "__total__") -> 3L, ("en", "a") -> 2L, ("fr", "a") -> 1L),
+      s"exactly the violating classes + risk total: $out")
+  }
+
   test("q_shuffle_shards: output is a permutation with consistent shard math") {
     val dir = plantDocs((1 to 40).map(i =>
       (i.toLong, s"doc body $i", "en", s"src${i % 3}")))
