@@ -288,6 +288,62 @@ object Aggregates {
              |  FROM lineitem GROUP BY 1)
              |SELECT m.l_returnflag, m.mode_qty, md.median_qty
              |FROM m JOIN md USING (l_returnflag) ORDER BY l_returnflag""".stripMargin)
+    ),
+    // Mergeable-histogram quantiles (round 4, batch 9) — the SCALE path
+    // for percentiles: q_agg_percentile's exact form needs a per-group
+    // sort of the corpus, this one needs only ONE hash agg into a
+    // fixed-width histogram (bucket = price DIV $100 — counts merge by
+    // addition under any partitioning, the same mergeability argument as
+    // the CMS/HLL sketches) and reads p50/p90/p99 off the cumulative
+    // counts. The estimate is the true quantile's bucket lower bound —
+    // error ≤ one bucket width by construction, corpus-size-independent.
+    //
+    // Determinism: NO floating point anywhere — bucketing is exact cents
+    // integer division (DECIMAL(18,2)·100 is integer-exact, R2), the rank
+    // threshold test `cum ≥ ceil(n·p/100)` runs as the integer cross-
+    // multiplication `cum·100 ≥ n·p`, and outputs are BIGINT cents.
+    //
+    // Plan shape (100 TB): ONE corpus hash agg (map-side combine; output
+    // |groups × buckets|-bounded — price-range/100-sized, never
+    // corpus-sized), then cumulative + total window sums and the three
+    // conditional-min aggs all run on that bounded relation.
+    GQ(
+      "q_quantile_hist",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("flag")).orderBy(col("bucket"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("flag"))
+        def lo(p: Int) =
+          (min(when(col("cum") * 100 >= col("n") * p, col("bucket"))) * 10000L)
+            .as(s"p${p}_lo_cents")
+        Tables.t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(l_extendedprice * 100 AS BIGINT) DIV 10000").as("bucket"))
+          .groupBy(col("flag"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .groupBy(col("flag"))
+          .agg(max(col("n")).as("n"), lo(50), lo(90), lo(99))
+          .orderBy(col("flag"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |    CAST(l_extendedprice * 100 AS BIGINT) // 10000 AS bucket,
+             |    COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT flag, bucket, cnt,
+             |    SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY flag) AS n
+             |  FROM b)
+             |SELECT flag, CAST(MAX(n) AS BIGINT) AS n,
+             |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN bucket END) * 10000
+             |    AS BIGINT) AS p50_lo_cents,
+             |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN bucket END) * 10000
+             |    AS BIGINT) AS p90_lo_cents,
+             |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN bucket END) * 10000
+             |    AS BIGINT) AS p99_lo_cents
+             |FROM c GROUP BY flag ORDER BY flag""".stripMargin)
     )
   )
 }

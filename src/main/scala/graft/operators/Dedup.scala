@@ -487,6 +487,77 @@ object Dedup {
            |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
       }
     ),
+    // Asymmetric CONTAINMENT dedup (round 4, batch 9) — the partial-copy
+    // detector symmetric Jaccard structurally misses: a short doc fully
+    // quoted inside a long one has jaccard ≈ |A|/|B| (tiny) but
+    // containment |A∩B|/|A| = 1.0. Curation pipelines (RefinedWeb-style)
+    // use this to catch quote extraction / boilerplate wrapping /
+    // truncated re-crawls, where the dedup decision is "drop the contained
+    // side", not "drop either". Candidates come from the SAME r=4/b=4
+    // band machinery (a contained doc shares its shingles with the
+    // container, so its minhash rows are drawn from the container's set —
+    // band collisions fire exactly as for near-dups); each candidate is
+    // verified with BOTH direction fractions.
+    //
+    // Determinism: inter/|A| and inter/|B| are each ONE IEEE division of
+    // exact ints (R7); the ordering key `best = greatest(both)` compares
+    // doubles computed identically in both engines; ties → (a_id, b_id)
+    // (R1). Plan shape: identical to q_dedup_lsh_verify — bounded band
+    // candidates + one canonical shingle-set exchange consumed by both
+    // join sides; the two extra divisions are scan-side.
+    GQ(
+      "q_dedup_containment",
+      (s, d) => {
+        val sigs = minhashSignatures(s, d)
+        val bl = bandRows(sigs)
+        val cand = bl.as("a")
+          .join(bl.as("b"),
+            col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        val sets = shingleItems(s, d)
+          .groupBy(col("doc_id")).agg(collect_set(col("item")).as("sh"))
+        val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+        cand
+          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (inter / size(col("sa"))).as("cont_a"),
+            (inter / size(col("sb"))).as("cont_b"))
+          .withColumn("best", greatest(col("cont_a"), col("cont_b")))
+          .orderBy(col("best").desc, col("a_id"), col("b_id"))
+          .limit(20)
+      },
+      Some {
+        val bandCase = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"WHEN ${b} THEN ${XHash.sqlH60(cat)}"
+        }.mkString(" ")
+        s"""$sqlSignatureCte,
+           |bl AS (SELECT doc_id, r.b AS bpos,
+           |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bl a JOIN bl b
+           |  ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+           |  THEN list_transform(range(1, len(ws) - 1),
+           |       i -> array_to_string(ws[i:i+2], ' '))
+           |  ELSE [text] END) AS sh FROM d),
+           |sc AS (SELECT c.a_id, c.b_id,
+           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh)
+           |    AS cont_a,
+           |  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh)
+           |    AS cont_b
+           |FROM cand c
+           |JOIN sets x ON x.doc_id = c.a_id
+           |JOIN sets y ON y.doc_id = c.b_id)
+           |SELECT a_id, b_id, cont_a, cont_b,
+           |  GREATEST(cont_a, cont_b) AS best
+           |FROM sc
+           |ORDER BY best DESC, a_id, b_id LIMIT 20""".stripMargin
+      }
+    ),
     // CONNECTED COMPONENTS over the verified near-dup graph (round 3) —
     // the step between candidate pairs and survivor selection in a real
     // dedup run: near-duplication is not transitive, so keeping one doc

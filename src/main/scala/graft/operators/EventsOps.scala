@@ -608,6 +608,119 @@ object EventsOps {
              |  CAST(len(regexp_extract_all(journey, 's[cpv]*p')) AS BIGINT)
              |    AS n_matches
              |FROM j ORDER BY user_id""".stripMargin)
+    ),
+    // Sequential pattern mining, frequency form (round 4, batch 9) — the
+    // corpus-wide complement of q_events_pattern's per-user regex: the
+    // top-10 most common event-type TRIGRAMS (three consecutive events of
+    // one user). This is the "what do users actually do" market-basket /
+    // clickstream-mining primitive (the 3-length special case of GSP);
+    // on a training-data pipeline it's the behavior-distribution report
+    // run before sampling interaction logs.
+    //
+    // Determinism: within-user order is the unique (µs, event_id) key
+    // (R1/R5 — the q_events_attribution resolution contract); trigram
+    // assembly uses null-propagating `concat` (not concat_ws, which SKIPS
+    // nulls and would fabricate bigrams at sequence tails); counts are
+    // exact BIGINTs and ties order by the trigram string (R1).
+    //
+    // Plan shape (100 TB): ONE user-keyed window sort emits the trigrams
+    // scan-side (two leads over the same frame — a single WindowExec),
+    // then ONE hash agg on the trigram string with map-side partial
+    // aggregation; the result relation is |event-type|³-bounded (125 rows
+    // here) so the final top-10 sort is free. Per-user state is the
+    // window buffer, bounded by activity (PatternSkewStress's hot-user
+    // corpus covers the same skew shape).
+    GQ(
+      "q_events_ngrams",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"))
+          .withColumn("trigram",
+            concat(col("event_type"), lit(">"),
+              lead(col("event_type"), 1).over(w), lit(">"),
+              lead(col("event_type"), 2).over(w)))
+          .filter(col("trigram").isNotNull)
+          .groupBy(col("trigram"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("trigram"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             |    event_type FROM events),
+             |t AS (SELECT event_type || '>'
+             |    || lead(event_type, 1) OVER w || '>'
+             |    || lead(event_type, 2) OVER w AS trigram
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id))
+             |SELECT trigram, COUNT(*) AS cnt FROM t
+             |WHERE trigram IS NOT NULL
+             |GROUP BY trigram ORDER BY cnt DESC, trigram LIMIT 10""".stripMargin)
+    ),
+    // Time-series anomaly detection (round 4, batch 9) — the ops-monitoring
+    // read of the event stream: hourly volume per event type, scored by
+    // robust (median/MAD) deviation within the type, top-20 most anomalous
+    // OBSERVED buckets (a bucket with zero events is absent from the input
+    // relation and so can't be flagged — the gap-detection job is
+    // q_time_gapfill's). Median/MAD, not mean/σ: a traffic spike drags the
+    // mean toward itself (the q_text_mad_outliers argument, applied on the
+    // time axis).
+    //
+    // Determinism: bucket counts are exact ints; both medians are the
+    // engine-shared interpolation contract over integer (then dyadic) data
+    // (q_agg_median_mode / q_text_mad_outliers precedent — med on ints is
+    // .5-exact, |cnt−med| is .5-exact, MAD over those is .25-exact, all
+    // dyadic doubles both engines represent exactly); the score is ONE IEEE
+    // division (R7). MAD = 0 (≥ half the type's hours at the median) emits
+    // NULL scores which rank LAST under desc_nulls_last — never a division
+    // blowup. Hour reports as epoch seconds (R4); ties → (type, hour) (R1).
+    //
+    // Plan shape (100 TB): the corpus is touched ONCE by the (hour, type)
+    // hash agg (map-side combine; output bounded by |hours|×|types|, i.e.
+    // time-range-bounded, never corpus-sized). Both median aggs and the
+    // score join run on that bounded relation — the same
+    // persisted-tiny-relation shape as q_text_mad_outliers.
+    GQ(
+      "q_time_anomaly",
+      (s, d) => {
+        val buckets = graft.Caches.persist(
+          Tables.events(s, d)
+            .select((expr(s"ts div $NanosPerHour") * 3600L).as("hour_start"),
+              col("event_type"))
+            .groupBy(col("hour_start"), col("event_type"))
+            .agg(count(lit(1)).as("cnt")))
+        val med = buckets.groupBy(col("event_type"))
+          .agg(expr("percentile(cnt, 0.5)").as("med"))
+        val mad = buckets.join(med, "event_type")
+          .groupBy(col("event_type"), col("med"))
+          .agg(expr("percentile(abs(cnt - med), 0.5)").as("mad"))
+        buckets.join(mad, "event_type")
+          .select(col("event_type"), col("hour_start"), col("cnt"),
+            col("med"), col("mad"),
+            when(col("mad") > 0d,
+              abs(col("cnt") - col("med")) / col("mad")).as("score"))
+          .orderBy(col("score").desc_nulls_last, col("event_type"),
+            col("hour_start"))
+          .limit(20)
+      },
+      Some(s"""WITH b AS (SELECT (epoch_ns(ts) // $NanosPerHour) * 3600
+             |      AS hour_start,
+             |    event_type, COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+             |  FROM b GROUP BY 1),
+             |md AS (SELECT b.event_type, m.med,
+             |    quantile_cont(abs(b.cnt - m.med), 0.5) AS mad
+             |  FROM b JOIN m ON b.event_type = m.event_type
+             |  GROUP BY 1, 2)
+             |SELECT b.event_type, b.hour_start, b.cnt, md.med, md.mad,
+             |  CASE WHEN md.mad > 0 THEN abs(b.cnt - md.med) / md.mad END
+             |    AS score
+             |FROM b JOIN md ON b.event_type = md.event_type
+             |ORDER BY score DESC NULLS LAST, b.event_type, b.hour_start
+             |LIMIT 20""".stripMargin)
     )
   )
 }

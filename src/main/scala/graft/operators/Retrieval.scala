@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQ, Tables}
+import graft.functions.vec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -196,6 +197,167 @@ object Retrieval {
            |  word, pr
            |FROM pr5 ORDER BY rn LIMIT 20""".stripMargin
       }
+    ),
+    // Collocation discovery by pointwise mutual information (round 4,
+    // batch 9) — the corpus-linguistics primitive under phrase detection /
+    // tokenizer-vocabulary induction (word2vec's phrase pass, Mikolov et
+    // al. 2013, uses exactly this statistic): adjacent word pairs scored by
+    // lift = c_xy·N / (c_x·c_y), the PMI argument before the log. ln() is
+    // last-ulp engine-specific and monotone, so ranking by lift IS ranking
+    // by PMI with the transcendental dropped (the q_text_tfidf precedent);
+    // N is total word occurrences — a constant across pairs, kept for the
+    // conventional normalization. Pairs below 5 occurrences are noise
+    // (standard PMI smallcount pathology) and are dropped by contract.
+    //
+    // Determinism: all four factors are exact BIGINT counts; lift is ONE
+    // fixed IEEE tree — (cxy·N)/(cx·cy) with each product a double of
+    // exact ints (exact while cxy·N < 2^53 ≈ 9e15; at ~3e9 corpus tokens
+    // that bounds cxy < 3e6, beyond which the ranking would move to the
+    // q_text_textrank integer-billionths scheme). Ties → (word1, word2)
+    // (R1).
+    //
+    // Plan shape (100 TB): bigram counts via the scan-side KGrams
+    // projection into ONE (w1, w2) hash agg (vocab²-bounded output, never
+    // corpus-sized); unigram counts via ONE word agg (vocab-bounded); the
+    // two enrichment joins key on a vocab-bounded side (AQE broadcasts
+    // them when the vocabulary fits); N is a 1-row broadcast. The corpus
+    // is scanned twice (bigram + unigram passes) and shuffled never —
+    // only gram-count relations move.
+    GQ(
+      "q_text_pmi",
+      (s, d) => {
+        val words = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+        val uni = words.groupBy(col("word")).agg(count(lit(1)).as("cx"))
+        val tot = uni.agg(sum(col("cx")).as("n"))
+        val bg = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 2)
+          .select(col("p")(0).as("word1"), col("p")(1).as("word2"))
+          .groupBy(col("word1"), col("word2"))
+          .agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 5)
+        bg.join(uni.select(col("word").as("word1"), col("cx")), "word1")
+          .join(uni.select(col("word").as("word2"), col("cx").as("cy")), "word2")
+          .crossJoin(broadcast(tot))
+          .select(col("word1"), col("word2"), col("cxy"), col("cx"),
+            col("cy"),
+            ((col("cxy").cast(DoubleType) * col("n").cast(DoubleType)) /
+              (col("cx").cast(DoubleType) * col("cy").cast(DoubleType)))
+              .as("lift"))
+          .orderBy(col("lift").desc, col("word1"), col("word2"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |w AS (SELECT unnest(ws) AS word FROM d),
+             |uni AS (SELECT word, COUNT(*) AS cx FROM w GROUP BY word),
+             |nn AS (SELECT CAST(SUM(cx) AS BIGINT) AS n FROM uni),
+             |pj AS (SELECT unnest(list_transform(range(1, len(ws)),
+             |    i -> ws[i] || ' ' || ws[i+1])) AS p FROM d WHERE len(ws) >= 2),
+             |bg AS (SELECT string_split(p, ' ')[1] AS word1,
+             |    string_split(p, ' ')[2] AS word2, COUNT(*) AS cxy
+             |  FROM pj GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT b.word1, b.word2, b.cxy, x.cx, y.cx AS cy,
+             |  (CAST(b.cxy AS DOUBLE) * CAST((SELECT n FROM nn) AS DOUBLE)) /
+             |  (CAST(x.cx AS DOUBLE) * CAST(y.cx AS DOUBLE)) AS lift
+             |FROM bg b
+             |JOIN uni x ON b.word1 = x.word
+             |JOIN uni y ON b.word2 = y.word
+             |ORDER BY lift DESC, b.word1, b.word2 LIMIT 20""".stripMargin)
+    ),
+    // Hybrid retrieval with reciprocal-rank fusion (round 4, batch 9) —
+    // the RAG serving shape: one query (document 0 / its embedding twin
+    // vec 0 — the q_sim_cosine precedent) retrieves top-100 candidates
+    // along TWO independent signals — lexical (3-gram shingle overlap with
+    // the query doc) and dense (embedding cosine) — and the lists fuse by
+    // RRF (Cormack et al. SIGIR'09): score = Σ 1/(60+rank). The division
+    // runs as exact integer billionths·1000 (10^12 DIV (60+rank), summed
+    // as BIGINT) so fusion is bit-exact cross-engine — no IEEE sums of
+    // reciprocals whose order could matter.
+    //
+    // Determinism: lexical ranks order by (overlap DESC, doc_id) — exact
+    // ints; dense ranks by the 3-dp-rounded cosine (R8 +0.0 normalization)
+    // with vec_id ties (R7) — rank assignment is identical in both engines
+    // even where last-ulp cosine drift exists, because ranks only depend
+    // on the rounded value. A doc present in one list only gets the other
+    // side's contribution as 0 (standard RRF over finite lists).
+    //
+    // Plan shape (100 TB): each side is a bounded top-k — the lexical side
+    // broadcasts the query doc's shingle set into a semi-join + ONE doc
+    // hash agg + TakeOrderedAndProject(100); the dense side is the
+    // q_sim_cosine broadcast-scan + TakeOrderedAndProject(100). Ranks are
+    // then a window over 100 rows (driver-scale, not corpus-scale — a
+    // GLOBAL rank window over all docs would be the single-partition
+    // scale-killer this shape exists to avoid), and the fusion join is
+    // 100×100. The corpus is scanned once per modality, shuffled once
+    // (the overlap agg).
+    GQ(
+      "q_retrieval_hybrid",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val grams = Grams.kgramRows(docs, 3, Seq()).select(col("doc_id"), col("item"))
+          .distinct()
+        val qset = grams.filter(col("doc_id") === 0).select(col("item"))
+        val ov = grams.filter(col("doc_id") =!= 0)
+          .join(broadcast(qset), "item")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("ov"))
+          .orderBy(col("ov").desc, col("doc_id"))
+          .limit(100)
+        val kw = ov.withColumn("rk_kw",
+          row_number().over(Window.orderBy(col("ov").desc, col("doc_id")))
+            .cast(LongType))
+        val e = Tables.t(s, d, "embeddings")
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"))
+        val vc = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            vec.roundz(vec.cosine(s, "embedding", "q_embedding"), 3).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(100)
+        val dn = vc.withColumn("rk_vec",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
+            .cast(LongType))
+        kw.join(dn, col("doc_id") === col("vec_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            (coalesce(expr("1000000000000 DIV (60 + rk_kw)"), lit(0L)) +
+              coalesce(expr("1000000000000 DIV (60 + rk_vec)"), lit(0L)))
+              .as("rrf"),
+            col("rk_kw"), col("rk_vec"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+             |    FROM documents),
+             |it AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+             |  THEN list_transform(range(1, len(ws) - 1),
+             |       i -> array_to_string(ws[i:i+2], ' '))
+             |  ELSE [text] END) AS item FROM d),
+             |di AS (SELECT DISTINCT doc_id, item FROM it),
+             |q AS (SELECT item FROM di WHERE doc_id = 0),
+             |ov AS (SELECT di.doc_id, COUNT(*) AS ov
+             |  FROM di JOIN q ON di.item = q.item
+             |  WHERE di.doc_id <> 0 GROUP BY di.doc_id
+             |  ORDER BY ov DESC, doc_id LIMIT 100),
+             |kw AS (SELECT doc_id, ov, CAST(ROW_NUMBER() OVER
+             |    (ORDER BY ov DESC, doc_id) AS BIGINT) AS rk_kw FROM ov),
+             |vc AS (SELECT c.vec_id,
+             |    (ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |      CAST(q.embedding AS DOUBLE[])), 3) + 0.0) AS cos
+             |  FROM embeddings c, embeddings q
+             |  WHERE q.vec_id = 0 AND c.vec_id <> 0
+             |  ORDER BY cos DESC, c.vec_id LIMIT 100),
+             |dn AS (SELECT vec_id, cos, CAST(ROW_NUMBER() OVER
+             |    (ORDER BY cos DESC, vec_id) AS BIGINT) AS rk_vec FROM vc)
+             |SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id,
+             |  CAST(COALESCE(1000000000000 // (60 + k.rk_kw), 0)
+             |     + COALESCE(1000000000000 // (60 + v.rk_vec), 0) AS BIGINT)
+             |    AS rrf,
+             |  k.rk_kw, v.rk_vec
+             |FROM kw k FULL OUTER JOIN dn v ON k.doc_id = v.vec_id
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
     )
   )
 }

@@ -47,7 +47,20 @@ object ScaleStress {
     // user-keyed window), MAD (two median aggs over a 2-long projection)
     "q_dedup_cdc", "q_set_overlap_kmv", "q_text_textrank",
     "q_graph_triangles", "q_events_attribution", "q_text_mad_outliers",
-    "q_shuffle_shards")
+    "q_shuffle_shards",
+    // round 4, eighth batch: PCA (one agg job/round over the persisted
+    // quantized array — must stay scan-bound), the fused DQ report, the
+    // QI-bounded k-anonymity agg, sliding windows (fixed ×2 explode),
+    // CEP journeys (per-user string state — the skew-sensitive one)
+    "q_embed_pca", "q_dq_checks", "q_dq_kanonymity", "q_time_sliding",
+    "q_events_pattern",
+    // round 4, ninth batch: PMI (vocab²-bounded pair agg), event trigrams
+    // (one user window + tiny agg), time anomaly (time-bounded bucket
+    // relation), histogram quantiles (bucket-bounded — THE percentile
+    // scale path), containment (band-candidate-bounded verify), hybrid
+    // RRF (two bounded top-100 sides — must stay corpus-scan-bound)
+    "q_text_pmi", "q_events_ngrams", "q_time_anomaly", "q_quantile_hist",
+    "q_dedup_containment", "q_retrieval_hybrid")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

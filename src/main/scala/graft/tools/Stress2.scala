@@ -121,10 +121,6 @@ object SessionSkewStress {
   def main(args: Array[String]): Unit = {
     val spark = Stress2.session()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-    val nBase = base.count()
-    val maxId = base.agg(max("event_id")).head.getLong(0) + 1
-    val hotUser = 100000000L // beyond any real user_id
     def timed(tag: String, dir: String): Double = {
       Registry.byName("q_sessionize").run(spark, dir).count() // warm
       val t0 = System.nanoTime()
@@ -135,24 +131,7 @@ object SessionSkewStress {
     }
     val tBase = timed("base", "/root/testdata/sf0.1")
     for (pct <- Seq(1, 10)) {
-      val dst = s"/tmp/graft_sessionskew_p$pct"
-      val marker = Paths.get(dst, "_COMPLETE")
-      if (!Files.exists(marker)) {
-        Files.createDirectories(Paths.get(dst))
-        val n = nBase * pct / 100
-        val startNs = 1704067200L * 1000000000L
-        val hot = spark.range(n).select(
-          (col("id") + lit(maxId)).as("event_id"),
-          (lit(startNs) + col("id") * lit(60L * 1000000000L)).as("ts"),
-          lit(hotUser).as("user_id"),
-          lit("view").as("event_type"),
-          lit(1.0).as("value"),
-          lit("""{"k": 1}""").as("props"))
-        base.unionByName(hot)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
-        Files.createFile(marker)
-      }
-      val t = timed(s"hot$pct%", dst)
+      val t = timed(s"hot$pct%", Stress2.hotEventsDir(spark, pct))
       println(f"[sessionskew] hot$pct%% vs base: ${t / tBase}%.2fx time for ${1 + pct / 100.0}%.2fx events")
     }
     spark.stop()
@@ -261,6 +240,39 @@ object ComponentChainStress {
   }
 }
 
+/** Journey-string skew: q_events_pattern's per-user state is one string
+  * proportional to activity — the CEP buffer problem. Reuses
+  * SessionSkewStress's hot-user corpora (one synthetic user owning 1% then
+  * 10% of all events): the probe measures whether one 10k-event journey
+  * (collect + sort + regex on a ~10k-char string in a single task)
+  * stretches the stage, and prints the hot user's journey length as the
+  * state-size witness. Expected: near-flat — one long string is cheap; the
+  * failure mode this guards is accidental quadratic reassembly (e.g. a
+  * per-event window re-concatenation).
+  */
+object PatternSkewStress {
+  def main(args: Array[String]): Unit = {
+    val spark = Stress2.session()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def timed(tag: String, dir: String): Double = {
+      Registry.byName("q_events_pattern").run(spark, dir).count() // warm
+      val t0 = System.nanoTime()
+      val out = Registry.byName("q_events_pattern").run(spark, dir)
+      val rows = out.count()
+      val t = (System.nanoTime() - t0) / 1e9
+      val maxLen = out.agg(max(length(col("journey")))).head.getInt(0)
+      println(f"[patternskew] $tag%-8s rows=$rows maxJourney=$maxLen $t%.2fs")
+      t
+    }
+    val tBase = timed("base", "/root/testdata/sf0.1")
+    for (pct <- Seq(1, 10)) {
+      val t = timed(s"hot$pct%", Stress2.hotEventsDir(spark, pct))
+      println(f"[patternskew] hot$pct%% vs base: ${t / tBase}%.2fx time")
+    }
+    spark.stop()
+  }
+}
+
 private object Stress2 {
   def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -272,6 +284,34 @@ private object Stress2 {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** The hot-user events corpus shared by SessionSkewStress and
+    * PatternSkewStress: the sf0.1 events plus ONE synthetic user owning
+    * `pct`% as many events again (minute-spaced views), the worst-case
+    * per-user state for sessionize/journey operators. */
+  def hotEventsDir(spark: SparkSession, pct: Int): String = {
+    val dst = s"/tmp/graft_sessionskew_p$pct"
+    val marker = Paths.get(dst, "_COMPLETE")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Paths.get(dst))
+      val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val nBase = base.count()
+      val maxId = base.agg(max("event_id")).head.getLong(0) + 1
+      val n = nBase * pct / 100
+      val startNs = 1704067200L * 1000000000L
+      val hot = spark.range(n).select(
+        (col("id") + lit(maxId)).as("event_id"),
+        (lit(startNs) + col("id") * lit(60L * 1000000000L)).as("ts"),
+        lit(100000000L).as("user_id"),
+        lit("view").as("event_type"),
+        lit(1.0).as("value"),
+        lit("""{"k": 1}""").as("props"))
+      base.unionByName(hot)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/events.parquet")
+      Files.createFile(marker)
+    }
+    dst
   }
 
   /** The varied-vocabulary ×k documents corpus shared by MinhashBandStress

@@ -459,4 +459,120 @@ class PropertySpec extends AnyFunSuite {
         s"dense positions in shard $shard")
     }
   }
+
+  test("q_text_pmi: a planted exclusive collocation out-lifts frequent fillers") {
+    // 10 docs of exactly "alpha beta" (the pair never apart) + 5 filler
+    // docs "the x the y the x the y": N = 60 words.
+    // lift(alpha,beta) = 10*60/(10*10) = 6.0;
+    // lift(the,x) = 10*60/(20*10) = 3.0 — exclusivity wins over frequency.
+    val dir = plantDocs(
+      (1 to 10).map(i => (i.toLong, "alpha beta", "en", "a")) ++
+        (11 to 15).map(i => (i.toLong, "the x the y the x the y", "en", "a")))
+    val out = Registry.byName("q_text_pmi").run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(("alpha", "beta")) === ((10L, 10L, 10L, 6.0)))
+    assert(out(("the", "x")) === ((10L, 20L, 10L, 3.0)))
+    val first = Registry.byName("q_text_pmi").run(spark, dir).head()
+    assert((first.getString(0), first.getString(1)) === (("alpha", "beta")),
+      "the exclusive pair ranks first")
+  }
+
+  test("q_events_ngrams: trigram counts across planted user sequences") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ngramprop-").toString
+    // user 1: s c v p -> s>c>v, c>v>p ; user 2: s c v -> s>c>v
+    val ev = Seq(
+      (1L, 1L, "signup"), (2L, 1L, "click"), (3L, 1L, "view"), (4L, 1L, "purchase"),
+      (5L, 2L, "signup"), (6L, 2L, "click"), (7L, 2L, "view"))
+    ev.map { case (id, u, t) => (id, id * 1000000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_ngrams").run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("signup>click>view" -> 2L, "click>view>purchase" -> 1L),
+      "user boundaries never fabricate cross-user trigrams")
+  }
+
+  test("q_time_anomaly: a planted spike hour tops; constant series degrade to NULL") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("anomprop-").toString
+    val h = 3600L * 1000000000L
+    // view counts/hour: 1,2,1,2,1,2,1,2,100 -> med 2, MAD 1, spike score 98
+    val viewCounts = Seq(1, 2, 1, 2, 1, 2, 1, 2, 100)
+    val views = viewCounts.zipWithIndex.flatMap { case (n, hour) =>
+      (1 to n).map(k => (hour.toLong * h + k, "view"))
+    }
+    // click: constant 5/hour over 5 hours -> MAD 0 -> NULL scores, ranked last
+    val clicks = (0 until 5).flatMap(hour =>
+      (1 to 5).map(k => (hour.toLong * h + 500000L + k, "click")))
+    (views ++ clicks).zipWithIndex
+      .map { case ((ts, t), i) => (i.toLong, ts, i.toLong % 7, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_anomaly").run(spark, dir).collect()
+    val top = out.head
+    assert(top.getString(0) === "view" && top.getLong(1) === 8L * 3600 &&
+      top.getDouble(5) === 98.0, s"spike hour first: ${top}")
+    val clickRows = out.filter(_.getString(0) == "click")
+    assert(clickRows.length === 5 && clickRows.forall(_.isNullAt(5)),
+      "zero-MAD series emit NULL scores, never a division blowup")
+    assert(out.takeRight(5).forall(_.isNullAt(5)), "NULL scores rank last")
+  }
+
+  test("q_quantile_hist: hand-computed bucket lower bounds") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("qhistprop-").toString
+    // flag A: prices 10,110,...,910 -> buckets 0..9, one row each; n=10.
+    // p50: first cum*100 >= 500 -> cum 5 -> bucket 4 -> 40000 cents.
+    // p90: cum 9 -> bucket 8 -> 80000; p99: cum 10 -> bucket 9 -> 90000.
+    (0 until 10).map(i => ("A", BigDecimal(10 + 100 * i).setScale(2)))
+      .toDF("l_returnflag", "l_extendedprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Registry.byName("q_quantile_hist").run(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq === Seq(Seq("A", 10L, 40000L, 80000L, 90000L)))
+  }
+
+  test("q_dedup_containment: a contained doc scores exactly 1.0 one-way") {
+    val words = (1 to 19).map(i => s"w$i").mkString(" ")
+    val contained = (1 to 18).map(i => s"w$i").mkString(" ") // drop last word
+    val dir = plantDocs(Seq(
+      (1L, words, "en", "a"), (2L, contained, "en", "a"),
+      (3L, "completely different text body here", "en", "a")))
+    val out = Registry.byName("q_dedup_containment").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // doc 2's 16 shingles are all among doc 1's 17 -> cont_b = 1.0 exactly,
+    // while jaccard (16/17) and cont_a (16/17) are both < 1
+    val (contA, contB) = out((1L, 2L))
+    assert(contB === 1.0 && contA < 1.0,
+      s"asymmetric containment: $contA / $contB")
+  }
+
+  test("q_retrieval_hybrid: RRF fuses exact integer rank reciprocals") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("hybridprop-").toString
+    // doc 1 repeats doc 0's text (lexical rank 1); docs 2/3 share nothing.
+    Seq(
+      (0L, "query text about spark engines", "en", "a"),
+      (1L, "query text about spark engines", "en", "a"),
+      (2L, "unrelated body alpha beta gamma", "en", "a"),
+      (3L, "another separate body delta eps", "en", "a"))
+      .map { case (id, t, l, s) => (id, t, l, s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // vec 1 equals the query vector (dense rank 1), vec 3 at cos .6, vec 2 at 0
+    Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0f, 1f), 0), (3L, Seq(0.6f, 0.8f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.byName("q_retrieval_hybrid").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: kw rank 1 + dense rank 1 = 2 * (10^12 div 61)
+    assert(out(1L) === 2L * (1000000000000L / 61),
+      s"both-list doc sums both reciprocals: $out")
+    assert(out(3L) === 1000000000000L / 62, "dense-only doc, rank 2")
+    assert(out(2L) === 1000000000000L / 63, "dense-only doc, rank 3")
+  }
 }
