@@ -786,6 +786,60 @@ object Curation {
              |  CASE WHEN mad > 0 THEN dev / mad END AS score
              |FROM dv, md
              |ORDER BY score DESC NULLS LAST, doc_id LIMIT 20""".stripMargin)
+    ),
+    // Temperature-smoothed source mixing (round 4, batch 10) — the
+    // multilingual/source-balancing weights of the GPT-3/PaLM data recipe:
+    // sampling probability ∝ toks^α with α = 1/2, which up-weights small
+    // sources without q_mix_weights' hard uniform cap. α = 1/2 is the one
+    // temperature this surface can take exactly: IEEE-754 SQRT is
+    // correctly rounded in BOTH engines (a required op, unlike ln/pow),
+    // so sqrt(toks) is bit-identical cross-engine.
+    //
+    // Determinism: the smoothed weight is quantized to integer billionths
+    // (wq = FLOOR(sqrt(toks)·1e9) — one exact sqrt, one multiply, one
+    // floor, all engine-shared) BEFORE the normalizing sum, so Σwq is an
+    // order-free BIGINT sum, never an IEEE accumulation; share and the
+    // resampling factor are the fixed tree ((wq/Σwq)·total)/toks (R7).
+    //
+    // Plan shape (100 TB): ONE corpus scan into a |sources|-bounded hash
+    // agg (map-side combine); totals are a 1-row broadcast; everything
+    // after is arithmetic on the tiny relation.
+    GQ(
+      "q_mix_temperature",
+      (s, d) => {
+        val perSrc = Tables.t(s, d, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("toks"))
+          .withColumn("wq",
+            expr("CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1000000000.0) AS BIGINT)"))
+        val totals = perSrc.agg(
+          sum(col("wq")).as("wsum"), sum(col("toks")).as("total_toks"))
+        perSrc.crossJoin(broadcast(totals))
+          .withColumn("share",
+            col("wq").cast(DoubleType) / col("wsum").cast(DoubleType))
+          .select(col("source"), col("n_docs"), col("toks"), col("wq"),
+            col("share"),
+            (col("share") * col("total_toks").cast(DoubleType) /
+              col("toks").cast(DoubleType)).as("factor"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |pl AS (SELECT source, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_tok) AS BIGINT) AS toks FROM t GROUP BY 1),
+             |q AS (SELECT source, n_docs, toks,
+             |    CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1000000000.0)
+             |      AS BIGINT) AS wq FROM pl),
+             |tt AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum,
+             |    CAST(SUM(toks) AS BIGINT) AS total_toks FROM q)
+             |SELECT source, n_docs, toks, wq,
+             |  CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) AS share,
+             |  CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
+             |    * CAST(total_toks AS DOUBLE) / CAST(toks AS DOUBLE) AS factor
+             |FROM q, tt ORDER BY source""".stripMargin)
     )
   )
 }

@@ -721,6 +721,55 @@ object EventsOps {
              |FROM b JOIN md ON b.event_type = md.event_type
              |ORDER BY score DESC NULLS LAST, b.event_type, b.hour_start
              |LIMIT 20""".stripMargin)
+    ),
+    // First-order Markov transition matrix (round 4, batch 10) — the
+    // behavior-model complement of q_events_ngrams' raw trigram counts:
+    // P(next | prev) over consecutive same-user event pairs. This is the
+    // classic clickstream transition report (and the statistic behind
+    // next-event prediction baselines); output is the full |types|²-bounded
+    // matrix, no top-k truncation.
+    //
+    // Determinism: within-user order is the unique (µs, event_id) key
+    // (R1/R5); cnt and the per-prev marginal are exact BIGINTs; prob is
+    // ONE IEEE division (R7); rows order by (prev, prob DESC, nxt) — all
+    // three engine-shared.
+    //
+    // Plan shape (100 TB): ONE user-keyed window (a single lead — one
+    // WindowExec, the q_events_ngrams pass), ONE hash agg to the
+    // |types|²-bounded matrix; the marginal is a window over that tiny
+    // relation, not the corpus.
+    GQ(
+      "q_events_markov",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tsu"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("tsu"),
+            col("event_id"), col("event_type"))
+          .select(col("event_type").as("prev"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("prev"), col("nxt"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("tot",
+            sum(col("cnt")).over(Window.partitionBy(col("prev"))))
+          .select(col("prev"), col("nxt"), col("cnt"), col("tot"),
+            (col("cnt").cast(DoubleType) / col("tot").cast(DoubleType))
+              .as("prob"))
+          .orderBy(col("prev"), col("prob").desc, col("nxt"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id,
+             |    event_type FROM events),
+             |p AS (SELECT event_type AS prev, lead(event_type, 1) OVER
+             |    (PARTITION BY user_id ORDER BY tsu, event_id) AS nxt FROM e),
+             |c AS (SELECT prev, nxt, COUNT(*) AS cnt FROM p
+             |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT prev, nxt, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY prev) AS BIGINT) AS tot
+             |  FROM c)
+             |SELECT prev, nxt, cnt, tot,
+             |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS prob
+             |FROM t ORDER BY prev, prob DESC, nxt""".stripMargin)
     )
   )
 }

@@ -195,6 +195,49 @@ object TextOps {
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, md5(text) AS fp, substring(md5(text), 1, 2) AS shard
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // Word-distribution concentration (round 4, batch 10) — the Gini-
+    // impurity complement Σ(c_w/n)² of a doc's unigram distribution: the
+    // repeated-token concentration signal quality filters use beside
+    // q_text_repetition's positional runs (a doc that says one word half
+    // the time scores ~0.25+ however the repeats are arranged; entropy
+    // would need the transcendental ln this surface bans, and Σp² ranks
+    // the same pathology — the Simpson/Herfindahl index).
+    //
+    // Determinism: Σc² and n are exact BIGINTs (c ≤ doc length, Σc² <
+    // 2^53 for any real document), conc = Σc²/n² is ONE IEEE division of
+    // exactly-representable doubles (R7); ties → doc_id (R1).
+    //
+    // Plan shape (100 TB): explode → (doc_id, word) hash agg with
+    // map-side combine (shuffle bounded by per-doc vocabulary, not
+    // corpus), → doc_id agg, → TakeOrderedAndProject(20). No joins, no
+    // windows, two narrow exchanges.
+    GQ(
+      "q_text_gini",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(col("c") * col("c")).as("sumsq"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"), col("sumsq"),
+            (col("sumsq").cast(DoubleType) /
+              (col("n_tokens") * col("n_tokens")).cast(DoubleType)).as("conc"))
+          .orderBy(col("conc").desc, col("doc_id"))
+          .limit(20),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    FROM documents),
+             |c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+             |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             |    COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS sumsq
+             |  FROM c GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_types, sumsq,
+             |  CAST(sumsq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+             |    AS conc
+             |FROM g ORDER BY conc DESC, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -60,7 +60,10 @@ object ScaleStress {
     // scale path), containment (band-candidate-bounded verify), hybrid
     // RRF (two bounded top-100 sides — must stay corpus-scan-bound)
     "q_text_pmi", "q_events_ngrams", "q_time_anomaly", "q_quantile_hist",
-    "q_dedup_containment", "q_retrieval_hybrid")
+    "q_dedup_containment", "q_retrieval_hybrid",
+    // round 4, tenth batch: gini (two narrow aggs), markov (one user
+    // window + tiny matrix), temperature mixing (source-bounded agg)
+    "q_text_gini", "q_events_markov", "q_mix_temperature")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

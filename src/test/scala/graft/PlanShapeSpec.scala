@@ -215,4 +215,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"no check should shuffle both sides:\n$p")
   }
+
+  test("q_events_ngrams: both leads share ONE window pass, no join") {
+    val p = plan("q_events_ngrams")
+    assert(!p.contains("Join"), s"trigrams must not self-join:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"both leads must share one WindowExec, found $windows:\n$p")
+  }
+
+  test("q_quantile_hist: corpus combines map-side; only bucket partials shuffle") {
+    val p = plan("q_quantile_hist")
+    assert(!p.contains("Join"), s"histogram quantiles must not join:\n$p")
+    // exactly 2 exchanges: the (flag,bucket) partial-agg shuffle (carries
+    // bucket-bounded partial counts, never corpus rows — partial_count
+    // proves map-side combine) + the tiny bucket-relation re-key for the
+    // flag windows
+    assert(p.contains("partial_count"),
+      s"bucket counts must combine map-side:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected bucket-agg + window re-key exchanges, found $exchanges:\n$p")
+  }
+
+  test("q_retrieval_hybrid: both modalities are rank-limited — no global sort") {
+    val p = plan("q_retrieval_hybrid")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 sides must TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Sort [ov"), s"no global lexical sort:\n$p")
+  }
+
+  test("q_events_markov: one user-keyed lead + a marginal over the tiny matrix") {
+    val p = plan("q_events_markov")
+    assert(!p.contains("Join"), s"transition matrix must not self-join:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 2,
+      s"expected lead window + marginal window, found $windows:\n$p")
+  }
+
+  test("q_text_gini: two narrow aggs, no window, no join") {
+    val p = plan("q_text_gini")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must rank-limit:\n$p")
+  }
+
+  test("q_mix_temperature: totals broadcast over the source-bounded agg") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

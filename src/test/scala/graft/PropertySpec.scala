@@ -575,4 +575,54 @@ class PropertySpec extends AnyFunSuite {
     assert(out(3L) === 1000000000000L / 62, "dense-only doc, rank 2")
     assert(out(2L) === 1000000000000L / 63, "dense-only doc, rank 3")
   }
+
+  test("q_text_gini: concentration ranks a one-word doc above mixed and uniform") {
+    val dir = plantDocs(Seq(
+      (1L, "x x x x", "en", "a"),        // conc 16/16 = 1.0
+      (2L, "a b c d", "en", "a"),        // conc 4/16 = 0.25
+      (3L, "a a b b", "en", "a")))       // conc 8/16 = 0.5
+    val out = Registry.byName("q_text_gini").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 2L), "order: most concentrated first")
+    val m = out.toMap
+    assert(m(1L) === ((4L, 1L, 16L, 1.0)))
+    assert(m(3L) === ((4L, 2L, 8L, 0.5)))
+    assert(m(2L) === ((4L, 4L, 4L, 0.25)))
+  }
+
+  test("q_events_markov: hand-computed transition probabilities") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("markovprop-").toString
+    // user 1: s c s c  -> s>c, c>s, s>c ; user 2: s v -> s>v
+    val ev = Seq(
+      (1L, 1L, "signup"), (2L, 1L, "click"), (3L, 1L, "signup"), (4L, 1L, "click"),
+      (5L, 2L, "signup"), (6L, 2L, "view"))
+    ev.map { case (id, u, t) => (id, id * 1000000L, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_markov").run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("click", "signup", 1L, 1L, 1.0),
+      ("signup", "click", 2L, 3L, 2.0 / 3.0),
+      ("signup", "view", 1L, 3L, 1.0 / 3.0)),
+      "rows ordered (prev, prob DESC, nxt); no cross-user pair fabricated")
+  }
+
+  test("q_mix_temperature: sqrt-smoothed shares from perfect-square token counts") {
+    // source a: 16 tokens (sqrt 4), source b: 64 tokens (sqrt 8) —
+    // wq are exactly 4e9 / 8e9, wsum 12e9; share_a = 1/3, share_b = 2/3;
+    // factor_a = (1/3)*80/16 = 5/3 (small source UP-sampled),
+    // factor_b = (2/3)*80/64 = 5/6 (large source DOWN-sampled).
+    val dir = plantDocs(Seq(
+      (1L, (1 to 16).map(i => s"w$i").mkString(" "), "en", "a"),
+      (2L, (1 to 64).map(i => s"w$i").mkString(" "), "en", "b")))
+    val out = Registry.byName("q_mix_temperature").run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("a") === ((1L, 16L, 4000000000L, 1.0 / 3.0, 1.0 / 3.0 * 80 / 16)))
+    assert(out("b") === ((1L, 64L, 8000000000L, 2.0 / 3.0, 2.0 / 3.0 * 80 / 64)))
+  }
 }
