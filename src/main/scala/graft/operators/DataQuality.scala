@@ -111,6 +111,81 @@ object DataQuality {
              |SELECT '__total__', '__total__',
              |  CAST(COALESCE(SUM(class_size), 0) AS BIGINT) FROM cl
              |ORDER BY lang, source""".stripMargin)
+    ),
+    // Distribution-drift detection (round 4, batch 11) — the chi-square
+    // independence test over the (source × lang) contingency table, scored
+    // per source: "does this source's language mix differ from the
+    // corpus?" — the drift gate a pipeline runs between crawl snapshots
+    // before retraining (data-shift monitoring; same statistic as
+    // sklearn's chi2 feature selection).
+    //
+    // Determinism: observed counts are exact BIGINTs; each cell's term
+    // (O−E)²/E with E = (ns·nl)/N is ONE fixed IEEE tree over exact-int
+    // doubles (ns·nl < 2^53 up to ~10^8-doc corpora per side — overflow
+    // budget documented), then QUANTIZED to integer billionths per cell
+    // BEFORE the per-source sum — a BIGINT Σ is order-free, where an IEEE
+    // Σ of cell doubles would depend on engine accumulation order (the
+    // q_text_textrank scheme). FLOOR boundaries agree because the cell
+    // double is bit-identical cross-engine by construction. Ties →
+    // source (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (source, lang) hash agg
+    // (|sources|·|langs|-bounded); marginals are two aggs + joins on that
+    // tiny relation (AQE broadcasts); N is a 1-row broadcast. The corpus
+    // never shuffles — only the contingency table moves.
+    GQ(
+      "q_dq_drift",
+      (s, d) => {
+        val cells = Tables.t(s, d, "documents")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("o"))
+        val bySrc = cells.groupBy(col("source")).agg(sum(col("o")).as("ns"))
+        val byLang = cells.groupBy(col("lang")).agg(sum(col("o")).as("nl"))
+        val n = cells.agg(sum(col("o")).as("n"))
+        // full |sources|×|langs| grid: a cell a source is MISSING entirely
+        // (o = 0) still contributes (0−E)²/E — that absence IS the drift
+        val term = {
+          val e = (col("ns") * col("nl")).cast(DoubleType) /
+            col("n").cast(DoubleType)
+          val diff = col("o").cast(DoubleType) - e
+          floor(diff * diff / e * lit(1000000000.0)).cast(LongType)
+        }
+        bySrc.crossJoin(byLang)
+          .join(cells, Seq("source", "lang"), "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+          .crossJoin(broadcast(n))
+          .select(col("source"), col("ns"), term.as("tq"))
+          .groupBy(col("source"), col("ns"))
+          .agg(sum(col("tq")).as("chi2_q9"),
+            (count(lit(1)) - 1L).as("dof"))
+          .select(col("source"), col("ns").as("n_docs"), col("dof"),
+            col("chi2_q9"))
+          .orderBy(col("chi2_q9").desc, col("source"))
+      },
+      Some("""WITH c AS (SELECT source, lang, COUNT(*) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |ms AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ns
+             |  FROM c GROUP BY 1),
+             |ml AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS nl
+             |  FROM c GROUP BY 1),
+             |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+             |g AS (SELECT ms.source, ms.ns, ml.lang, ml.nl,
+             |    COALESCE(c.o, 0) AS o
+             |  FROM ms CROSS JOIN ml
+             |  LEFT JOIN c ON c.source = ms.source AND c.lang = ml.lang),
+             |t AS (SELECT g.source, g.ns,
+             |    CAST(FLOOR(
+             |      (CAST(g.o AS DOUBLE) -
+             |        CAST(g.ns * g.nl AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |      * (CAST(g.o AS DOUBLE) -
+             |        CAST(g.ns * g.nl AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |      / (CAST(g.ns * g.nl AS DOUBLE) / CAST(tt.n AS DOUBLE))
+             |      * 1000000000.0) AS BIGINT) AS tq
+             |  FROM g, tt)
+             |SELECT source, ns AS n_docs,
+             |  COUNT(*) - 1 AS dof, CAST(SUM(tq) AS BIGINT) AS chi2_q9
+             |FROM t GROUP BY source, ns
+             |ORDER BY chi2_q9 DESC, source""".stripMargin)
     )
   )
 }

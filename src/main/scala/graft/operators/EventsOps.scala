@@ -770,6 +770,58 @@ object EventsOps {
              |SELECT prev, nxt, cnt, tot,
              |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS prob
              |FROM t ORDER BY prev, prob DESC, nxt""".stripMargin)
+    ),
+    // Exponentially-weighted moving average (round 4, batch 11) — the
+    // traffic-smoothing read beside q_time_anomaly's spike detector:
+    // per-type hourly volume smoothed by EWMA with α = 1/2 over the last
+    // 24 OBSERVED buckets (absent hours are skipped, the q_time_anomaly
+    // contract; gap semantics are q_time_gapfill's job; the <24-bucket
+    // cold start treats missing history as zero).
+    //
+    // Determinism — the α = 1/2 exactness argument: every term
+    // cnt_{t−j}/2^{j+1} is a binary-FP-EXACT dyadic rational (division by
+    // a power of two never rounds at these magnitudes), and partial sums
+    // stay dyadic with denominator 2^24 and numerator < 2^53, so the
+    // 24-term sum is EXACT — not "same rounding both engines" but no
+    // rounding at all, for any engine and any evaluation order. A general
+    // α would accumulate IEEE error; α = 1/2 is the temperature-mix sqrt
+    // argument's twin on the time axis. Weights are literal constants
+    // generated from the same Scala ints on both sides — no pow() calls.
+    //
+    // Plan shape (100 TB): ONE corpus (hour, type) hash agg (map-side
+    // combine, time-bounded output), then ONE type-keyed window in which
+    // all 24 lags share a single WindowExec. The corpus never shuffles —
+    // only bucket counts move.
+    GQ(
+      "q_time_ewma",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+        val ewma = (0 until 24).foldLeft(lit(0.0)) { (acc, j) =>
+          acc + coalesce(lag(col("cnt"), j).over(w).cast(DoubleType), lit(0.0)) /
+            lit((1L << (j + 1)).toDouble)
+        }
+        Tables.events(s, d)
+          .select((expr(s"ts div $NanosPerHour") * 3600L).as("hour_start"),
+            col("event_type"))
+          .groupBy(col("hour_start"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ewma", ewma)
+          .orderBy(col("event_type"), col("hour_start"))
+      },
+      Some {
+        val terms = (0 until 24)
+          .map(j => s"COALESCE(lag(cnt, $j) OVER w, 0) / ${1L << (j + 1)}.0")
+          .mkString("\n             |    + ")
+        s"""WITH b AS (SELECT (epoch_ns(ts) // $NanosPerHour) * 3600
+           |      AS hour_start,
+           |    event_type, COUNT(*) AS cnt
+           |  FROM events GROUP BY 1, 2)
+           |SELECT hour_start, event_type, cnt,
+           |  $terms AS ewma
+           |FROM b
+           |WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
+           |ORDER BY event_type, hour_start""".stripMargin
+      }
     )
   )
 }

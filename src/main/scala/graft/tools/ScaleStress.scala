@@ -63,7 +63,10 @@ object ScaleStress {
     "q_dedup_containment", "q_retrieval_hybrid",
     // round 4, tenth batch: gini (two narrow aggs), markov (one user
     // window + tiny matrix), temperature mixing (source-bounded agg)
-    "q_text_gini", "q_events_markov", "q_mix_temperature")
+    "q_text_gini", "q_events_markov", "q_mix_temperature",
+    // round 4, eleventh batch: chi² drift (grid-bounded), EWMA (one
+    // window over the time-bounded bucket relation)
+    "q_dq_drift", "q_time_ewma")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -259,6 +259,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must rank-limit:\n$p")
   }
 
+  test("q_dq_drift: contingency joins broadcast; the corpus never sort-merges") {
+    val p = plan("q_dq_drift")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"grid/marginal joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the drift plan is big enough to sort-merge:\n$p")
+  }
+
+  test("q_time_ewma: all 24 lags share ONE window pass") {
+    val p = plan("q_time_ewma")
+    assert(!p.contains("Join"), s"EWMA must not self-join:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1,
+      s"24 lags over one frame must fuse into one WindowExec, found $windows:\n$p")
+  }
+
   test("q_mix_temperature: totals broadcast over the source-bounded agg") {
     val p = plan("q_mix_temperature")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

@@ -611,6 +611,53 @@ class PropertySpec extends AnyFunSuite {
       "rows ordered (prev, prob DESC, nxt); no cross-user pair fabricated")
   }
 
+  test("q_dq_drift: chi-square matches a grid replay; a missing cell still counts") {
+    // a: 8 en + 2 de, b: 2 en + 8 de, c: 5 en ONLY — c's absent de cell
+    // must contribute (0−E)²/E (total absence IS the drift signal)
+    val docs = (1 to 8).map(i => (i.toLong, s"t$i", "en", "a")) ++
+      (9 to 10).map(i => (i.toLong, s"t$i", "de", "a")) ++
+      (11 to 12).map(i => (i.toLong, s"t$i", "en", "b")) ++
+      (13 to 20).map(i => (i.toLong, s"t$i", "de", "b")) ++
+      (21 to 25).map(i => (i.toLong, s"t$i", "en", "c"))
+    val dir = plantDocs(docs)
+    val out = Registry.byName("q_dq_drift").run(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // replay the exact per-cell tree: E = ns·nl/N, tq = floor((O−E)²/E·1e9)
+    val obs = docs.groupBy(d => (d._4, d._3)).view.mapValues(_.size.toLong).toMap
+    val ns = docs.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val nl = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val n = docs.size.toDouble
+    for (src <- Seq("a", "b", "c")) {
+      val chi2 = nl.keys.toSeq.map { lang =>
+        val e = (ns(src) * nl(lang)).toDouble / n
+        val diff = obs.getOrElse((src, lang), 0L).toDouble - e
+        math.floor(diff * diff / e * 1000000000.0).toLong
+      }.sum
+      assert(out(src) === ((ns(src), nl.size - 1L, chi2)), s"source $src")
+    }
+    assert(out("c")._3 > 0L, "the all-absent de cell contributes drift")
+  }
+
+  test("q_time_ewma: dyadic half-life smoothing is exact") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("ewmaprop-").toString
+    val h = 3600L * 1000000000L
+    // view counts/hour: 4, 8, 2 -> ewma 2.0, 8/2+4/4=5.0, 2/2+8/4+4/8=3.5
+    val ev = Seq((0, 4), (1, 8), (2, 2)).flatMap { case (hour, n) =>
+      (1 to n).map(k => (hour.toLong * h + k, "view"))
+    }
+    ev.zipWithIndex
+      .map { case ((ts, t), i) => (i.toLong, ts, i.toLong % 3, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_ewma").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (0L, "view", 4L, 2.0), (3600L, "view", 8L, 5.0), (7200L, "view", 2L, 3.5)),
+      "each EWMA value is the exact dyadic sum — no rounding anywhere")
+  }
+
   test("q_mix_temperature: sqrt-smoothed shares from perfect-square token counts") {
     // source a: 16 tokens (sqrt 4), source b: 64 tokens (sqrt 8) —
     // wq are exactly 4e9 / 8e9, wsum 12e9; share_a = 1/3, share_b = 2/3;
