@@ -822,6 +822,88 @@ object EventsOps {
            |WINDOW w AS (PARTITION BY event_type ORDER BY hour_start)
            |ORDER BY event_type, hour_start""".stripMargin
       }
+    ),
+    // Association rules over sessions (round 4, batch 12) — market-basket
+    // mining with the 30-min session as the basket: which event types
+    // co-occur in one session beyond chance? support = P(a,b),
+    // confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) — the Agrawal/Srikant
+    // statistics, the session-level complement of q_events_markov's
+    // consecutive-pair transitions (assoc sees "a and b in one visit
+    // regardless of order/distance", markov only adjacent steps).
+    //
+    // Determinism: all four counts are exact session-distinct BIGINTs;
+    // support/confidence are each ONE IEEE division (R7); lift is the
+    // fixed tree (n_ab·S)/(n_a·n_b) with double products of exact ints
+    // (the q_text_pmi overflow budget); ties → (a, b) (R1).
+    //
+    // Plan shape (100 TB): sessionEvents' ONE user_id window exchange is
+    // reused by everything — the session-type distinct is keyed on a
+    // refinement (user_id, sid, type), and the within-session pair
+    // self-join keys on (user_id, sid), both satisfied by the existing
+    // user_id partitioning (no new corpus exchange; pairs are bounded by
+    // |types|² per session). Marginals and totals move |types|-sized
+    // relations; lift arithmetic runs on the |types|²-bounded pair table.
+    GQ(
+      "q_events_assoc",
+      (s, d) => {
+        val st = sessionEvents(s, d)
+          .select(col("user_id"), col("sid"), col("event_type")).distinct()
+        val tot = st.select(col("user_id"), col("sid")).distinct()
+          .agg(count(lit(1)).as("s_total"))
+        val na = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val pairs = st.as("x")
+          .join(st.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.sid") === col("y.sid") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(na.select(col("event_type").as("a"), col("n").as("n_a"))), "a")
+          .join(broadcast(na.select(col("event_type").as("b"), col("n").as("n_b"))), "b")
+          .crossJoin(broadcast(tot))
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            col("s_total"),
+            (col("n_ab").cast(DoubleType) / col("s_total").cast(DoubleType))
+              .as("support"),
+            (col("n_ab").cast(DoubleType) / col("n_a").cast(DoubleType))
+              .as("confidence"),
+            ((col("n_ab").cast(DoubleType) * col("s_total").cast(DoubleType)) /
+              (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+              .as("lift"))
+          .orderBy(col("lift").desc, col("a"), col("b"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_type, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, event_type,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g),
+             |st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+             |tot AS (SELECT COUNT(*) AS s_total FROM
+             |  (SELECT DISTINCT user_id, sid FROM st)),
+             |na AS (SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1),
+             |pr AS (SELECT x.event_type AS a, y.event_type AS b,
+             |    COUNT(*) AS n_ab
+             |  FROM st x JOIN st y ON x.user_id = y.user_id
+             |    AND x.sid = y.sid AND x.event_type < y.event_type
+             |  GROUP BY 1, 2)
+             |SELECT pr.a, pr.b, pr.n_ab, xa.n AS n_a, xb.n AS n_b,
+             |  tot.s_total,
+             |  CAST(pr.n_ab AS DOUBLE) / CAST(tot.s_total AS DOUBLE)
+             |    AS support,
+             |  CAST(pr.n_ab AS DOUBLE) / CAST(xa.n AS DOUBLE) AS confidence,
+             |  (CAST(pr.n_ab AS DOUBLE) * CAST(tot.s_total AS DOUBLE)) /
+             |  (CAST(xa.n AS DOUBLE) * CAST(xb.n AS DOUBLE)) AS lift
+             |FROM pr
+             |JOIN na xa ON pr.a = xa.event_type
+             |JOIN na xb ON pr.b = xb.event_type, tot
+             |ORDER BY lift DESC, a, b""".stripMargin)
     )
   )
 }

@@ -122,6 +122,47 @@ object LinearAlgebra {
            |SELECT vec_id, proj FROM pr
            |ORDER BY ABS(proj) DESC, vec_id LIMIT 10""".stripMargin
       }
+    ),
+    // Embedding-norm QA histogram (round 4, batch 12) — the degenerate-
+    // encoder gate: a healthy (normalized) embedding batch concentrates at
+    // ‖x‖² ≈ 1; zero vectors (dead encoder), tiny norms (collapsed
+    // representations), or a label whose norm mass shifts all surface as
+    // off-center histogram buckets. Run per label so one bad shard/class
+    // is visible against the rest — the vector-space twin of
+    // q_doclen_hist.
+    //
+    // Determinism: ‖x‖² is a strict LEFT FOLD Σx² in BOTH engines (Spark
+    // `aggregate` with 0.0 init vs DuckDB `list_reduce` starting at the
+    // first element — identical because +0.0 + y ≡ y bitwise for y ≥ 0),
+    // with each float widened to double losslessly BEFORE squaring, so
+    // the same IEEE ops run in the same order and the double is
+    // bit-identical cross-engine; the centi-bucket floor(‖x‖²·100) is
+    // then safe at any boundary. Counts exact; order (label, bucket_c)
+    // (R1).
+    //
+    // Plan shape (100 TB): ONE scan-side projection (the fold is a
+    // codegen'd per-row loop, no shuffle) into ONE (label, bucket) hash
+    // agg with map-side combine — output bounded by |labels|×|buckets|,
+    // never corpus-sized. No joins, no windows.
+    GQ(
+      "q_embed_norm_stats",
+      (s, d) => {
+        val norm2 = aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+        Tables.t(s, d, "embeddings")
+          .select(col("label"),
+            floor(norm2 * lit(100)).cast(LongType).as("bucket_c"))
+          .groupBy(col("label"), col("bucket_c"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label"), col("bucket_c"))
+      },
+      Some("""WITH h AS (SELECT label,
+             |    CAST(FLOOR(list_reduce(list_transform(
+             |      CAST(embedding AS DOUBLE[]), x -> x * x),
+             |      (a, b) -> a + b) * 100) AS BIGINT) AS bucket_c
+             |  FROM embeddings)
+             |SELECT label, bucket_c, COUNT(*) AS n
+             |FROM h GROUP BY 1, 2 ORDER BY label, bucket_c""".stripMargin)
     )
   )
 }

@@ -658,6 +658,52 @@ class PropertySpec extends AnyFunSuite {
       "each EWMA value is the exact dyadic sum — no rounding anywhere")
   }
 
+  test("q_events_assoc: hand-computed session-basket support/confidence/lift") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("assocprop-").toString
+    val b = 1000000000L // 1s in ns; sessions split on >30min gaps
+    // user 1 session A: signup+click+view; session B (3h later):
+    // click+purchase; user 2 session C: signup+click  -> S = 3 sessions
+    val ev = Seq(
+      (1L, 1L * b, 1L, "signup"), (2L, 2L * b, 1L, "click"),
+      (3L, 3L * b, 1L, "view"),
+      (4L, 11000L * b, 1L, "click"), (5L, 11001L * b, 1L, "purchase"),
+      (6L, 1L * b, 2L, "signup"), (7L, 2L * b, 2L, "click"))
+    ev.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_assoc").run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    // (signup,view) lift = 1*3/(2*1) = 1.5 ranks first; three 1.0 ties
+    // order (a, b)
+    assert(out.map(_._1).toSeq === Seq(
+      ("signup", "view"), ("click", "purchase"), ("click", "signup"),
+      ("click", "view")))
+    val m = out.toMap
+    assert(m(("click", "signup")) ===
+      ((2L, 3L, 2L, 3L, 2.0 / 3.0, 2.0 / 3.0, (2.0 * 3.0) / (3.0 * 2.0))))
+    assert(m(("signup", "view")) ===
+      ((1L, 2L, 1L, 3L, 1.0 / 3.0, 1.0 / 2.0, (1.0 * 3.0) / (2.0 * 1.0))))
+  }
+
+  test("q_embed_norm_stats: centi-buckets catch zero, collapsed, and unnormalized vectors") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("normprop-").toString
+    Seq(
+      (0L, Seq(1f, 0f), 0),     // norm2 1.0   -> bucket 100 (healthy)
+      (1L, Seq(0.5f, 0.5f), 0), // norm2 0.5   -> bucket 50 (collapsed)
+      (2L, Seq(0f, 0f), 1),     // norm2 0     -> bucket 0 (dead encoder)
+      (3L, Seq(3f, 4f), 1))     // norm2 25    -> bucket 2500 (unnormalized)
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Registry.byName("q_embed_norm_stats").run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0, 50L, 1L), (0, 100L, 1L), (1, 0L, 1L),
+      (1, 2500L, 1L)))
+  }
+
   test("q_mix_temperature: sqrt-smoothed shares from perfect-square token counts") {
     // source a: 16 tokens (sqrt 4), source b: 64 tokens (sqrt 8) —
     // wq are exactly 4e9 / 8e9, wsum 12e9; share_a = 1/3, share_b = 2/3;
