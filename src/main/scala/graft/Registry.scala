@@ -26,7 +26,8 @@ object Registry {
       Layout.queries ++
       GraphOps.queries ++
       DataQuality.queries ++
-      LinearAlgebra.queries
+      LinearAlgebra.queries ++
+      Lm.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 

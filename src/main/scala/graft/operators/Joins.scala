@@ -276,6 +276,53 @@ object Joins {
              |  CAST(SUM(${C.sqlRevenue}) AS DOUBLE) AS revenue
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+    // Blocked fuzzy join / entity resolution (round 4, batch 13) — the
+    // record-linkage primitive equality joins can't express: product names
+    // within edit distance 4 of each other ("cold anvil" ↔ "old anvil"),
+    // the catalog-merge / near-duplicate-entity detector. Standard
+    // two-stage shape: a cheap BLOCKING key (last name token = product
+    // type) bounds the candidate space, then exact Levenshtein — an
+    // integer DP with one universal definition, bit-identical across
+    // engines — verifies inside each block.
+    //
+    // Determinism: edit distance and lengths are exact integers; the
+    // p_name < p_name canonicalization kills mirror pairs; order
+    // (dist, name_a, name_b) (R1). Spark's levenshtein returns INT —
+    // cast to BIGINT to match DuckDB's.
+    //
+    // Plan shape (100 TB): names DEDUPLICATE first (the distinct
+    // dimension is ≪ the fact table — compare once per name pair, not per
+    // row pair), then the self-join keys on the block so candidate volume
+    // is Σ|block|², never N²; the |len_a − len_b| ≤ 4 band is a cheap
+    // residual predicate evaluated before the O(len²) DP (lev ≤ 4 implies
+    // the band, so it drops nothing). A hot block (one dominant product
+    // type) is the q_join_skew_salted shape: salt the block key or
+    // sub-block on a second feature (length band) — noted, not needed at
+    // these block sizes.
+    GQ(
+      "q_join_fuzzy",
+      (s, d) => {
+        val bl = Tables.t(s, d, "part").select(col("p_name")).distinct()
+          .select(col("p_name"),
+            expr("element_at(split(p_name, ' '), -1)").as("blk"))
+        bl.as("x").join(bl.as("y"),
+            col("x.blk") === col("y.blk") &&
+              col("x.p_name") < col("y.p_name") &&
+              abs(length(col("x.p_name")) - length(col("y.p_name"))) <= 4)
+          .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+            levenshtein(col("x.p_name"), col("y.p_name")).cast("long").as("dist"))
+          .filter(col("dist") <= 4)
+          .orderBy(col("dist"), col("name_a"), col("name_b"))
+      },
+      Some("""WITH nm AS (SELECT DISTINCT p_name FROM part),
+             |bl AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)
+             |SELECT x.p_name AS name_a, y.p_name AS name_b,
+             |  levenshtein(x.p_name, y.p_name) AS dist
+             |FROM bl x JOIN bl y ON x.blk = y.blk AND x.p_name < y.p_name
+             |  AND abs(length(x.p_name) - length(y.p_name)) <= 4
+             |WHERE levenshtein(x.p_name, y.p_name) <= 4
+             |ORDER BY dist, name_a, name_b""".stripMargin)
     )
   )
 }

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Language-model toolkit over the documents table (round 4, batch 13) —
+  * the two tokenizer/LM verbs a training-data pipeline runs beside the
+  * statistical quality gates: score each document under a corpus-trained
+  * n-gram LM (the CCNet/Gopher "perplexity filter" shape), and train the
+  * first merges of a BPE tokenizer vocabulary (Sennrich et al. 2016).
+  *
+  * Both are transcendental-free by construction: ln()/log2()/pow() are
+  * last-ulp engine-specific (the q_text_tfidf precedent), so surprisal is
+  * carried in EXACT DYADIC LOG2 units — integer bit-length for the
+  * characteristic plus an unrolled mantissa-squaring chain for 10
+  * fractional bits, every step a BIGINT multiply/compare/floor-divide that
+  * is bit-identical in Spark and DuckDB.
+  */
+object Lm {
+
+  /** 2^30 mantissa scale and the 2^31 overflow bit of the squaring chain. */
+  private val M = 1L << 30
+  private val H = 1L << 31
+  /** Fractional bits of the dyadic log2 (resolution 2^-10 ≈ 0.001 bits). */
+  private val FracBits = 10
+
+  val queries: Seq[GQ] = Seq(
+    // Bigram-LM perplexity scoring (CCNet's quality signal, Wenzek et al.
+    // 2020): train an add-one-smoothed bigram model ON the corpus itself,
+    // then report the 20 most surprising documents — mean per-transition
+    // surprisal log2((c_a + V) / (c_ab + 1)) in bits. High mean = the
+    // doc's word transitions are rare corpus-wide = gibberish / wrong
+    // language / boilerplate-shuffled text; the LM-based complement of
+    // q_text_quality's surface gates and q_text_gini's concentration.
+    //
+    // Determinism: surprisal is an EXACT DYADIC LOG2 — for the rational
+    // (c_a+V)/(c_ab+1) ≥ 1, the characteristic e = bitlen(n div d) - 1
+    // (provably floor(log2(n/d)): 2^e ≤ n div d ≤ n/d < 2^(e+1)), then 10
+    // fractional bits from the classic mantissa-squaring recurrence
+    // m ← m² div 2^30 (halved when ≥ 2^31) — every step BIGINT multiply /
+    // compare / truncating-divide, identical in both engines (values > 0
+    // so floor ≡ trunc), pinned to a big-integer replay in the spec.
+    // Per-transition units of 2^-10 bits sum EXACTLY (order-free BIGINT
+    // Σ); the mean is ONE fixed IEEE tree sq_sum/(n_trans·1024) (R7).
+    // Overflow budget: m < 2^31 so m² < 2^62; n·2^30 < 2^63 needs
+    // n = c_a+V < 2^33 — 8.6 B occurrences of one leading word; beyond,
+    // pre-shift n and d right together (deterministic, ≤2^-10-bit error).
+    // Sub-2-word docs have no transition and drop out by contract; ties →
+    // doc_id (R1).
+    //
+    // Plan shape (100 TB): the corpus bigram relation persists once (one
+    // KGrams scan-side pass, zero shuffles to build); the model is TWO
+    // hash aggs over it ((a,b) then a — vocab²-bounded outputs); the
+    // 30-column log2 chain runs on the vocab²-bounded dim table only,
+    // never on the corpus; scoring is ONE (a,b)-keyed join (broadcast
+    // here — at web scale the dim outgrows the threshold and AQE falls
+    // back to a shuffle join keyed on the same columns) + ONE doc_id agg +
+    // TakeOrderedAndProject(20). The corpus is scanned once and shuffled
+    // once (the scoring agg).
+    GQ(
+      "q_text_perplexity",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val bg = graft.Caches.persist(
+          Grams.kgramRows(docs, 2, Seq())
+            .select(col("doc_id"), split(col("item"), " ").as("p"))
+            .filter(size(col("p")) === 2)
+            .select(col("doc_id"), col("p")(0).as("a"), col("p")(1).as("b")))
+        val v = docs.select(explode(split(col("text"), " ")).as("w"))
+          .agg(count_distinct(col("w")).as("v"))
+        val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+        val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+        // 30-step withColumn chain, NOT one expression: m is referenced
+        // twice per step, so a single collapsed tree would double per step
+        // (the 2^10 blowup CollapseProject's multi-reference guard and
+        // this shape both avoid — see the PqEncode planning-cost note).
+        var dim = cab.join(ca, "a").crossJoin(broadcast(v))
+          .select(col("a"), col("b"),
+            (col("ca") + col("v")).as("nn"), (col("cab") + lit(1L)).as("dd"))
+          .withColumn("e", length(bin(expr("nn div dd"))) - 1)
+          .withColumn("m", expr(s"(nn * ${M}L) div (dd * shiftleft(1L, e))"))
+          .withColumn("f", lit(0L))
+        for (_ <- 1 to FracBits) {
+          dim = dim
+            .withColumn("m2", expr(s"(m * m) div ${M}L"))
+            .withColumn("f",
+              expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
+            .withColumn("m",
+              expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
+        }
+        val sdim = dim.select(col("a"), col("b"),
+          (col("e").cast(LongType) * 1024 + col("f")).as("sq"))
+        bg.join(broadcast(sdim), Seq("a", "b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trans"), sum(col("sq")).as("sq_sum"))
+          .select(col("doc_id"), col("n_trans"), col("sq_sum"),
+            (col("sq_sum").cast(DoubleType) /
+              (col("n_trans").cast(DoubleType) * lit(1024.0))).as("mean_bits"))
+          .orderBy(col("mean_bits").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        def step(j: Int): String = {
+          val prev = if (j == 1) "i0" else s"s${j - 1}"
+          s"""s$j AS (SELECT a, b, e,
+             |    CASE WHEN (m*m)//$M >= $H THEN ((m*m)//$M)//2
+             |         ELSE (m*m)//$M END AS m,
+             |    f*2 + CASE WHEN (m*m)//$M >= $H THEN 1 ELSE 0 END AS f
+             |  FROM $prev)"""
+        }
+        s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |bg AS MATERIALIZED (SELECT doc_id,
+           |    string_split(p, ' ')[1] AS a, string_split(p, ' ')[2] AS b
+           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+           |      i -> ws[i] || ' ' || ws[i+1])) AS p
+           |    FROM dd WHERE len(ws) >= 2)),
+           |vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+           |  (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+           |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+           |  FROM bg GROUP BY 1, 2),
+           |ca AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+           |d0 AS (SELECT cab.a, cab.b, ca.ca + (SELECT v FROM vv) AS nn,
+           |    cab.cab + 1 AS dd FROM cab JOIN ca ON cab.a = ca.a),
+           |i0 AS (SELECT a, b, nn, dd,
+           |    CAST(length(bin(nn // dd)) - 1 AS BIGINT) AS e,
+           |    (nn * $M) // (dd * (1::BIGINT <<
+           |      CAST(length(bin(nn // dd)) - 1 AS INTEGER))) AS m,
+           |    0::BIGINT AS f FROM d0),
+           |${(1 to FracBits).map(step).mkString(",\n")},
+           |dim AS (SELECT a, b, e * 1024 + f AS sq FROM s$FracBits),
+           |pp AS (SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trans,
+           |    CAST(SUM(dim.sq) AS BIGINT) AS sq_sum
+           |  FROM bg JOIN dim ON bg.a = dim.a AND bg.b = dim.b
+           |  GROUP BY 1)
+           |SELECT doc_id, n_trans, sq_sum,
+           |  CAST(sq_sum AS DOUBLE) / (CAST(n_trans AS DOUBLE) * 1024.0)
+           |    AS mean_bits
+           |FROM pp ORDER BY mean_bits DESC, doc_id LIMIT 20""".stripMargin
+      }
+    ),
+    // BPE tokenizer-vocabulary induction (Sennrich et al. 2016) — the
+    // first 5 merges trained on the corpus's word-frequency table: count
+    // adjacent symbol pairs weighted by word frequency, merge the most
+    // frequent pair corpus-wide, re-segment, repeat. The query RESULT is
+    // the trained artifact (step, pair, merged symbol, occurrence count) —
+    // the actual deliverable a tokenizer build hands downstream.
+    //
+    // Determinism: counts are exact BIGINTs; the per-round argmax breaks
+    // ties (count DESC, a, b) (R1); re-segmentation is ONE string
+    // replace() per round whose left-to-right non-overlapping semantics
+    // are identical in Spark and DuckDB, made boundary-safe by the
+    // directional marker encoding "#sym₁ #sym₂ ... " — every symbol
+    // carries a leading '#' and trailing ' ', so the pattern "#a #b " can
+    // neither match inside a longer symbol ("#xa #b " ≠) nor across a
+    // merged prefix ("#a #bc " ≠), and greedy adjacent runs re-match
+    // correctly after a consumed replacement ("#a #a #a #a " → two
+    // merges, spec-pinned). Words never span segmentations, so merges are
+    // word-internal — the classic formulation.
+    //
+    // Plan shape (100 TB): the corpus is touched ONCE (the word-frequency
+    // agg); every round thereafter runs on the |vocab|-bounded
+    // segmentation table (persisted per round, the q_dedup_components
+    // swap), with the argmax a bounded 1-row collect (the Lloyd/PCA
+    // driver pattern) re-broadcast as a literal into the next projection.
+    // Pair explosion is scan-side (per-word symbol list), output bounded
+    // by |symbol-vocab|².
+    GQ(
+      "q_tokenize_bpe",
+      (s, d) => {
+        import s.implicits._
+        val wf = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        var seg = graft.Caches.persist(wf.select(col("cnt"),
+          expr("concat(array_join(transform(sequence(1, length(w)), " +
+            "i -> concat('#', substring(w, i, 1))), ' '), ' ')").as("seg")))
+        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+        for (j <- 1 to 5) {
+          val top = seg
+            .select(col("cnt"), split(rtrim(col("seg")), " ").as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> named_struct(" +
+                "'a', substring(element_at(sy, i), 2), " +
+                "'b', substring(element_at(sy, i + 1), 2)))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).head()
+          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((j, a, b, a + b, c))
+          seg = graft.Caches.persist(seg.select(col("cnt"),
+            replace(col("seg"), lit(s"#$a #$b "), lit(s"#$a$b ")).as("seg")))
+        }
+        merges.result().toDF("step", "a", "b", "merged", "n_occ")
+          .orderBy(col("step"))
+      },
+      Some {
+        def round(j: Int): String = {
+          val prev = if (j == 1) "g0" else s"g${j - 1}"
+          s"""p$j AS (SELECT substring(sy[i], 2) AS a,
+             |    substring(sy[i+1], 2) AS b, CAST(SUM(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, sy, unnest(range(1, len(sy))) AS i
+             |    FROM (SELECT cnt, string_split(rtrim(seg), ' ') AS sy
+             |      FROM $prev) WHERE len(sy) >= 2)
+             |  GROUP BY 1, 2),
+             |t$j AS MATERIALIZED (SELECT a, b, c FROM p$j
+             |  ORDER BY c DESC, a, b LIMIT 1),
+             |g$j AS MATERIALIZED (SELECT cnt, replace(seg,
+             |    '#' || (SELECT a FROM t$j) || ' #' || (SELECT b FROM t$j) || ' ',
+             |    '#' || (SELECT a FROM t$j) || (SELECT b FROM t$j) || ' ') AS seg
+             |  FROM $prev)"""
+        }
+        s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+           |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY 1),
+           |g0 AS MATERIALIZED (SELECT cnt, array_to_string(
+           |    list_transform(range(1, length(w) + 1), i -> '#' || w[i]),
+           |    ' ') || ' ' AS seg FROM wf),
+           |${(1 to 5).map(round).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT 1 AS step, a, b, a || b AS merged, c AS n_occ FROM t1
+           |  UNION ALL SELECT 2, a, b, a || b, c FROM t2
+           |  UNION ALL SELECT 3, a, b, a || b, c FROM t3
+           |  UNION ALL SELECT 4, a, b, a || b, c FROM t4
+           |  UNION ALL SELECT 5, a, b, a || b, c FROM t5)
+           |ORDER BY step""".stripMargin
+      }
+    )
+  )
+}

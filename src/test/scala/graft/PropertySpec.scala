@@ -704,6 +704,70 @@ class PropertySpec extends AnyFunSuite {
       (1, 2500L, 1L)))
   }
 
+  test("q_text_perplexity: dyadic-log2 surprisal matches a big-integer replay") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("pplprop-").toString
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; V={a,b,c,x}=4; c_a=3, c_b=2
+    Seq((0L, "a b a b", "en", "s0", 7L), (1L, "a b c", "en", "s0", 5L),
+      (2L, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // reference dyadic log2: exact BigInt replay of the 10-step recurrence
+    def dy(n: Long, d: Long): Long = {
+      val e = java.lang.Long.numberOfTrailingZeros(
+        java.lang.Long.highestOneBit(n / d))
+      var m = (BigInt(n) << 30) / (BigInt(d) << e)
+      var f = 0L
+      for (_ <- 1 to 10) {
+        val m2 = (m * m) >> 30
+        if (m2 >= (BigInt(1) << 31)) { f = f * 2 + 1; m = m2 / 2 }
+        else { f = f * 2; m = m2 }
+      }
+      e.toLong * 1024 + f
+    }
+    val ab = dy(3 + 4, 3 + 1) // c_a+V=7, c_ab+1=4
+    val ba = dy(2 + 4, 1 + 1) // 6/2 = 3.0 -> ~1.585 bits
+    assert(ab === 826L && ba === 1623L)
+    val out = Registry.byName("q_text_perplexity").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 2 (single word) has no transition and drops out by contract;
+    // doc 1's mean (826+1623)/2048 outranks doc 0's (2*826+1623)/3072
+    assert(out.toSeq === Seq(
+      (1L, 2L, ab + ba, (ab + ba).toDouble / (2.0 * 1024.0)),
+      (0L, 3L, 2 * ab + ba, (2 * ab + ba).toDouble / (3.0 * 1024.0))))
+  }
+
+  test("q_tokenize_bpe: five merges on a hand-traced corpus, greedy replace law") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("bpeprop-").toString
+    // wf: aaab:2, ab:1, cde:2, fg:1. Merge trace: (a,a)w4 -> "#aa #a #b "
+    // (greedy: ONE merge in aaab, third a unpaired), (a,b)w3, (aa,ab)w2
+    // (tie with (c,d)/(d,e) broken on a: "aa" < "c"), (c,d)w2, (cd,e)w2
+    Seq((0L, "aaab aaab ab cde cde fg", "en", "s0", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("q_tokenize_bpe").run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1, "a", "a", "aa", 4L), (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L), (4, "c", "d", "cd", 2L),
+      (5, "cd", "e", "cde", 2L)))
+  }
+
+  test("q_join_fuzzy: blocking excludes cross-type pairs, Levenshtein verifies within") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("fuzzprop-").toString
+    Seq("red bolt", "rod bolt", "blue bolt", "red gear").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("p_partkey", "p_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Registry.byName("q_join_fuzzy").run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // red gear is lev-4 from red bolt but in block "gear" -> never compared
+    assert(out.toSeq === Seq(("red bolt", "rod bolt", 1L),
+      ("blue bolt", "red bolt", 4L), ("blue bolt", "rod bolt", 4L)))
+  }
+
   test("q_mix_temperature: sqrt-smoothed shares from perfect-square token counts") {
     // source a: 16 tokens (sqrt 4), source b: 64 tokens (sqrt 8) —
     // wq are exactly 4e9 / 8e9, wsum 12e9; share_a = 1/3, share_b = 2/3;
