@@ -118,16 +118,28 @@ object Caches {
   * All reads are plain `spark.read.parquet` — schema comes from the parquet
   * footer (pinned by the driver, never inferred from data), so Catalyst gets
   * full pushdown/pruning. The single exception is `events`, whose `ts` column
-  * is parquet TIMESTAMP(NANOS): Spark 4.1.2 refuses it unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, under which `ts` surfaces as
-  * LongType epoch-nanoseconds (SURVEY.md §2.5 R5). All time math on events is
-  * exact integer math over those nanos.
+  * the engine normalizes to LongType epoch-nanoseconds (SURVEY.md §2.5 R5)
+  * whatever the parquet physical type. All time math on events is exact
+  * integer math over those nanos.
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet: nanos-timestamp shim, kept in exactly one place.
+  /** events.parquet: epoch-nanos `ts` shim, kept in exactly one place.
+    *
+    * The driver's generator has shipped `ts` as parquet TIMESTAMP(NANOS)
+    * (rounds 1–3) and as TIMESTAMP(MICROS) (round 4+); test fixtures plant
+    * it as a raw BIGINT. All three surface here as the SAME LongType
+    * epoch-nanos column, so every downstream query keeps one time basis:
+    *   - BIGINT          → already nanos, pass through;
+    *   - TIMESTAMP(NANOS)→ `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     (Spark 4.1.2 otherwise refuses nanos parquet) reads it as nanos;
+    *   - TIMESTAMP[_NTZ] → `unix_micros(ts) * 1000` — exact integer widen,
+    *     no precision games. NTZ first re-tags as UTC instant via the
+    *     session clock; every entry point (Verify/Bench/tests) pins
+    *     `spark.sql.session.timeZone=UTC`, matching DuckDB's oracle-side
+    *     `epoch_ns(ts)` on the same file.
     *
     * CAVEAT (round-2 ADVICE): the legacy flag is SESSION-scoped — Spark has
     * no per-read option for it — so it leaks into every later read on this
@@ -137,7 +149,14 @@ object Tables {
     * `spark.newSession()` before setting it. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ (micros): widen to nanos
+        raw.withColumn("ts",
+          (unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+            .cast(LongType))
+    }
   }
 }
 

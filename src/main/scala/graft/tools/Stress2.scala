@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
-import graft.Registry
+import graft.{Registry, Tables}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,7 +71,7 @@ object IntervalSkewStress {
     val marker = Paths.get(dst, "_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(dst))
-      val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val base = Tables.events(spark, "/root/testdata/sf0.1")
       val maxId = base.agg(max("event_id")).head.getLong(0) + 1
       val hotHourNs = 1704067200L * 1000000000L // one fixed hour bucket
       // two events per user inside the SAME hour -> a >=2-event session for
@@ -295,7 +295,7 @@ private object Stress2 {
     val marker = Paths.get(dst, "_COMPLETE")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(dst))
-      val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val base = Tables.events(spark, "/root/testdata/sf0.1")
       val nBase = base.count()
       val maxId = base.agg(max("event_id")).head.getLong(0) + 1
       val n = nBase * pct / 100

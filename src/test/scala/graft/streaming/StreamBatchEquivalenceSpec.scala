@@ -40,8 +40,7 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
   /** sf0.001 events as typed rows with µs-truncated timestamps (the shared
     * time basis — see the scaladoc note). */
   private def eventRows: Seq[Event] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf/events.parquet")
+    graft.Tables.events(spark, sf)
       .select(col("event_id"), expr("timestamp_micros(ts DIV 1000)").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event].collect().toSeq
