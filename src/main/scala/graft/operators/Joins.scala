@@ -323,6 +323,73 @@ object Joins {
              |  AND abs(length(x.p_name) - length(y.p_name)) <= 4
              |WHERE levenshtein(x.p_name, y.p_name) <= 4
              |ORDER BY dist, name_a, name_b""".stripMargin)
+    ),
+    // Entity resolution end-to-end (round 4): q_join_fuzzy finds the
+    // PAIRWISE links; this resolves them into ENTITIES — transitive
+    // closure over the fuzzy-match graph ("cold anvil" ↔ "old anvil" ↔
+    // "bold anvil" are ONE catalog entry even when the first and last
+    // exceed the pairwise distance bound), each cluster named by a
+    // canonical id. This is the master-data/record-linkage shape: blocked
+    // candidate join → exact verify → connected components → golden
+    // record, and it reuses the SAME iterative min-label propagation as
+    // q_dedup_components (one shuffle per round, O(1) driver convergence,
+    // rounds ≤ component diameter) on a different edge relation — the
+    // operator is corpus-agnostic by construction.
+    //
+    // Determinism: node ids are MIN(p_partkey) per distinct name — exact;
+    // the component label is the MIN node id reachable (propagation's
+    // fixpoint is order-free); cluster size is an exact count; order
+    // (entity_id, p_name) (R1). Only non-singleton clusters emit (a
+    // singleton "cluster" is just the name itself — no resolution
+    // happened), matching the closure oracle's edge-derived domain.
+    //
+    // Plan shape (100 TB): identical bounds to q_join_fuzzy for the edge
+    // build (names deduplicate first, Σ|block|² candidates); propagation
+    // touches only nodes incident to an edge — the resolved minority,
+    // never the full catalog; the final name join keys on the node id.
+    GQ(
+      "q_entity_resolution",
+      (s, d) => {
+        val nm = Tables.t(s, d, "part")
+          .groupBy(col("p_name")).agg(min(col("p_partkey")).as("nid"))
+        val bl = nm.select(col("p_name"), col("nid"),
+          expr("element_at(split(p_name, ' '), -1)").as("blk"))
+        val edges = bl.as("x").join(bl.as("y"),
+            col("x.blk") === col("y.blk") &&
+              col("x.p_name") < col("y.p_name") &&
+              abs(length(col("x.p_name")) - length(col("y.p_name"))) <= 4)
+          .filter(levenshtein(col("x.p_name"), col("y.p_name")) <= 4)
+          .select(col("x.nid").as("a_id"), col("y.nid").as("b_id"))
+        val labels = Dedup.componentLabels(edges) // (doc_id = nid, comp)
+        labels
+          .withColumn("n_names",
+            count(lit(1)).over(Window.partitionBy(col("comp"))))
+          .join(nm.withColumnRenamed("nid", "doc_id"), "doc_id")
+          .select(col("comp").as("entity_id"), col("p_name"), col("n_names"))
+          .orderBy(col("entity_id"), col("p_name"))
+      },
+      Some("""WITH RECURSIVE
+             |nm AS (SELECT p_name, MIN(p_partkey) AS nid
+             |  FROM part GROUP BY p_name),
+             |bl AS (SELECT p_name, nid,
+             |  string_split(p_name, ' ')[-1] AS blk FROM nm),
+             |edges AS (SELECT x.nid AS a_id, y.nid AS b_id
+             |  FROM bl x JOIN bl y ON x.blk = y.blk AND x.p_name < y.p_name
+             |    AND abs(length(x.p_name) - length(y.p_name)) <= 4
+             |  WHERE levenshtein(x.p_name, y.p_name) <= 4),
+             |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+             |  UNION ALL SELECT b_id, a_id FROM edges),
+             |reach(src, dst) AS (
+             |  SELECT DISTINCT src, src FROM sym
+             |  UNION
+             |  SELECT r.src, y.dst FROM reach r JOIN sym y ON r.dst = y.src),
+             |comp AS (SELECT src AS nid, MIN(dst) AS entity_id
+             |  FROM reach GROUP BY src)
+             |SELECT c.entity_id, n.p_name,
+             |  CAST(COUNT(*) OVER (PARTITION BY c.entity_id) AS BIGINT)
+             |    AS n_names
+             |FROM comp c JOIN nm n ON n.nid = c.nid
+             |ORDER BY entity_id, p_name""".stripMargin)
     )
   )
 }

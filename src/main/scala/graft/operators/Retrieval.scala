@@ -358,6 +358,140 @@ object Retrieval {
              |  k.rk_kw, v.rk_vec
              |FROM kw k FULL OUTER JOIN dn v ON k.doc_id = v.vec_id
              |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+    ),
+    // Exact-integer BM25 ranking (Robertson & Walker, Okapi; k1=1.2,
+    // b=0.75) — the standard lexical relevance function under every
+    // production search stack, and the missing sibling between
+    // q_text_tfidf's rank-only salience and q_retrieval_hybrid's RRF
+    // fusion: one query (document 0's distinct words) scores the rest of
+    // the corpus and returns the top 20.
+    //
+    // Determinism: BOTH factors are transcendental-free. idf uses the
+    // Lucene-style always-positive form log2(1 + (N-df+1/2)/(df+1/2)) =
+    // log2((2N+2)/(2df+1)) — a rational ≥ 1 of exact BIGINTs, evaluated
+    // by the SAME exact dyadic log2 as q_text_perplexity (characteristic
+    // e = bitlen(n div d) - 1, then 10 fractional bits from the
+    // mantissa-squaring recurrence m ← m² div 2^30, every step BIGINT
+    // multiply/compare/floor-div, identical in both engines) in units of
+    // 2^-10 bits. The tf saturation with k1 = 6/5 and b = 3/4 clears to
+    // the integer rational tf·(k1+1)/(tf + k1·(1-b+b·dl·N/S)) =
+    // 22·S·tf / (10·S·tf + 3·S + 9·dl·N) over exact corpus stats
+    // (S = Σdl, N = |corpus|), so each term's contribution is ONE BIGINT
+    // floor-div (idf_q·22·S·tf) div (10·S·tf + 3·S + 9·dl·N) and the doc
+    // score an order-free BIGINT Σ. Headroom: idf_q ≤ ~64·2^10, so the
+    // numerator stays under 2^63 while S·tf < 1.3e12 — beyond (trillion-
+    // token corpora × frequent terms) the product widens to DECIMAL(38)/
+    // HUGEINT, same plan. The display score is ONE fixed IEEE division
+    // by 1024.0 (R7); ties → doc_id (R1).
+    //
+    // Plan shape (100 TB): the query's term set broadcasts into a
+    // semi-join on the exploded corpus BEFORE the (doc, word) agg — only
+    // matching postings are ever aggregated, never the full vocabulary;
+    // df folds from that bounded tf relation (every doc holding a query
+    // term is in it by construction); the 10-step log2 chain runs on the
+    // |query-term|-bounded df table; corpus stats are a 1-row broadcast.
+    // The one corpus-sized exchange is the doc_id join attaching dl to
+    // matched postings — keyed, narrow (two longs), AQE-broadcastable
+    // when the match set is small. Corpus scanned twice (stats + terms),
+    // shuffled once.
+    GQ(
+      "q_retrieval_bm25",
+      (s, d) => {
+        val M = 1L << 30
+        val H = 1L << 31
+        val docs = Tables.t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") =!= 0)
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(split(col("text"), " ")).as("word")).distinct()
+        val dl = corpus.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
+        val tf = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .join(broadcast(qterms), "word")
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        // exact dyadic log2 of (2N+2)/(2df+1) — the q_text_perplexity
+        // chain (see there for the provability + overflow notes); runs on
+        // the query-term-bounded df relation only
+        var idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("word"), col("df"),
+            (col("n_docs") * 2 + lit(2L)).as("nn"),
+            (col("df") * 2 + lit(1L)).as("dd"))
+          .withColumn("e", length(bin(expr("nn div dd"))) - 1)
+          .withColumn("m", expr(s"(nn * ${M}L) div (dd * shiftleft(1L, e))"))
+          .withColumn("f", lit(0L))
+        for (_ <- 1 to 10) {
+          idf = idf
+            .withColumn("m2", expr(s"(m * m) div ${M}L"))
+            .withColumn("f",
+              expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
+            .withColumn("m",
+              expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
+        }
+        val sidf = idf.select(col("word"),
+          (col("e").cast(LongType) * 1024 + col("f")).as("idf_q"))
+        tf.join(broadcast(sidf), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"),
+            expr("(idf_q * 22 * s_tok * tf) div " +
+              "(10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)").as("sq"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_terms"), sum(col("sq")).as("score_q"))
+          .select(col("doc_id"), col("n_terms"), col("score_q"),
+            (col("score_q").cast(DoubleType) / lit(1024.0)).as("score_bits"))
+          .orderBy(col("score_q").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val M = 1L << 30
+        val H = 1L << 31
+        def step(j: Int): String = {
+          val prev = if (j == 1) "i0" else s"s${j - 1}"
+          s"""s$j AS (SELECT word,
+             |    CASE WHEN (m*m)//$M >= $H THEN ((m*m)//$M)//2
+             |         ELSE (m*m)//$M END AS m,
+             |    f*2 + CASE WHEN (m*m)//$M >= $H THEN 1 ELSE 0 END AS f,
+             |    e FROM $prev)"""
+        }
+        s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents WHERE doc_id <> 0),
+           |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+           |  FROM documents WHERE doc_id = 0),
+           |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM corpus),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(dl) AS BIGINT) AS s_tok FROM dl),
+           |w AS (SELECT doc_id, unnest(ws) AS word FROM corpus),
+           |tf AS (SELECT w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM w JOIN q ON w.word = q.word GROUP BY 1, 2),
+           |dfr AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+           |  FROM tf GROUP BY word),
+           |d0 AS (SELECT word,
+           |    2 * (SELECT n_docs FROM st) + 2 AS nn, 2 * df + 1 AS dd
+           |  FROM dfr),
+           |i0 AS (SELECT word,
+           |    CAST(length(bin(nn // dd)) - 1 AS BIGINT) AS e,
+           |    (nn * $M) // (dd * (1::BIGINT <<
+           |      CAST(length(bin(nn // dd)) - 1 AS INTEGER))) AS m,
+           |    0::BIGINT AS f FROM d0),
+           |${(1 to 10).map(step).mkString(",\n")},
+           |sidf AS (SELECT word, e * 1024 + f AS idf_q FROM s10),
+           |sc AS (SELECT tf.doc_id,
+           |    (sidf.idf_q * 22 * (SELECT s_tok FROM st) * tf.tf) //
+           |    (10 * (SELECT s_tok FROM st) * tf.tf
+           |     + 3 * (SELECT s_tok FROM st)
+           |     + 9 * dl.dl * (SELECT n_docs FROM st)) AS sq
+           |  FROM tf
+           |  JOIN sidf ON sidf.word = tf.word
+           |  JOIN dl ON dl.doc_id = tf.doc_id)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           |  CAST(SUM(sq) AS BIGINT) AS score_q,
+           |  CAST(SUM(sq) AS DOUBLE) / 1024.0 AS score_bits
+           |FROM sc GROUP BY doc_id
+           |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+      }
     )
   )
 }
