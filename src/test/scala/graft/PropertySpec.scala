@@ -782,4 +782,54 @@ class PropertySpec extends AnyFunSuite {
     assert(out("a") === ((1L, 16L, 4000000000L, 1.0 / 3.0, 1.0 / 3.0 * 80 / 16)))
     assert(out("b") === ((1L, 64L, 8000000000L, 2.0 / 3.0, 2.0 / 3.0 * 80 / 64)))
   }
+
+  test("q_retrieval_bm25: idf, tf, and length monotonicity; non-matches absent") {
+    // doc 0 is the query {rare, common}; corpus: rare in 3 docs, common in
+    // 5, so idf(rare) > idf(common). Within the rare docs: d2 repeats the
+    // term (tf), d3 is shorter (length norm) — both must beat d1; d1 (rare,
+    // equal tf/dl) must beat any common-only doc; d9 shares no term.
+    val dir = plantDocs(Seq(
+      (0L, "rare common", "en", "q"),
+      (1L, "rare pad pad pad pad pad", "en", "c"),
+      (2L, "rare rare pad pad pad pad", "en", "c"),
+      (3L, "rare pad", "en", "c")) ++
+      (4L to 8L).map(i => (i, "common pad pad pad pad pad", "en", "c")) :+
+      (9L, "pad pad", "en", "c"))
+    val out = Registry.byName("q_retrieval_bm25").run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!out.contains(9L), s"doc without query terms must be absent: $out")
+    assert(!out.contains(0L), s"the query doc itself must be absent: $out")
+    assert((4L to 8L).forall(out.contains), s"every common doc scores: $out")
+    assert(out(2L) > out(1L), s"higher tf must outrank at equal length: $out")
+    assert(out(3L) > out(1L), s"shorter doc must outrank at equal tf: $out")
+    assert(out(1L) > out(4L), s"rarer term must outrank at equal tf/dl: $out")
+  }
+
+  test("q_entity_resolution: lev-4 chain resolves transitively; singletons absent") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("erprop-").toString
+    // anvil chain: adjacent names are lev 2 apart, the endpoints lev 6 —
+    // beyond the pairwise bound, same entity only via transitivity. The
+    // brush pair is a second entity; the bolt name matches nothing.
+    Seq(
+      (11L, "aaaaaa anvil"), (12L, "aaaabb anvil"),
+      (13L, "aabbbb anvil"), (14L, "bbbbbb anvil"),
+      (21L, "cold brush"), (22L, "bold brush"),
+      (31L, "zzzzzz bolt"),
+      (41L, "aaaaaa anvil")) // duplicate name: nodes deduplicate, id = min key
+      .toDF("p_partkey", "p_name")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = Registry.byName("q_entity_resolution").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val anvil = out.filter(_._2.endsWith("anvil"))
+    assert(anvil.map(_._1).distinct === Seq(11L),
+      s"one anvil entity labeled by min node id: ${out.toSeq}")
+    assert(anvil.map(_._3).distinct === Seq(4L) && anvil.size === 4,
+      s"all four anvil names resolve together: ${out.toSeq}")
+    val brush = out.filter(_._2.endsWith("brush"))
+    assert(brush.map(_._1).distinct === Seq(21L) && brush.size === 2,
+      s"brush pair is its own entity: ${out.toSeq}")
+    assert(!out.exists(_._2.endsWith("bolt")),
+      s"singleton never emits: ${out.toSeq}")
+  }
 }
