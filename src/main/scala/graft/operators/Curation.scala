@@ -840,6 +840,88 @@ object Curation {
              |  CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)
              |    * CAST(total_toks AS DOUBLE) / CAST(toks AS DOUBLE) AS factor
              |FROM q, tt ORDER BY source""".stripMargin)
+    ),
+    // Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
+    // Spirakis 2006, A-ES) — "sample 20 documents with probability ∝ size,
+    // reproducibly" — the seeded form of the data-mixing draw every
+    // curriculum/mixture build runs (q_mix_temperature computes the rates;
+    // this materializes an actual draw). A-ES keys each row by u^(1/w) and
+    // keeps the top-k; equivalently BOTTOM-k by -log2(u)/w — the
+    // exponential race with rate w.
+    //
+    // Determinism (R3: no rand()): u = (h+1)/2^60 with h = h60(doc_id) —
+    // pure data math, identical on any engine/cluster. The key is carried
+    // EXACTLY: -log2(u) = 60 - log2(h+1), where log2(h+1) is the dyadic
+    // log2 (e = bitlen(h+1)-1; 10 mantissa bits via m ← m² div 2^30).
+    // Unlike the perplexity/BM25 chains, the operand here reaches 2^60, so
+    // the mantissa normalization n·2^30 div 2^e is rewritten shift-safe as
+    // n div 2^(e-30) for e ≥ 30 (n·2^30 has 30 zero low bits — floor-div
+    // by 2^e discards exactly e of them, so the forms are EQUAL, and no
+    // intermediate exceeds 2^60) and n·2^(30-e) otherwise. key_q =
+    // (L << 20) div w keeps 2^20 sub-unit resolution before the weight
+    // division so distinct (L, w) pairs stay distinct; ties → doc_id (R1).
+    //
+    // Plan shape (100 TB): ONE scan-side integer projection (hash + two
+    // CASE shifts + 10 squaring steps, all codegen'd, no shuffle) into
+    // TakeOrderedAndProject(20) — the corpus is scanned once and only 20
+    // rows ever leave an executor. The classic alternative (global sort by
+    // rand()) is a full shuffle AND non-reproducible; this is neither.
+    GQ(
+      "q_sample_weighted",
+      (s, d) => {
+        val M = 1L << 30
+        val H = 1L << 31
+        var df = Tables.t(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            greatest(col("n_chars"), lit(1L)).as("w"),
+            (XHash.h60(concat(lit("wsample:"), col("doc_id").cast(StringType)))
+              + 1L).as("n"))
+          .withColumn("e", (length(bin(col("n"))) - 1).cast(IntegerType))
+          .withColumn("m", expr(
+            s"CASE WHEN e >= 30 THEN n div shiftleft(1L, e - 30) " +
+              s"ELSE n * shiftleft(1L, 30 - e) END"))
+          .withColumn("f", lit(0L))
+        for (_ <- 1 to 10) {
+          df = df
+            .withColumn("m2", expr(s"(m * m) div ${M}L"))
+            .withColumn("f",
+              expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
+            .withColumn("m",
+              expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
+        }
+        df.select(col("doc_id"), col("n_chars"),
+            expr(s"shiftleft(${60L * 1024}L - (CAST(e AS BIGINT) * 1024 + f), 20) div w")
+              .as("key_q"))
+          .orderBy(col("key_q"), col("doc_id"))
+          .limit(20)
+      },
+      Some {
+        val M = 1L << 30
+        val H = 1L << 31
+        def step(j: Int): String = {
+          val prev = if (j == 1) "i0" else s"s${j - 1}"
+          s"""s$j AS (SELECT doc_id, n_chars, w, e,
+             |    CASE WHEN (m*m)//$M >= $H THEN ((m*m)//$M)//2
+             |         ELSE (m*m)//$M END AS m,
+             |    f*2 + CASE WHEN (m*m)//$M >= $H THEN 1 ELSE 0 END AS f
+             |  FROM $prev)"""
+        }
+        s"""WITH d0 AS (SELECT doc_id, n_chars,
+           |    GREATEST(n_chars, 1) AS w,
+           |    ${XHash.sqlH60("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1
+           |      AS n FROM documents),
+           |i0 AS (SELECT doc_id, n_chars, w,
+           |    CAST(length(bin(n)) - 1 AS BIGINT) AS e,
+           |    CASE WHEN length(bin(n)) - 1 >= 30
+           |      THEN n // (1::BIGINT << CAST(length(bin(n)) - 31 AS INTEGER))
+           |      ELSE n * (1::BIGINT << CAST(31 - length(bin(n)) AS INTEGER))
+           |    END AS m,
+           |    0::BIGINT AS f FROM d0),
+           |${(1 to 10).map(step).mkString(",\n")}
+           |SELECT doc_id, n_chars,
+           |  ((${60L * 1024} - (e * 1024 + f)) << 20) // w AS key_q
+           |FROM s10 ORDER BY key_q, doc_id LIMIT 20""".stripMargin
+      }
     )
   )
 }

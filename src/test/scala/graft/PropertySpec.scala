@@ -805,6 +805,40 @@ class PropertySpec extends AnyFunSuite {
     assert(out(1L) > out(4L), s"rarer term must outrank at equal tf/dl: $out")
   }
 
+  test("q_sample_weighted: full BigInt replay of the A-ES keys picks the same 20") {
+    // 30 docs with distinct lengths; the expected draw is recomputed here
+    // from scratch (md5 → dyadic log2 → key) so the whole pipeline — hash
+    // basis, shift-safe mantissa normalization, squaring chain, weight
+    // division, ordering — is pinned end to end, not just its shape.
+    val rows = (1 to 30).map(i =>
+      (i.toLong, (1 to (3 + i * 7 % 23)).map(j => s"w$j").mkString(" "), "en", "s"))
+    val dir = plantDocs(rows)
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def log2q(n: BigInt): Long = {
+      val e = n.bitLength - 1
+      var m = if (e >= 30) n >> (e - 30) else n << (30 - e)
+      var f = 0L
+      for (_ <- 1 to 10) {
+        val m2 = (m * m) >> 30
+        if (m2 >= (BigInt(1) << 31)) { f = f * 2 + 1; m = m2 >> 1 }
+        else { f = f * 2; m = m2 }
+      }
+      e.toLong * 1024 + f
+    }
+    val expect = rows.map { case (id, text, _, _) =>
+      val w = math.max(text.length.toLong, 1L)
+      val l = 61440L - log2q(BigInt(h60(s"wsample:$id") + 1L))
+      (id, (l << 20) / w)
+    }.sortBy { case (id, k) => (k, id) }.take(20)
+    val out = Registry.byName("q_sample_weighted").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out === expect, s"engine draw must equal the BigInt replay")
+  }
+
   test("q_entity_resolution: lev-4 chain resolves transitively; singletons absent") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("erprop-").toString
