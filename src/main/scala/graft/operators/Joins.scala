@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{C, GQ, Tables}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -390,6 +391,80 @@ object Joins {
              |    AS n_names
              |FROM comp c JOIN nm n ON n.nid = c.nid
              |ORDER BY entity_id, p_name""".stripMargin)
+    ),
+    // Grid-blocked spatial radius join (round 4) — "all pairs of points
+    // within distance r", the 2-D range join under geo joins, collision
+    // detection, and density-based clustering (DBSCAN's ε-neighborhood
+    // query is exactly this). Points are the first two embedding dims;
+    // the 20 closest in-radius pairs emit. A naive formulation is the N²
+    // cross join; the standard scalable shape snaps each point to an
+    // r-sized grid cell so any in-radius pair lies within one cell step in
+    // each dimension — candidates are cell-equi-join-bounded, never N².
+    //
+    // Determinism: the cell id floor(x/0.02) and the distance tree
+    // (ax-bx)·(ax-bx)+(ay-by)·(ay-by) are each ONE fixed IEEE expression
+    // over float→double-widened inputs — bit-identical cross-engine (R7);
+    // the radius and cell literals are the SAME decimal text in both
+    // engines (0.02 / 0.0004 — a computed 0.02*0.02 would parse to a
+    // DIFFERENT double than the literal 0.0004 and admit boundary rows
+    // inconsistently); each pair appears exactly once (the offset between
+    // two fixed cells is unique, so the 9-offset probe cannot duplicate);
+    // 6-dp display round (R8 via roundz), ties → (a_id, b_id) (R1).
+    //
+    // Plan shape (100 TB): one scan-side cell projection per side, the
+    // probe side exploded ×9 (scan-side, no shuffle), ONE (cx, cy)-keyed
+    // equi-join — Σ_cell |cell|·|9-neighborhood| candidates — then the
+    // exact filter and TakeOrderedAndProject(20). A hot cell (dense urban
+    // cluster at geo scale) is the q_join_skew_salted shape: shrink r or
+    // salt the cell key; AQE's skew-join split handles moderate cases.
+    GQ(
+      "q_join_spatial",
+      (s, d) => {
+        val pts = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").getItem(0).cast(DoubleType).as("x"),
+            col("embedding").getItem(1).cast(DoubleType).as("y"))
+          .withColumn("cx", floor(col("x") / lit(0.02)).cast(LongType))
+          .withColumn("cy", floor(col("y") / lit(0.02)).cast(LongType))
+        val offsets = array((for { i <- -1 to 1; j <- -1 to 1 } yield
+          struct(lit(i.toLong).as("dx"), lit(j.toLong).as("dy"))): _*)
+        val probe = pts
+          .select(col("vec_id").as("b_id"), col("x").as("bx"),
+            col("y").as("by"), col("cx"), col("cy"))
+          .withColumn("o", explode(offsets))
+          .select(col("b_id"), col("bx"), col("by"),
+            (col("cx") + col("o.dx")).as("pcx"),
+            (col("cy") + col("o.dy")).as("pcy"))
+        pts.as("a")
+          .join(probe,
+            col("a.cx") === col("pcx") && col("a.cy") === col("pcy") &&
+              col("a.vec_id") < col("b_id"))
+          .select(col("a.vec_id").as("a_id"), col("b_id"),
+            ((col("a.x") - col("bx")) * (col("a.x") - col("bx")) +
+              (col("a.y") - col("by")) * (col("a.y") - col("by"))).as("d2"))
+          .filter(col("d2") <= lit(0.0004))
+          .select(col("a_id"), col("b_id"),
+            graft.functions.vec.roundz(col("d2"), 6).as("dist2"))
+          .orderBy(col("dist2"), col("a_id"), col("b_id"))
+          .limit(20)
+      },
+      Some("""WITH p AS (SELECT vec_id,
+             |    CAST(embedding[1] AS DOUBLE) AS x,
+             |    CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+             |c AS (SELECT vec_id, x, y,
+             |    CAST(FLOOR(x / 0.02) AS BIGINT) AS cx,
+             |    CAST(FLOOR(y / 0.02) AS BIGINT) AS cy FROM p),
+             |pr AS (SELECT vec_id AS b_id, x AS bx, y AS by,
+             |    cx + r1.dx AS pcx, cy + r2.dy AS pcy
+             |  FROM c, range(-1, 2) r1(dx), range(-1, 2) r2(dy)),
+             |j AS (SELECT a.vec_id AS a_id, pr.b_id,
+             |    (a.x - pr.bx) * (a.x - pr.bx)
+             |      + (a.y - pr.by) * (a.y - pr.by) AS d2
+             |  FROM c a JOIN pr ON a.cx = pr.pcx AND a.cy = pr.pcy
+             |    AND a.vec_id < pr.b_id)
+             |SELECT a_id, b_id, ROUND(d2, 6) + 0.0 AS dist2 FROM j
+             |WHERE d2 <= 0.0004
+             |ORDER BY dist2, a_id, b_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -66,7 +66,15 @@ object ScaleStress {
     "q_text_gini", "q_events_markov", "q_mix_temperature",
     // round 4, eleventh batch: chi² drift (grid-bounded), EWMA (one
     // window over the time-bounded bucket relation)
-    "q_dq_drift", "q_time_ewma")
+    "q_dq_drift", "q_time_ewma",
+    // round 4, twelfth batch: BM25 (query-term-bounded postings — one
+    // keyed corpus shuffle), entity resolution (blocked edge join +
+    // CC rounds — part is a Passthrough table so edges stay constant,
+    // probing only the framework overhead at scale), weighted sampling
+    // (pure scan + top-k — must be flat-linear), BPE + perplexity
+    // (vocab-bounded model tables, corpus touched once)
+    "q_retrieval_bm25", "q_entity_resolution", "q_sample_weighted",
+    "q_tokenize_bpe", "q_text_perplexity")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -839,6 +839,32 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("q_join_spatial: grid-blocked pairs equal the brute-force radius join") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("spatialprop-").toString
+    // cross-cell neighbors (p1-p6 diagonal, p2-p3 across x), a same-cell
+    // pair beyond r (p2-p4: same cell is NOT within-radius proof), and an
+    // isolated far point — the grid must reproduce brute force exactly
+    val pts = Seq(
+      (1L, Array(0.001f, 0.001f, 0f, 0f), 0),
+      (2L, Array(0.019f, 0.001f, 0f, 0f), 0),
+      (3L, Array(0.022f, 0.001f, 0f, 0f), 0),
+      (4L, Array(0.0f, 0.0175f, 0f, 0f), 0),
+      (5L, Array(0.3f, 0.3f, 0f, 0f), 0),
+      (6L, Array(-0.001f, -0.001f, 0f, 0f), 0))
+    pts.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = (for {
+      (a, va, _) <- pts; (b, vb, _) <- pts if a < b
+      d2 = math.pow(va(0).toDouble - vb(0).toDouble, 2) +
+        math.pow(va(1).toDouble - vb(1).toDouble, 2)
+      if d2 <= 0.0004
+    } yield (a, b)).sorted
+    val out = Registry.byName("q_join_spatial").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out === brute, s"grid join must equal brute force: $out vs $brute")
+  }
+
   test("q_entity_resolution: lev-4 chain resolves transitively; singletons absent") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("erprop-").toString
