@@ -365,6 +365,58 @@ object Dedup {
     } finally sym.unpersist(blocking = false)
   }
 
+  /** Per-node (root, hops): min-lex (comp, hops) Bellman–Ford over the
+    * symmetrized edge set. Each round relaxes every node's state with its
+    * neighbors' (comp, hops+1) and keeps the lexicographic min — the
+    * fixpoint is (min reachable id, SHORTEST hop count from that root),
+    * i.e. a per-component BFS from the canonical exemplar without running
+    * connectivity first. Same engineering as [[componentLabels]]: one
+    * union+agg job per round, localCheckpoint plan truncation, O(1) driver
+    * convergence on the monotone Σ(comp·2^20 + hops) (comp never rises;
+    * at equal comp, hops never rises). Distance propagation cannot
+    * pointer-jump (hops via an intermediate's label is not a path length),
+    * so rounds = eccentricity — fine for near-dup graphs, whose
+    * components are shallow by construction. */
+  private[graft] def bfsHops(edges: DataFrame): DataFrame = {
+    val sym = graft.Caches.persist(
+      edges.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    try {
+      var state = sym.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"),
+          struct(col("doc_id").as("comp"), lit(0L).as("hops")).as("st"))
+        .localCheckpoint(false)
+      def stateSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(coalesce(
+          sum((col("st.comp") * lit(1L << 20) + col("st.hops"))
+            .cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head.getDecimal(0)
+      var prevSum = stateSum(state)
+      var rounds = 0
+      var converged = false
+      while (!converged) {
+        rounds += 1
+        require(rounds <= 60, "bfs propagation did not converge")
+        val cand = sym
+          .join(state.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"),
+            struct(col("st.comp").as("comp"),
+              (col("st.hops") + 1L).as("hops")).as("st"))
+        val next = state.union(cand)
+          .groupBy(col("doc_id")).agg(min(col("st")).as("st"))
+          .localCheckpoint(false)
+        val nextSum = stateSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        state = next
+      }
+      state.select(col("doc_id"), col("st.comp").as("root_id"),
+        col("st.hops").as("hops"))
+    } finally sym.unpersist(blocking = false)
+  }
+
   val queries: Seq[GQ] = Seq(
     // Per-doc MinHash signature digest + 4 LSH band keys (bands of 4 rows).
     // Band key = h60 of the comma-joined band signatures — cross-engine, so
@@ -608,6 +660,58 @@ object Dedup {
            |SELECT component_id, COUNT(*) AS n_members FROM (
            |  SELECT src, MIN(dst) AS component_id FROM reach GROUP BY src)
            |GROUP BY component_id ORDER BY component_id""".stripMargin
+      }
+    ),
+    // Per-node BFS depth from the canonical exemplar (round 4) — the
+    // graph-distance complement of q_dedup_components' membership: how
+    // many near-dup steps separate each member from its component's root
+    // (min id). Chain depth is the practical dedup-quality signal — a
+    // deep chain means transitive near-dups that pairwise scoring would
+    // NOT have linked (A~B~C with A,C dissimilar), exactly the clusters
+    // worth human review before bulk-dropping. Same verified edge set,
+    // same determinism story (exact hash/integer machinery end to end);
+    // order (root_id, hops, doc_id) (R1).
+    GQ(
+      "q_graph_bfs",
+      (s, d) => {
+        val edges = verifiedPairs(s, d)
+          .filter(col("jaccard") >= Tau)
+          .select(col("a_id"), col("b_id"))
+        bfsHops(edges)
+          .orderBy(col("root_id"), col("hops"), col("doc_id"))
+      },
+      Some {
+        val bandCase = (0 until 4).map { b =>
+          val cat = (0 until 4).map(r => s"sig${b * 4 + r}").mkString("concat_ws(',', ", ", ", ")")
+          s"WHEN ${b} THEN ${XHash.sqlH60(cat)}"
+        }.mkString(" ")
+        s"""WITH RECURSIVE ${sqlSignatureCte.stripPrefix("WITH ")},
+           |bl AS (SELECT doc_id, r.b AS bpos,
+           |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bl a JOIN bl b
+           |  ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+           |  THEN list_transform(range(1, len(ws) - 1),
+           |       i -> array_to_string(ws[i:i+2], ' '))
+           |  ELSE [text] END) AS sh FROM d),
+           |edges AS (SELECT c.a_id, c.b_id FROM cand c
+           |  JOIN sets x ON x.doc_id = c.a_id
+           |  JOIN sets y ON y.doc_id = c.b_id
+           |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+           |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= $Tau),
+           |sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+           |  UNION ALL SELECT b_id, a_id FROM edges),
+           |walk(node, comp, hops) AS (
+           |  SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM sym
+           |  UNION
+           |  SELECT y.dst, w.comp, w.hops + 1 FROM walk w
+           |  JOIN sym y ON w.node = y.src WHERE w.hops < 60),
+           |rt AS (SELECT node, MIN(comp) AS root_id FROM walk GROUP BY node)
+           |SELECT w.node AS doc_id, rt.root_id, MIN(w.hops) AS hops
+           |FROM walk w JOIN rt ON w.node = rt.node AND w.comp = rt.root_id
+           |GROUP BY 1, 2
+           |ORDER BY root_id, hops, doc_id""".stripMargin
       }
     ),
     // INCREMENTAL dedup against an indexed corpus (round 4) — the shape a

@@ -263,6 +263,24 @@ class OperatorSpec extends AnyFunSuite {
     assert((0L to 5L).forall(m(_) == 0L) && (10L to 15L).forall(m(_) == 10L))
   }
 
+  test("bfsHops: chain depths, star depths, and cycle shortcut from the root") {
+    import TestSpark.spark.implicits._
+    // 1-2-3-4-5 path (hops = position), a 3-leaf star at 10, and a
+    // 20-21-22-23-20 cycle where both directions reach 22 in 2 hops
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (10L, 13L)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L)))
+      .toDF("a_id", "b_id")
+    val out = graft.operators.Dedup.bfsHops(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 0L)) && out(2L) === ((1L, 1L)) &&
+      out(3L) === ((1L, 2L)) && out(4L) === ((1L, 3L)) && out(5L) === ((1L, 4L)))
+    assert(out(10L) === ((10L, 0L)) &&
+      Seq(11L, 12L, 13L).forall(out(_) === ((10L, 1L))))
+    assert(out(20L) === ((20L, 0L)) && out(21L) === ((20L, 1L)) &&
+      out(22L) === ((20L, 2L)) && out(23L) === ((20L, 1L)))
+  }
+
   test("q_text_repetition: gram accounting with short-doc guard") {
     import org.apache.spark.sql.Row
     val rows = Registry.byName("q_text_repetition").run(spark, dir)
