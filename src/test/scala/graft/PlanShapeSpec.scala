@@ -281,4 +281,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the 1-row totals must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q_retrieval_bm25: query terms broadcast; top-k never globally sorts") {
+    val p = plan("q_retrieval_bm25")
+    // the term semi-join, idf dim join, and stats joins must all broadcast
+    // — the only non-broadcast exchanges are the keyed aggs
+    assert(p.contains("BroadcastHashJoin"), s"term/idf joins must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must rank-limit:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no side here is big enough to sort-merge at sf; at web scale only\n" +
+        s"the dl join may grow past broadcast (documented):\n$p")
+  }
+
+  test("q_sample_weighted: pure scan into top-k — zero hash exchanges") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"draw must rank-limit:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the A-ES key is scan-side; nothing may shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q_join_spatial: one cell-keyed join, explode scan-side, no dedup agg") {
+    val df = Registry.byName("q_join_spatial").run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must rank-limit:\n$p")
+    // offset uniqueness means no distinct/dedup aggregate may appear —
+    // the only aggregates allowed are none at all
+    assert(!p.contains("HashAggregate"),
+      s"pair dedup crept in — the 9-offset probe is duplicate-free:\n$p")
+    assert(p.contains("Generate explode"), s"offset explode must be scan-side:\n$p")
+  }
+
+  test("q_entity_resolution and q_graph_bfs: name dimension deduplicates before the self-join") {
+    for (q <- Seq("q_entity_resolution")) {
+      val p = plan(q)
+      // the fuzzy edge build self-joins the DEDUPLICATED name dimension;
+      // a plan joining `part` to `part` directly would re-compare per row
+      assert(p.contains("HashAggregate"), s"$q must aggregate names first:\n$p")
+    }
+  }
 }
