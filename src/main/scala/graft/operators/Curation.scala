@@ -922,6 +922,165 @@ object Curation {
            |  ((${60L * 1024} - (e * 1024 + f)) << 20) // w AS key_q
            |FROM s10 ORDER BY key_q, doc_id LIMIT 20""".stripMargin
       }
+    ),
+    // Mergeable sketch tiles + rollup (round 4) — THE precomputed-
+    // aggregate pattern at warehouse scale: per-(lang, source) HLL
+    // register tiles are built ONCE from the corpus (in production:
+    // written beside each partition at ingest), and any coarser distinct
+    // count — here distinct words per lang — comes from max-merging the
+    // 256-register tiles, never rescanning the corpus. The query emits
+    // both the tile-merged and the direct estimate per lang: equal BY
+    // CONSTRUCTION (register max is associative — the mergeability
+    // theorem made visible), beside the exact count for the error.
+    //
+    // Engine-owned estimator, exact integers end to end (the built-in
+    // HLL++'s internals are not replayable — q_approx_distinct's
+    // sanctioned gap; this one is): registers on the h60 basis (P=8 →
+    // idx = top 8 bits, rank = 53 − bitlen of the low 52; the
+    // q_approx_distinct_native scheme), raw = ⌊α·m²·2^53 / S⌋ with
+    // S = Σ 2^(53−r) an exact BIGINT and α = 7182726/10^7 — the product
+    // runs in DECIMAL(38)/HUGEINT (4.2e27 > 2^63), floor-div identical
+    // both engines; small-range linear counting m·ln(m/z) carries
+    // ln(m/z) = log2(m/z)·ln2 via the SAME dyadic log2 as
+    // q_text_perplexity and ln2 = 693147/10^6 — every step integer.
+    //
+    // Plan shape (100 TB): ONE corpus-scale agg (the tile build — keyed
+    // (lang, source, idx), map-side combinable); everything downstream is
+    // |langs|·256 rows (grid joins broadcast); the exact count exists for
+    // validation only and is the one additional corpus shuffle — a
+    // production rollup drops it, touching the corpus exactly once.
+    GQ(
+      "q_sketch_rollup",
+      (s, d) => {
+        val M = 1L << 30
+        val H = 1L << 31
+        val m = 256
+        val words = Tables.t(s, d, "documents")
+          .select(col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
+        val reg = words
+          .select(col("lang"), col("source"), XHash.h60(col("word")).as("h"))
+          .select(col("lang"), col("source"),
+            expr(s"h div ${1L << 52}L").as("idx"),
+            expr(s"h % ${1L << 52}L").as("wv"))
+          .withColumn("rank",
+            when(col("wv") === 0L, lit(53L))
+              .otherwise(lit(53L) - length(bin(col("wv")))))
+        val tiles = reg.groupBy(col("lang"), col("source"), col("idx"))
+          .agg(max(col("rank")).as("r"))
+        val nSrc = tiles.select(col("lang"), col("source")).distinct()
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sources"))
+        val mergedReg = tiles.groupBy(col("lang"), col("idx"))
+          .agg(max(col("r")).as("r"))
+        val directReg = reg.groupBy(col("lang"), col("idx"))
+          .agg(max(col("rank")).as("r"))
+        def estimate(regs: org.apache.spark.sql.DataFrame, out: String) = {
+          val grid = regs.select(col("lang")).distinct()
+            .crossJoin(broadcast(s.range(m).select(col("id").as("idx"))))
+          var est = grid.join(regs, Seq("lang", "idx"), "left")
+            .select(col("lang"), coalesce(col("r"), lit(0L)).as("r"))
+            .groupBy(col("lang"))
+            .agg(
+              sum(expr("shiftleft(1L, 53 - CAST(r AS INT))")).as("sreg"),
+              sum(when(col("r") === 0L, 1L).otherwise(0L)).as("z"))
+            .withColumn("raw", expr(
+              s"CAST((CAST(7182726 AS DECIMAL(38,0)) * $m * $m * ${1L << 53}L)" +
+                s" div (CAST(10000000 AS DECIMAL(38,0)) * sreg) AS BIGINT)"))
+            .withColumn("e",
+              when(col("z") > 0, length(bin(expr(s"$m div z"))) - 1))
+            .withColumn("mm", when(col("z") > 0,
+              expr(s"($m * ${M}L) div (z * shiftleft(1L, e))")))
+            .withColumn("f", when(col("z") > 0, lit(0L)))
+          for (_ <- 1 to 10) {
+            est = est
+              .withColumn("m2", expr(s"(mm * mm) div ${M}L"))
+              .withColumn("f",
+                expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
+              .withColumn("mm",
+                expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
+          }
+          est.select(col("lang"),
+            when(col("z") > 0 && col("raw") <= lit(5L * m / 2),
+              expr(s"($m * (CAST(e AS BIGINT) * 1024 + f) * 693147)" +
+                s" div ${1024L * 1000000}L"))
+              .otherwise(col("raw")).as(out))
+        }
+        val exact = words.select(col("lang"), col("word")).distinct()
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_exact"))
+        nSrc.join(estimate(mergedReg, "est_merged"), "lang")
+          .join(estimate(directReg, "est_direct"), "lang")
+          .join(exact, "lang")
+          .select(col("lang"), col("n_sources"), col("n_exact"),
+            col("est_merged"), col("est_direct"),
+            ((col("est_merged").cast(DoubleType) -
+              col("n_exact").cast(DoubleType)) /
+              col("n_exact").cast(DoubleType)).as("rel_err"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val M = 1L << 30
+        val H = 1L << 31
+        def estSql(src: String, tag: String): String = {
+          def step(j: Int): String = {
+            val prev = if (j == 1) s"lc0_$tag" else s"ch${j - 1}_$tag"
+            s"""ch${j}_$tag AS (SELECT lang, raw, z, e,
+               |    CASE WHEN (mm*mm)//$M >= $H THEN ((mm*mm)//$M)//2
+               |         ELSE (mm*mm)//$M END AS mm,
+               |    f*2 + CASE WHEN (mm*mm)//$M >= $H THEN 1 ELSE 0 END AS f
+               |  FROM $prev)"""
+          }
+          s"""grid_$tag AS (SELECT l.lang, g.idx
+             |  FROM (SELECT DISTINCT lang FROM $src) l, range(256) g(idx)),
+             |rr_$tag AS (SELECT gx.lang, COALESCE(t.r, 0) AS r
+             |  FROM grid_$tag gx LEFT JOIN $src t
+             |    ON t.lang = gx.lang AND t.idx = gx.idx),
+             |sz_$tag AS (SELECT lang,
+             |    CAST(SUM(1::BIGINT << CAST(53 - r AS INTEGER)) AS BIGINT) AS sreg,
+             |    CAST(COUNT(*) FILTER (WHERE r = 0) AS BIGINT) AS z
+             |  FROM rr_$tag GROUP BY 1),
+             |lc0_$tag AS (SELECT lang, z,
+             |    CAST((7182726::HUGEINT * 256 * 256 * ${1L << 53})
+             |      // (10000000::HUGEINT * sreg) AS BIGINT) AS raw,
+             |    CASE WHEN z > 0
+             |      THEN CAST(length(bin(256 // z)) - 1 AS BIGINT) END AS e,
+             |    CASE WHEN z > 0 THEN (256::BIGINT * $M) //
+             |      (z * (1::BIGINT << CAST(length(bin(256 // z)) - 1 AS INTEGER)))
+             |      END AS mm,
+             |    CASE WHEN z > 0 THEN 0::BIGINT END AS f FROM sz_$tag),
+             |${(1 to 10).map(step).mkString(",\n")},
+             |est_$tag AS (SELECT lang,
+             |  CASE WHEN z > 0 AND raw <= 640
+             |    THEN (256 * (e * 1024 + f) * 693147) // ${1024L * 1000000}
+             |    ELSE raw END AS est FROM ch10_$tag)"""
+        }
+        s"""WITH w AS (SELECT lang, source,
+           |    unnest(string_split(text, ' ')) AS word FROM documents),
+           |hh AS (SELECT lang, source, ${XHash.sqlH60("word")} AS h FROM w),
+           |reg AS (SELECT lang, source, h // ${1L << 52} AS idx,
+           |    h % ${1L << 52} AS wv FROM hh),
+           |rk AS (SELECT lang, source, idx,
+           |    CASE WHEN wv = 0 THEN 53
+           |         ELSE 53 - length(bin(wv)) END AS rank FROM reg),
+           |tiles AS (SELECT lang, source, idx, MAX(rank) AS r
+           |  FROM rk GROUP BY 1, 2, 3),
+           |nsrc AS (SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT)
+           |    AS n_sources FROM tiles GROUP BY 1),
+           |mreg AS (SELECT lang, idx, MAX(r) AS r FROM tiles GROUP BY 1, 2),
+           |dreg AS (SELECT lang, idx, MAX(rank) AS r FROM rk GROUP BY 1, 2),
+           |${estSql("mreg", "m")},
+           |${estSql("dreg", "d")},
+           |ex AS (SELECT lang, CAST(COUNT(DISTINCT word) AS BIGINT)
+           |    AS n_exact FROM w GROUP BY 1)
+           |SELECT n.lang, n.n_sources, ex.n_exact,
+           |  em.est AS est_merged, ed.est AS est_direct,
+           |  (CAST(em.est AS DOUBLE) - CAST(ex.n_exact AS DOUBLE))
+           |    / CAST(ex.n_exact AS DOUBLE) AS rel_err
+           |FROM nsrc n
+           |JOIN est_m em ON em.lang = n.lang
+           |JOIN est_d ed ON ed.lang = n.lang
+           |JOIN ex ON ex.lang = n.lang
+           |ORDER BY n.lang""".stripMargin
+      }
     )
   )
 }

@@ -839,6 +839,29 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("q_sketch_rollup: raw-branch accuracy; overlapping tiles never double-count") {
+    // 3000 distinct words spread over two sources with a FULLY SHARED
+    // vocabulary — the merged estimate must equal the direct one (register
+    // max, not sum: a sketch that double-counted overlap would read ~2×)
+    // and land within HLL's expected error for m=256 (~1.04/16 ≈ 6.5%, take
+    // 3σ ≈ 20%); 3000 ≫ 640 forces the raw-estimator branch
+    val vocab = (1 to 3000).map(i => s"tok$i")
+    val docs = (0 until 30).map { k =>
+      (k.toLong, vocab.slice(k * 100, k * 100 + 100).mkString(" "), "en",
+        if (k % 2 == 0) "sa" else "sb")
+    } ++ (0 until 30).map { k => // second source repeats the SAME vocab
+      ((100 + k).toLong, vocab.slice(k * 100, k * 100 + 100).mkString(" "), "en",
+        if (k % 2 == 0) "sb" else "sa")
+    }
+    val dir = plantDocs(docs)
+    val r = Registry.byName("q_sketch_rollup").run(spark, dir).collect().head
+    val (nExact, estM, estD) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nExact === 3000L)
+    assert(estM === estD, s"tile merge must equal direct: $estM vs $estD")
+    assert(math.abs(estM - 3000L) <= 600,
+      s"raw estimate must be within 20% of 3000: $estM")
+  }
+
   test("q_join_spatial: grid-blocked pairs equal the brute-force radius join") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("spatialprop-").toString
