@@ -96,6 +96,82 @@ object GraphOps {
              |  UNION ALL SELECT v AS word FROM tri
              |  UNION ALL SELECT w AS word FROM tri)
              |GROUP BY word ORDER BY n_tri DESC, word LIMIT 10""".stripMargin)
+    ),
+    // Link prediction by common-neighbor counting (round 4) — the
+    // second-order similarity primitive: word pairs NOT linked in the
+    // graph that share many co-occurrence neighbors (the syntagmatic
+    // graph's paradigmatic signal — distributional similarity; on a
+    // user/item graph the same query is collaborative-filtering candidate
+    // generation). Top-20 non-edges by shared-neighbor count.
+    //
+    // Algorithm: full wedge enumeration per midpoint — every common
+    // neighbor m of (v, w) is exactly one wedge v-m-w, keyed by its
+    // midpoint, so wedge counting needs NO dedup (unlike triangles,
+    // where the degree-ordered orientation exists to kill the 3×
+    // overcount; out-out wedges alone would UNDERCOUNT here — a midpoint
+    // ranked above an endpoint contributes no oriented wedge but is
+    // still a common neighbor). The cost is Σ deg² over midpoints; the
+    // standard bound is the HUB CAP — midpoints of degree > 1024 are
+    // excluded BY CONTRACT (a stopword-like node that neighbors
+    // everything carries no similarity signal and would alone emit a
+    // quadratic wedge set). The edge floor (co-occurrence ≥ 2) is the
+    // noise prune AND the source of prediction targets on a dense
+    // small-vocab graph.
+    //
+    // Determinism: exact set construction + integer counts, no FP;
+    // ties → (word_a, word_b) (R1).
+    //
+    // Plan shape (100 TB): vocab²-bounded edge agg → symmetrized
+    // adjacency joined once on the midpoint key; the wedge relation is
+    // Σ_{deg ≤ cap} deg² — model-sized, corpus-size-independent; one
+    // (v, w) hash agg + broadcast-able anti-join + top-k.
+    GQ(
+      "q_graph_linkpred",
+      (s, d) => {
+        val pj = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
+          .select(least(col("p")(0), col("p")(1)).as("a"),
+            greatest(col("p")(0), col("p")(1)).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("a"), col("b"))
+        val sym = pj.select(col("a").as("m"), col("b").as("n"))
+          .union(pj.select(col("b").as("m"), col("a").as("n")))
+        val deg = sym.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        val adj = graft.Caches.persist(
+          sym.join(deg.filter(col("deg") <= 1024), "m").select(col("m"), col("n")))
+        val cn = adj.select(col("m"), col("n").as("v"))
+          .join(adj.select(col("m"), col("n").as("w")), "m")
+          .filter(col("v") < col("w"))
+          .groupBy(col("v").as("word_a"), col("w").as("word_b"))
+          .agg(count(lit(1)).as("cn"))
+        cn.join(pj,
+            col("word_a") === col("a") && col("word_b") === col("b"),
+            "left_anti")
+          .orderBy(col("cn").desc, col("word_a"), col("word_b"))
+          .limit(20)
+      },
+      Some("""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |pj AS (SELECT unnest(list_transform(range(1, len(ws)),
+             |    i -> ws[i] || ' ' || ws[i+1])) AS p FROM dd WHERE len(ws) >= 2),
+             |e0 AS (SELECT
+             |    least(string_split(p, ' ')[1], string_split(p, ' ')[2]) AS a,
+             |    greatest(string_split(p, ' ')[1], string_split(p, ' ')[2]) AS b
+             |  FROM pj WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+             |sym AS (SELECT a AS m, b AS n FROM e0
+             |  UNION ALL SELECT b, a FROM e0),
+             |dg AS (SELECT m, COUNT(*) AS deg FROM sym GROUP BY m),
+             |adj AS (SELECT sym.m, sym.n FROM sym
+             |  JOIN dg ON dg.m = sym.m WHERE dg.deg <= 1024),
+             |cn AS (SELECT x.n AS word_a, y.n AS word_b,
+             |    CAST(COUNT(*) AS BIGINT) AS cn
+             |  FROM adj x JOIN adj y ON x.m = y.m AND x.n < y.n
+             |  GROUP BY 1, 2)
+             |SELECT word_a, word_b, cn FROM cn
+             |WHERE NOT EXISTS (SELECT 1 FROM e0
+             |  WHERE e0.a = cn.word_a AND e0.b = cn.word_b)
+             |ORDER BY cn DESC, word_a, word_b LIMIT 20""".stripMargin)
     )
   )
 }
