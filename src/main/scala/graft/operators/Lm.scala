@@ -227,6 +227,100 @@ object Lm {
            |  UNION ALL SELECT 5, a, b, a || b, c FROM t5)
            |ORDER BY step""".stripMargin
       }
+    ),
+    // BPE ENCODE (round 4) — the tokenizer's apply pass: train the same 5
+    // merges as q_tokenize_bpe, then segment every document and report the
+    // token accounting a data pipeline actually budgets with — n_words,
+    // n_char_tokens (pre-merge), n_tokens (post-merge), and fertility =
+    // tokens per word, THE tokenizer-quality metric (Rust et al. 2021).
+    // Segmentation is computed ONCE PER DISTINCT WORD (merges are
+    // word-internal, so a word's token count is corpus-position-free) and
+    // documents join the |vocab|-bounded word→n_seg dimension — encoding
+    // cost at 100 TB is one exploded equi-join against a broadcast dim,
+    // never a per-occurrence re-segmentation.
+    //
+    // Determinism: training replays q_tokenize_bpe exactly (same argmax
+    // ties (cnt DESC, a, b), same marker-encoded replace semantics);
+    // counts are exact integers; fertility is ONE IEEE division of two
+    // exact ints (R7); order doc_id (R1).
+    GQ(
+      "q_tokenize_encode",
+      (s, d) => {
+        import s.implicits._
+        val wf = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        var seg = graft.Caches.persist(wf.select(col("w"), col("cnt"),
+          expr("concat(array_join(transform(sequence(1, length(w)), " +
+            "i -> concat('#', substring(w, i, 1))), ' '), ' ')").as("seg")))
+        for (_ <- 1 to 5) {
+          val top = seg
+            .select(col("cnt"), split(rtrim(col("seg")), " ").as("sy"))
+            .filter(size(col("sy")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(sy) - 1), i -> named_struct(" +
+                "'a', substring(element_at(sy, i), 2), " +
+                "'b', substring(element_at(sy, i + 1), 2)))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("c"))
+            .orderBy(col("c").desc, col("a"), col("b"))
+            .limit(1).head()
+          val (a, b) = (top.getString(0), top.getString(1))
+          seg = graft.Caches.persist(seg.select(col("w"), col("cnt"),
+            replace(col("seg"), lit(s"#$a #$b "), lit(s"#$a$b ")).as("seg")))
+        }
+        val dim = seg.select(col("w").as("word"),
+          size(split(rtrim(col("seg")), " ")).cast(LongType).as("nseg"),
+          length(col("w")).cast(LongType).as("nchr"))
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .join(broadcast(dim), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("nchr")).as("n_char_tokens"),
+            sum(col("nseg")).as("n_tokens"))
+          .select(col("doc_id"), col("n_words"), col("n_char_tokens"),
+            col("n_tokens"),
+            (col("n_tokens").cast(DoubleType) /
+              col("n_words").cast(DoubleType)).as("fertility"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def round(j: Int): String = {
+          val prev = if (j == 1) "g0" else s"g${j - 1}"
+          s"""p$j AS (SELECT substring(sy[i], 2) AS a,
+             |    substring(sy[i+1], 2) AS b, CAST(SUM(cnt) AS BIGINT) AS c
+             |  FROM (SELECT cnt, sy, unnest(range(1, len(sy))) AS i
+             |    FROM (SELECT cnt, string_split(rtrim(seg), ' ') AS sy
+             |      FROM $prev) WHERE len(sy) >= 2)
+             |  GROUP BY 1, 2),
+             |t$j AS MATERIALIZED (SELECT a, b, c FROM p$j
+             |  ORDER BY c DESC, a, b LIMIT 1),
+             |g$j AS MATERIALIZED (SELECT w, cnt, replace(seg,
+             |    '#' || (SELECT a FROM t$j) || ' #' || (SELECT b FROM t$j) || ' ',
+             |    '#' || (SELECT a FROM t$j) || (SELECT b FROM t$j) || ' ') AS seg
+             |  FROM $prev)"""
+        }
+        s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+           |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY 1),
+           |g0 AS MATERIALIZED (SELECT w, cnt, array_to_string(
+           |    list_transform(range(1, length(w) + 1), i -> '#' || w[i]),
+           |    ' ') || ' ' AS seg FROM wf),
+           |${(1 to 5).map(round).mkString(",\n")},
+           |dim AS (SELECT w AS word,
+           |    CAST(len(string_split(rtrim(seg), ' ')) AS BIGINT) AS nseg,
+           |    CAST(length(w) AS BIGINT) AS nchr FROM g5),
+           |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |  FROM documents)
+           |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           |  CAST(SUM(dim.nchr) AS BIGINT) AS n_char_tokens,
+           |  CAST(SUM(dim.nseg) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(dim.nseg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS fertility
+           |FROM dw JOIN dim ON dim.word = dw.word
+           |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+      }
     )
   )
 }

@@ -74,7 +74,12 @@ object ScaleStress {
     // (pure scan + top-k — must be flat-linear), BPE + perplexity
     // (vocab-bounded model tables, corpus touched once)
     "q_retrieval_bm25", "q_entity_resolution", "q_sample_weighted",
-    "q_tokenize_bpe", "q_text_perplexity")
+    "q_tokenize_bpe", "q_text_perplexity",
+    // round 4, thirteenth batch: spatial (cell-bounded candidates — the
+    // dense-cell risk), sketch tiles (ONE corpus agg + 256-row tail),
+    // link prediction (hub-capped wedges — vocab-bounded), BFS depth
+    // (rounds × verbatim-clique edge volume, the components caveat)
+    "q_join_spatial", "q_sketch_rollup", "q_graph_linkpred", "q_graph_bfs")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

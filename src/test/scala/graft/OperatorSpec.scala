@@ -281,6 +281,21 @@ class OperatorSpec extends AnyFunSuite {
       out(22L) === ((20L, 2L)) && out(23L) === ((20L, 1L)))
   }
 
+  test("q_tokenize_encode: token accounting brackets and merge effectiveness") {
+    val out = Registry.byName("q_tokenize_encode").run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1 "the fast key order sort merge": 6 words, 24 letters
+    val (w1, c1, t1, f1) = out(1L)
+    assert(w1 === 6L && c1 === 24L)
+    assert(t1 >= w1 && t1 < c1, s"5 merges must compress below chars: $t1")
+    assert(f1 === t1.toDouble / w1)
+    // merges can only help: every doc tokenizes at or below char level,
+    // and the corpus as a whole strictly below (>=1 effective merge)
+    assert(out.values.forall { case (w, c, t, _) => t >= w && t <= c })
+    assert(out.values.map(_._3).sum < out.values.map(_._2).sum)
+  }
+
   test("q_text_repetition: gram accounting with short-doc guard") {
     import org.apache.spark.sql.Row
     val rows = Registry.byName("q_text_repetition").run(spark, dir)
