@@ -79,7 +79,8 @@ object ScaleStress {
     // dense-cell risk), sketch tiles (ONE corpus agg + 256-row tail),
     // link prediction (hub-capped wedges — vocab-bounded), BFS depth
     // (rounds × verbatim-clique edge volume, the components caveat)
-    "q_join_spatial", "q_sketch_rollup", "q_graph_linkpred", "q_graph_bfs")
+    "q_join_spatial", "q_sketch_rollup", "q_graph_linkpred", "q_graph_bfs",
+    "q_tokenize_encode")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
