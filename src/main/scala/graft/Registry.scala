@@ -27,7 +27,8 @@ object Registry {
       GraphOps.queries ++
       DataQuality.queries ++
       LinearAlgebra.queries ++
-      Lm.queries
+      Lm.queries ++
+      graft.streaming.StreamQueries.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap
 
