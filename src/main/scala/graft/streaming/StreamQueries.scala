@@ -86,6 +86,68 @@ object StreamQueries {
       Some(s"""SELECT (epoch_ns(ts) // ${3600L * 1000 * 1000 * 1000}) * 3600 AS epoch_s,
               |event_type, COUNT(*) AS cnt, ${graft.C.sqlSumDec2("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
+    ),
+    // Session windows, declared (same execution harness as
+    // q_stream_tumbling): per-user sessions close after 30 minutes of
+    // silence. `session_window` merges events whose [ts, ts+gap) windows
+    // overlap, so two events share a session iff their gap is STRICTLY
+    // under 30 min — the oracle's gaps-and-islands break is `>= gap`,
+    // and session_end = last event + gap, both pinned here. Event-time
+    // ties within a user collapse into the same µs and cannot reorder
+    // the exact (count, decimal-sum) aggregates (order-free), so the
+    // replay is exact without a tiebreak column.
+    GQ(
+      "q_stream_sessions",
+      (s, d) => {
+        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+        val srcPath = {
+          import java.nio.file.{Files, Paths}
+          val p = Paths.get(s"$d/events.parquet")
+          if (Files.isDirectory(p)) p.toString
+          else {
+            val link = Paths.get("/tmp/graft_stream_src_" +
+              Integer.toHexString(p.toAbsolutePath.toString.hashCode))
+            if (!Files.exists(link)) {
+              Files.createDirectories(link)
+              Files.createSymbolicLink(
+                link.resolve("events.parquet"), p.toAbsolutePath)
+            }
+            link.toString
+          }
+        }
+        val raw = s.readStream.schema(fileSchema).parquet(srcPath)
+        val ev = raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
+        val q = EventStreams.sessions(ev, gap = "30 minutes", watermark = "10 minutes")
+          .writeStream.format("memory").queryName("graft_stream_sessions")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_stream_sessions")
+          .select(
+            col("user_id"),
+            expr("unix_micros(CAST(session_start AS TIMESTAMP))").as("start_us"),
+            expr("unix_micros(CAST(session_end AS TIMESTAMP))").as("end_us"),
+            col("n_events"), col("session_value"))
+          .orderBy(col("user_id"), col("start_us"))
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+              |o AS (SELECT user_id, us, value,
+              |    CASE WHEN LAG(us) OVER w IS NULL
+              |         OR us - LAG(us) OVER w >= ${30L * 60 * 1000000}
+              |      THEN 1 ELSE 0 END AS brk
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+              |g AS (SELECT user_id, us, value,
+              |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+              |      ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+              |SELECT user_id, MIN(us) AS start_us,
+              |  MAX(us) + ${30L * 60 * 1000000} AS end_us,
+              |  COUNT(*) AS n_events, ${graft.C.sqlSumDec2("value")} AS session_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, start_us""".stripMargin)
     )
   )
 }

@@ -80,7 +80,11 @@ object ScaleStress {
     // link prediction (hub-capped wedges — vocab-bounded), BFS depth
     // (rounds × verbatim-clique edge volume, the components caveat)
     "q_join_spatial", "q_sketch_rollup", "q_graph_linkpred", "q_graph_bfs",
-    "q_tokenize_encode")
+    "q_tokenize_encode",
+    // round 4, fourteenth batch: the declared streaming replays — state
+    // is (window×type) / per-user-session bounded; AvailableNow paces
+    // the 10× backfill in source-governed batches
+    "q_stream_tumbling", "q_stream_sessions")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
