@@ -89,13 +89,17 @@ object StreamQueries {
     ),
     // Session windows, declared (same execution harness as
     // q_stream_tumbling): per-user sessions close after 30 minutes of
-    // silence. `session_window` merges events whose [ts, ts+gap) windows
-    // overlap, so two events share a session iff their gap is STRICTLY
-    // under 30 min — the oracle's gaps-and-islands break is `>= gap`,
-    // and session_end = last event + gap, both pinned here. Event-time
-    // ties within a user collapse into the same µs and cannot reorder
-    // the exact (count, decimal-sum) aggregates (order-free), so the
-    // replay is exact without a tiebreak column.
+    // silence. BOUNDARY SEMANTICS (spec-pinned — a planted probe caught
+    // the `>=` convention silently diverging): Spark's `session_window`
+    // merges ABUTTING windows too — two events share a session iff their
+    // gap is ≤ 30 min (next.start <= current.end), so the oracle's
+    // gaps-and-islands break is STRICTLY `> gap`; session_end = last
+    // event + gap. The driver corpora never land on exact-equality gaps,
+    // which is exactly why the contract must pin this (the R8 lesson:
+    // agreement on natural data is not agreement). Event-time ties
+    // within a user collapse into the same µs and cannot reorder the
+    // exact (count, decimal-sum) aggregates (order-free), so the replay
+    // is exact without a tiebreak column.
     GQ(
       "q_stream_sessions",
       (s, d) => {
@@ -137,7 +141,7 @@ object StreamQueries {
       Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
               |o AS (SELECT user_id, us, value,
               |    CASE WHEN LAG(us) OVER w IS NULL
-              |         OR us - LAG(us) OVER w >= ${30L * 60 * 1000000}
+              |         OR us - LAG(us) OVER w > ${30L * 60 * 1000000}
               |      THEN 1 ELSE 0 END AS brk
               |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
               |g AS (SELECT user_id, us, value,

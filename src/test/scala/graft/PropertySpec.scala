@@ -839,6 +839,30 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("q_stream_sessions: exactly-30:00 gaps merge (abutting windows); 30:00+1µs splits") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("streamsessprop-").toString
+    val t0 = 1704067200L * 1000000000L // nanos
+    val m = 60L * 1000000000L
+    // user 1: e2 exactly 30:00 after e1 MERGES (session_window joins
+    // abutting windows — next.start <= current.end); e3 at 30:00 + 1µs
+    // after e2 splits. This planted probe is what exposed the oracle's
+    // `>=` break convention silently disagreeing with the engine.
+    val e3ts = t0 + 60 * m + 1000L
+    Seq(
+      (1L, t0, 1L, "view", 1.0, "{}"),
+      (2L, t0 + 30 * m, 1L, "view", 2.0, "{}"),
+      (3L, e3ts, 1L, "view", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_stream_sessions").run(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (t0 / 1000, 2L, 3.0),
+      (e3ts / 1000, 1L, 4.0)),
+      s"exactly 30:00 merges, 30:00+1us splits: ${out.toSeq}")
+  }
+
   test("q_sketch_rollup: raw-branch accuracy; overlapping tiles never double-count") {
     // 3000 distinct words spread over two sources with a FULLY SHARED
     // vocabulary — the merged estimate must equal the direct one (register
