@@ -176,8 +176,13 @@ object Lm {
           expr("concat(array_join(transform(sequence(1, length(w)), " +
             "i -> concat('#', substring(w, i, 1))), ' '), ' ')").as("seg")))
         val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-        for (j <- 1 to 5) {
-          val top = seg
+        // a degenerate corpus (all single-symbol words) exhausts its pair
+        // table before 5 rounds — stop merging instead of head()-ing an
+        // empty relation (the round-3-ADVICE empty-edge class); the
+        // oracle's per-round COUNT guard no-ops the same rounds
+        var exhausted = false
+        for (j <- 1 to 5 if !exhausted) {
+          val tops = seg
             .select(col("cnt"), split(rtrim(col("seg")), " ").as("sy"))
             .filter(size(col("sy")) >= 2)
             .select(col("cnt"), explode(expr(
@@ -187,11 +192,15 @@ object Lm {
             .groupBy(col("p.a").as("a"), col("p.b").as("b"))
             .agg(sum(col("cnt")).as("c"))
             .orderBy(col("c").desc, col("a"), col("b"))
-            .limit(1).head()
-          val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-          merges += ((j, a, b, a + b, c))
-          seg = graft.Caches.persist(seg.select(col("cnt"),
-            replace(col("seg"), lit(s"#$a #$b "), lit(s"#$a$b ")).as("seg")))
+            .limit(1).collect()
+          if (tops.isEmpty) exhausted = true
+          else {
+            val top = tops.head
+            val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+            merges += ((j, a, b, a + b, c))
+            seg = graft.Caches.persist(seg.select(col("cnt"),
+              replace(col("seg"), lit(s"#$a #$b "), lit(s"#$a$b ")).as("seg")))
+          }
         }
         merges.result().toDF("step", "a", "b", "merged", "n_occ")
           .orderBy(col("step"))
@@ -207,9 +216,12 @@ object Lm {
              |  GROUP BY 1, 2),
              |t$j AS MATERIALIZED (SELECT a, b, c FROM p$j
              |  ORDER BY c DESC, a, b LIMIT 1),
-             |g$j AS MATERIALIZED (SELECT cnt, replace(seg,
+             |g$j AS MATERIALIZED (SELECT cnt,
+             |  CASE WHEN (SELECT COUNT(*) FROM t$j) = 0 THEN seg
+             |  ELSE replace(seg,
              |    '#' || (SELECT a FROM t$j) || ' #' || (SELECT b FROM t$j) || ' ',
-             |    '#' || (SELECT a FROM t$j) || (SELECT b FROM t$j) || ' ') AS seg
+             |    '#' || (SELECT a FROM t$j) || (SELECT b FROM t$j) || ' ')
+             |  END AS seg
              |  FROM $prev)"""
         }
         s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM
@@ -253,8 +265,9 @@ object Lm {
         var seg = graft.Caches.persist(wf.select(col("w"), col("cnt"),
           expr("concat(array_join(transform(sequence(1, length(w)), " +
             "i -> concat('#', substring(w, i, 1))), ' '), ' ')").as("seg")))
-        for (_ <- 1 to 5) {
-          val top = seg
+        var exhausted = false
+        for (_ <- 1 to 5 if !exhausted) {
+          val tops = seg
             .select(col("cnt"), split(rtrim(col("seg")), " ").as("sy"))
             .filter(size(col("sy")) >= 2)
             .select(col("cnt"), explode(expr(
@@ -264,10 +277,13 @@ object Lm {
             .groupBy(col("p.a").as("a"), col("p.b").as("b"))
             .agg(sum(col("cnt")).as("c"))
             .orderBy(col("c").desc, col("a"), col("b"))
-            .limit(1).head()
-          val (a, b) = (top.getString(0), top.getString(1))
-          seg = graft.Caches.persist(seg.select(col("w"), col("cnt"),
-            replace(col("seg"), lit(s"#$a #$b "), lit(s"#$a$b ")).as("seg")))
+            .limit(1).collect()
+          if (tops.isEmpty) exhausted = true
+          else {
+            val (a, b) = (tops.head.getString(0), tops.head.getString(1))
+            seg = graft.Caches.persist(seg.select(col("w"), col("cnt"),
+              replace(col("seg"), lit(s"#$a #$b "), lit(s"#$a$b ")).as("seg")))
+          }
         }
         val dim = seg.select(col("w").as("word"),
           size(split(rtrim(col("seg")), " ")).cast(LongType).as("nseg"),
@@ -296,9 +312,12 @@ object Lm {
              |  GROUP BY 1, 2),
              |t$j AS MATERIALIZED (SELECT a, b, c FROM p$j
              |  ORDER BY c DESC, a, b LIMIT 1),
-             |g$j AS MATERIALIZED (SELECT w, cnt, replace(seg,
+             |g$j AS MATERIALIZED (SELECT w, cnt,
+             |  CASE WHEN (SELECT COUNT(*) FROM t$j) = 0 THEN seg
+             |  ELSE replace(seg,
              |    '#' || (SELECT a FROM t$j) || ' #' || (SELECT b FROM t$j) || ' ',
-             |    '#' || (SELECT a FROM t$j) || (SELECT b FROM t$j) || ' ') AS seg
+             |    '#' || (SELECT a FROM t$j) || (SELECT b FROM t$j) || ' ')
+             |  END AS seg
              |  FROM $prev)"""
         }
         s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM

@@ -839,6 +839,19 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("BPE queries survive pair exhaustion on a single-symbol corpus") {
+    // every word is one symbol -> the pair table is empty in round 1;
+    // training must emit zero merges (not crash on an empty argmax) and
+    // encode must pass tokens through unmerged
+    val dir = plantDocs(Seq((1L, "a a a", "en", "s")))
+    assert(Registry.byName("q_tokenize_bpe").run(spark, dir).collect().isEmpty)
+    val enc = Registry.byName("q_tokenize_encode").run(spark, dir).collect()
+    val r = enc.head
+    assert(enc.length === 1 &&
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ===
+        ((3L, 3L, 3L, 1.0)))
+  }
+
   test("q_stream_sessions: exactly-30:00 gaps merge (abutting windows); 30:00+1µs splits") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("streamsessprop-").toString
