@@ -839,6 +839,29 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("q_join_asof: a click at EXACTLY the purchase timestamp attaches (<= semantics)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("asofprop-").toString
+    val t = 1704067200L * 1000000000L
+    // user 1: click and purchase share a timestamp -> <= includes it;
+    // user 2: the only click is 1µs AFTER the purchase -> organic/NULL.
+    // Pins the engine's (ts, is_click DESC) tie order against DuckDB
+    // ASOF's inclusive bound — another convention both sides implement
+    // independently and natural data never lands on.
+    Seq(
+      (1L, t, 1L, "click", 1.0, "{}"),
+      (2L, t, 1L, "purchase", 9.0, "{}"),
+      (3L, t, 2L, "purchase", 5.0, "{}"),
+      (4L, t + 1000L, 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_join_asof").run(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(2L) === Some(t / 1000), s"equal-ts click must attach: $out")
+    assert(out(3L) === None, s"a later click must not attach: $out")
+  }
+
   test("BPE queries survive pair exhaustion on a single-symbol corpus") {
     // every word is one symbol -> the pair table is empty in round 1;
     // training must emit zero merges (not crash on an empty argmax) and
