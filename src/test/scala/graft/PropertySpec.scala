@@ -839,6 +839,21 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("percentile_disc: even-count boundary picks cume_dist >= p (DuckDB-replayed)") {
+    // n=4 at p=0.5 separates the >= p convention (picks the 2nd value)
+    // from > p (picks the 3rd) — independently implemented in each
+    // engine under shared SQL text, and natural order counts rarely sit
+    // on the boundary. DuckDB replay (this session): p25/p50/p75 =
+    // 10/20/30 on (10,20,30,40) — Spark must agree.
+    val r = spark.sql(
+      """SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY v) AS p25,
+        |percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50,
+        |percentile_disc(0.75) WITHIN GROUP (ORDER BY v) AS p75
+        |FROM VALUES (10.0), (20.0), (30.0), (40.0) t(v)""".stripMargin)
+      .collect().head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) === ((10.0, 20.0, 30.0)))
+  }
+
   test("q_join_asof: a click at EXACTLY the purchase timestamp attaches (<= semantics)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("asofprop-").toString
