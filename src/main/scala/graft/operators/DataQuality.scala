@@ -186,6 +186,60 @@ object DataQuality {
              |  COUNT(*) - 1 AS dof, CAST(SUM(tq) AS BIGINT) AS chi2_q9
              |FROM t GROUP BY source, ns
              |ORDER BY chi2_q9 DESC, source""".stripMargin)
+    ),
+    // Per-column data profile (round 4) — the Deequ/profiling report every
+    // ingest pipeline runs before writing quality GATES (q_dq_checks tests
+    // rules you already know; the profile is how you learn them): for each
+    // orders column, row count, null count, exact distinct cardinality,
+    // and the completeness ratio. Emitting it long-form (one row per
+    // column) is the stable report shape — columns arrive and leave, rows
+    // of a fixed schema don't.
+    //
+    // Determinism: counts exact; completeness is ONE IEEE division of
+    // exact ints (R7); fixed column order via the name sort (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan computing every per-column
+    // aggregate in a single 1-row hash agg (count + conditional sums +
+    // count_distincts fused by Spark's distinct-agg planner - one expand,
+    // not a scan per column), then a constant 6-row unpivot of that row.
+    // The expand multiplies rows by |distinct-agg columns| before the
+    // combine — the documented cost of exact multi-column cardinality in
+    // one pass; swap exact for the hll_distinct sketch (q_sketch_rollup)
+    // when the profile runs on every ingest batch.
+    GQ(
+      "q_dq_profile",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+            count_distinct(col(c)).as(s"dist_$c")))
+        val one = Tables.t(s, d, "orders").agg(aggs.head, aggs.tail: _*)
+        val rows = cols.map(c =>
+          struct(lit(c).as("column_name"), col(s"null_$c").as("n_null"),
+            col(s"dist_$c").as("n_distinct")))
+        one.select(col("n_rows"), explode(array(rows: _*)).as("p"))
+          .select(col("p.column_name"), col("n_rows"),
+            col("p.n_null").as("n_null"),
+            col("p.n_distinct").as("n_distinct"),
+            ((col("n_rows") - col("p.n_null")).cast(DoubleType) /
+              col("n_rows").cast(DoubleType)).as("completeness"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val branches = cols.map(c =>
+          s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(COUNT(*) - SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS completeness
+             |FROM orders""".stripMargin)
+        branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }
     )
   )
 }

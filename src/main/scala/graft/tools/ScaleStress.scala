@@ -84,7 +84,9 @@ object ScaleStress {
     // round 4, fourteenth batch: the declared streaming replays — state
     // is (window×type) / per-user-session bounded; AvailableNow paces
     // the 10× backfill in source-governed batches
-    "q_stream_tumbling", "q_stream_sessions")
+    "q_stream_tumbling", "q_stream_sessions",
+    // one-scan fused profile — must stay scan-bound
+    "q_dq_profile")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
