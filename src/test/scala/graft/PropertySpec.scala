@@ -839,6 +839,31 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expect, s"engine draw must equal the BigInt replay")
   }
 
+  test("RANGE frame: exactly-30-days-ago included; same-date PEERS summed (DuckDB-replayed)") {
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("rangeprop-").toString
+    // order 2 sits EXACTLY 30 days after order 1 (inclusive bound keeps
+    // it: 110); orders 3+4 share a date, so RANGE ... CURRENT ROW sums
+    // BOTH peers for each (1011 = 1 + 1000 + order 2's 10; order 1 is 31
+    // days back — out). DuckDB replay this session gives 100 / 110 /
+    // 1011 / 1011 / 10000 — Spark must match value for value.
+    def d(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    Seq(
+      (1L, 1L, "O", 100.0, d("2024-01-01"), "1-URGENT"),
+      (2L, 1L, "O", 10.0, d("2024-01-31"), "1-URGENT"),
+      (3L, 1L, "O", 1.0, d("2024-02-01"), "1-URGENT"),
+      (4L, 1L, "O", 1000.0, d("2024-02-01"), "1-URGENT"),
+      (5L, 1L, "O", 10000.0, d("2024-03-15"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Registry.byName("q_window_range").run(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out === Map(1L -> 100.0, 2L -> 110.0, 3L -> 1011.0,
+      4L -> 1011.0, 5L -> 10000.0), s"RANGE conventions must match: $out")
+  }
+
   test("percentile_disc: even-count boundary picks cume_dist >= p (DuckDB-replayed)") {
     // n=4 at p=0.5 separates the >= p convention (picks the 2nd value)
     // from > p (picks the 3rd) — independently implemented in each
