@@ -97,12 +97,24 @@ object GraphOps {
              |  UNION ALL SELECT w AS word FROM tri)
              |GROUP BY word ORDER BY n_tri DESC, word LIMIT 10""".stripMargin)
     ),
-    // Link prediction by common-neighbor counting (round 4) — the
-    // second-order similarity primitive: word pairs NOT linked in the
-    // graph that share many co-occurrence neighbors (the syntagmatic
-    // graph's paradigmatic signal — distributional similarity; on a
-    // user/item graph the same query is collaborative-filtering candidate
+    // Link prediction by common-neighbor counting (round 4; node domain
+    // rescaled round 5) — the second-order similarity primitive: nodes
+    // NOT linked in the graph that share many neighbors (on a user/item
+    // graph the same query is collaborative-filtering candidate
     // generation). Top-20 non-edges by shared-neighbor count.
+    //
+    // Nodes are BIGRAMS, edges join the two overlapping bigrams inside
+    // each trigram ("w1 w2" ↔ "w2 w3", co-occurrence ≥ 2). Round-4 used
+    // single words — but the ~31-word test vocabulary makes that graph
+    // near-COMPLETE (450 of 465 possible pairs are edges at sf0.1), so
+    // every capped-midpoint neighbor pair was already an edge and the
+    // anti-join emitted ZERO rows at bench scale (round-4 verdict's one
+    // weak component): all the wedge work, no signal. The bigram domain
+    // is |vocab|²-sized (≈900 nodes here), the graph is sparse at every
+    // SF (26.7k edges / 427k possible at sf0.1), and node degree is
+    // STRUCTURALLY bounded by 2·|vocab| (a bigram "x y" only neighbors
+    // bigrams "y ·" and "· x") — so predictions are non-empty and the
+    // wedge volume stays model-sized by construction.
     //
     // Algorithm: full wedge enumeration per midpoint — every common
     // neighbor m of (v, w) is exactly one wedge v-m-w, keyed by its
@@ -111,30 +123,36 @@ object GraphOps {
     // overcount; out-out wedges alone would UNDERCOUNT here — a midpoint
     // ranked above an endpoint contributes no oriented wedge but is
     // still a common neighbor). The cost is Σ deg² over midpoints; the
-    // standard bound is the HUB CAP — midpoints of degree > 1024 are
-    // excluded BY CONTRACT (a stopword-like node that neighbors
-    // everything carries no similarity signal and would alone emit a
-    // quadratic wedge set). The edge floor (co-occurrence ≥ 2) is the
-    // noise prune AND the source of prediction targets on a dense
-    // small-vocab graph.
+    // HUB CAP (midpoint degree > 1024 excluded BY CONTRACT) remains the
+    // guard for pathological inputs, though the structural 2·|vocab|
+    // degree bound keeps real data far below it (max deg 60 at sf0.1).
     //
     // Determinism: exact set construction + integer counts, no FP;
     // ties → (word_a, word_b) (R1).
     //
-    // Plan shape (100 TB): vocab²-bounded edge agg → symmetrized
+    // Plan shape (100 TB): vocab⁴-bounded edge agg → symmetrized
     // adjacency joined once on the midpoint key; the wedge relation is
     // Σ_{deg ≤ cap} deg² — model-sized, corpus-size-independent; one
-    // (v, w) hash agg + broadcast-able anti-join + top-k.
+    // (v, w) hash agg + broadcast-able anti-join + top-k. The edge
+    // relation is PERSISTED (it feeds the adjacency twice and the
+    // anti-join once — without it the corpus kgram scan runs twice);
+    // an integer-id node dictionary was measured and REJECTED: at this
+    // model size the extra dict/broadcast stages cost more than the
+    // narrower wedge shuffle saves (5.0 s vs 2.5 s warm at sf0.1).
     GQ(
       "q_graph_linkpred",
       (s, d) => {
-        val pj = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
+        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
           .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
-          .select(least(col("p")(0), col("p")(1)).as("a"),
-            greatest(col("p")(0), col("p")(1)).as("b"))
+          .filter(size(col("p")) === 3)
+          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+          .filter(col("g1") =!= col("g2"))
+        val pj = graft.Caches.persist(tg
+          .select(least(col("g1"), col("g2")).as("a"),
+            greatest(col("g1"), col("g2")).as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2).select(col("a"), col("b"))
+          .filter(col("w") >= 2).select(col("a"), col("b")))
         val sym = pj.select(col("a").as("m"), col("b").as("n"))
           .union(pj.select(col("b").as("m"), col("a").as("n")))
         val deg = sym.groupBy(col("m")).agg(count(lit(1)).as("deg"))
@@ -145,19 +163,18 @@ object GraphOps {
           .filter(col("v") < col("w"))
           .groupBy(col("v").as("word_a"), col("w").as("word_b"))
           .agg(count(lit(1)).as("cn"))
-        cn.join(pj,
+        cn.join(broadcast(pj),
             col("word_a") === col("a") && col("word_b") === col("b"),
             "left_anti")
           .orderBy(col("cn").desc, col("word_a"), col("word_b"))
           .limit(20)
       },
       Some("""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
-             |pj AS (SELECT unnest(list_transform(range(1, len(ws)),
-             |    i -> ws[i] || ' ' || ws[i+1])) AS p FROM dd WHERE len(ws) >= 2),
-             |e0 AS (SELECT
-             |    least(string_split(p, ' ')[1], string_split(p, ' ')[2]) AS a,
-             |    greatest(string_split(p, ' ')[1], string_split(p, ' ')[2]) AS b
-             |  FROM pj WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]
+             |tg AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+             |    i -> [ws[i] || ' ' || ws[i+1], ws[i+1] || ' ' || ws[i+2]])) AS gs
+             |  FROM dd WHERE len(ws) >= 3),
+             |e0 AS (SELECT least(gs[1], gs[2]) AS a, greatest(gs[1], gs[2]) AS b
+             |  FROM tg WHERE gs[1] <> gs[2]
              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
              |sym AS (SELECT a AS m, b AS n FROM e0
              |  UNION ALL SELECT b, a FROM e0),

@@ -240,6 +240,58 @@ object ComponentChainStress {
   }
 }
 
+/** Round-5 probe (verdict item 1): q_graph_linkpred's wedge volume and time
+  * growth after the bigram-node rescale.
+  *
+  * The query's cost driver is the wedge relation — Σ deg² over capped
+  * midpoints of the bigram adjacency. Node degree is STRUCTURALLY bounded
+  * by 2·|distinct bigrams sharing a word| (a bigram "x y" only neighbors
+  * "y ·" and "· x"), so wedge volume is model-sized and corpus-size-
+  * independent; the probe measures it directly on the variedDocs corpora
+  * (copy-tagged vocabulary ⇒ the MODEL grows with k too — the worst case
+  * for this query; a same-vocab corpus growth leaves the wedge volume
+  * flat). Law: time tracks wedge volume, not corpus size, and max degree
+  * stays far under the 1024 hub cap.
+  */
+object LinkpredWedgeStress {
+  def main(args: Array[String]): Unit = {
+    val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4)
+    val spark = Stress2.session()
+    for (k <- copiesList) {
+      val dst = Stress2.variedDocs(spark, k)
+      // adjacency degree histogram — same construction as the query
+      val tg = graft.operators.Grams
+        .kgramRows(Tables.t(spark, dst, "documents"), 3, Seq())
+        .select(split(col("item"), " ").as("p"))
+        .filter(size(col("p")) === 3)
+        .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+          concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+        .filter(col("g1") =!= col("g2"))
+      val pj = tg
+        .select(least(col("g1"), col("g2")).as("a"),
+          greatest(col("g1"), col("g2")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("a"), col("b"))
+      val deg = pj.select(col("a").as("m")).union(pj.select(col("b").as("m")))
+        .groupBy(col("m")).agg(count(lit(1)).as("deg"))
+      val st = deg.agg(
+        count(lit(1)).as("nodes"), max(col("deg")).as("maxdeg"),
+        sum(when(col("deg") <= 1024, col("deg") * col("deg"))
+          .otherwise(lit(0))).as("wedges")).head
+      Registry.byName("q_graph_linkpred").run(spark, dst).count() // warm
+      spark.catalog.clearCache(); graft.Caches.release(spark)
+      val t0 = System.nanoTime()
+      val rows = Registry.byName("q_graph_linkpred").run(spark, dst).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[linkpred] x$k nodes=${st.getLong(0)}%-6d maxdeg=${st.getLong(1)}%-5d " +
+        f"wedges=${st.getLong(2)}%-10d rows=$rows $t%.2fs")
+      assert(rows > 0, s"x$k linkpred output must be non-empty")
+      spark.catalog.clearCache(); graft.Caches.release(spark)
+    }
+    spark.stop()
+  }
+}
+
 /** Journey-string skew: q_events_pattern's per-user state is one string
   * proportional to activity — the CEP buffer problem. Reuses
   * SessionSkewStress's hot-user corpora (one synthetic user owning 1% then

@@ -303,6 +303,30 @@ class PropertySpec extends AnyFunSuite {
       s"exactly the triangle's vertices, once each: $out")
   }
 
+  test("q_graph_linkpred: planted skip-gram pair predicted; adjacent bigrams are edges, not predictions") {
+    // Bigram-node graph: doc "pa pb pc pd" (twice, clearing the >=2 floor)
+    // yields edges (pa pb)-(pb pc) and (pb pc)-(pc pd). The non-overlapping
+    // pair ((pa pb), (pc pd)) shares midpoint (pb pc) and can NEVER be an
+    // edge (edges require overlap), so it must be predicted with cn=1;
+    // the adjacent pairs are edges and must NOT appear.
+    val dir = plantDocs(Seq(
+      (1L, "pa pb pc pd", "en", "src0"), (2L, "pa pb pc pd", "en", "src0")))
+    val out = Registry.byName("q_graph_linkpred").run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(out.toSeq === Seq(("pa pb", "pc pd") -> 1L),
+      s"exactly the skip-gram pair via its one midpoint: ${out.toSeq}")
+  }
+
+  test("q_graph_linkpred: non-empty at bench scale (sf0.1)") {
+    // Round-4 verdict: the word-node graph was near-complete on the ~31-word
+    // test vocabulary, so the anti-join emitted ZERO rows at sf0.1 — all the
+    // wedge work, no signal. The bigram-node domain keeps the graph sparse;
+    // this pins the fix at the scale where it degenerated.
+    val n = Registry.byName("q_graph_linkpred")
+      .run(spark, "/root/testdata/sf0.1").count()
+    assert(n === 20L, s"bench-scale output must be a full top-20, got $n")
+  }
+
   test("q_events_attribution: purchase takes the latest preceding click, else NULL") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("attrprop-").toString
