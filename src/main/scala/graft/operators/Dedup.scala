@@ -120,6 +120,14 @@ object Dedup {
     * generation. Shared verbatim with the oracle SQL. */
   private val Tau = 0.5
 
+  /** The ONE BFS depth bound shared by [[bfsHops]]' Spark-side `require`
+    * and the q_graph_bfs oracle's recursive-CTE walk (round-4 ADVICE): the
+    * Spark side fails LOUDLY past it, while `WHERE hops < BfsMaxRounds` in
+    * the generated SQL truncates silently — keeping them one literal means
+    * a deep component always surfaces as the Spark-side error, never as a
+    * confusing oracle value diff from a walk the SQL quietly cut short. */
+  private val BfsMaxRounds = 60
+
   /** Blocked exact-Jaccard top-20 (pairs scoring ≥ [[Tau]]) over exploded
     * (doc_id, lang, source, item) rows. Two independent scale mechanisms:
     *
@@ -388,17 +396,21 @@ object Dedup {
         .select(col("doc_id"),
           struct(col("doc_id").as("comp"), lit(0L).as("hops")).as("st"))
         .localCheckpoint(false)
+      // comp is cast to DECIMAL(38,0) BEFORE the multiply (matching
+      // labelSum): a LongType comp·2^20 product overflows for node ids
+      // ≥ 2^42 — wrapping silently with ANSI off and voiding the
+      // monotone-sum convergence guarantee (round-4 ADVICE).
       def stateSum(df: DataFrame): java.math.BigDecimal =
         df.agg(coalesce(
-          sum((col("st.comp") * lit(1L << 20) + col("st.hops"))
-            .cast(DecimalType(38, 0))),
+          sum(col("st.comp").cast(DecimalType(38, 0)) * lit(1L << 20)
+            + col("st.hops")),
           lit(0).cast(DecimalType(38, 0)))).head.getDecimal(0)
       var prevSum = stateSum(state)
       var rounds = 0
       var converged = false
       while (!converged) {
         rounds += 1
-        require(rounds <= 60, "bfs propagation did not converge")
+        require(rounds <= BfsMaxRounds, "bfs propagation did not converge")
         val cand = sym
           .join(state.withColumnRenamed("doc_id", "src"), "src")
           .select(col("dst").as("doc_id"),
@@ -706,7 +718,7 @@ object Dedup {
            |  SELECT DISTINCT src, src, CAST(0 AS BIGINT) FROM sym
            |  UNION
            |  SELECT y.dst, w.comp, w.hops + 1 FROM walk w
-           |  JOIN sym y ON w.node = y.src WHERE w.hops < 60),
+           |  JOIN sym y ON w.node = y.src WHERE w.hops < $BfsMaxRounds),
            |rt AS (SELECT node, MIN(comp) AS root_id FROM walk GROUP BY node)
            |SELECT w.node AS doc_id, rt.root_id, MIN(w.hops) AS hops
            |FROM walk w JOIN rt ON w.node = rt.node AND w.comp = rt.root_id

@@ -38,6 +38,38 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   */
 object StreamQueries {
 
+  /** The file streaming source lists a DIRECTORY; the driver ships
+    * events.parquet as a single file, so expose it through a symlink dir
+    * (a real deployment streams an ingest directory anyway — this shim is
+    * the bounded-replay stand-in).
+    *
+    * Round-5 hardening (round-4 ADVICE): the old guard was only
+    * `Files.exists(linkDir)` — a dir left half-created (crash between
+    * createDirectories and createSymbolicLink) made the stream silently
+    * read an EMPTY directory, and a 32-bit path-hash alias of two dataset
+    * paths would silently stream the WRONG dataset. The helper now
+    * verifies the link entry exists AND resolves to the expected
+    * events.parquet, rebuilding it on any mismatch. */
+  private[streaming] def streamSourceDir(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(s"$d/events.parquet")
+    if (Files.isDirectory(p)) p.toString
+    else {
+      val target = p.toAbsolutePath
+      val link = Paths.get("/tmp/graft_stream_src_" +
+        Integer.toHexString(target.toString.hashCode))
+      val entry = link.resolve("events.parquet")
+      val ok = Files.isSymbolicLink(entry) &&
+        Files.readSymbolicLink(entry) == target
+      if (!ok) {
+        Files.createDirectories(link)
+        Files.deleteIfExists(entry)
+        Files.createSymbolicLink(entry, target)
+      }
+      link.toString
+    }
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_stream_tumbling",
@@ -46,26 +78,7 @@ object StreamQueries {
         // BIGINT nanos ts, the driver TIMESTAMP — normalize like
         // Tables.events, to TimestampType micros here (window() input)
         val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-        // the file streaming source lists a DIRECTORY; the driver ships
-        // events.parquet as a single file, so expose it through a symlink
-        // dir (a real deployment streams an ingest directory anyway —
-        // this shim is the bounded-replay stand-in)
-        val srcPath = {
-          import java.nio.file.{Files, Paths}
-          val p = Paths.get(s"$d/events.parquet")
-          if (Files.isDirectory(p)) p.toString
-          else {
-            val link = Paths.get("/tmp/graft_stream_src_" +
-              Integer.toHexString(p.toAbsolutePath.toString.hashCode))
-            if (!Files.exists(link)) {
-              Files.createDirectories(link)
-              Files.createSymbolicLink(
-                link.resolve("events.parquet"), p.toAbsolutePath)
-            }
-            link.toString
-          }
-        }
-        val raw = s.readStream.schema(fileSchema).parquet(srcPath)
+        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
         val ev = raw.schema("ts").dataType match {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -104,22 +117,7 @@ object StreamQueries {
       "q_stream_sessions",
       (s, d) => {
         val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-        val srcPath = {
-          import java.nio.file.{Files, Paths}
-          val p = Paths.get(s"$d/events.parquet")
-          if (Files.isDirectory(p)) p.toString
-          else {
-            val link = Paths.get("/tmp/graft_stream_src_" +
-              Integer.toHexString(p.toAbsolutePath.toString.hashCode))
-            if (!Files.exists(link)) {
-              Files.createDirectories(link)
-              Files.createSymbolicLink(
-                link.resolve("events.parquet"), p.toAbsolutePath)
-            }
-            link.toString
-          }
-        }
-        val raw = s.readStream.schema(fileSchema).parquet(srcPath)
+        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
         val ev = raw.schema("ts").dataType match {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))

@@ -101,7 +101,10 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events.parquet carries TIMESTAMP(NANOS) — same shim Tables.events uses
+    // R5 time-basis contract: driver data is TIMESTAMP(MICROS) since round
+    // 4, so this flag is usually a no-op — kept only for legacy
+    // TIMESTAMP(NANOS) inputs (rounds 1–3), which a plain read refuses;
+    // the replication below is schema-agnostic either way
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // completion marker, not bare directory existence: a crashed build must
     // not be mistaken for a finished one on rerun
