@@ -321,4 +321,76 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("HashAggregate"), s"$q must aggregate names first:\n$p")
     }
   }
+
+  test("q_dedup_cdc: chunking is one scan-side expression — no window, no reassembly sort") {
+    // round 5 (VERDICT r4 item 6): CDC chunk hashes come from the native
+    // CdcChunks expression, so the plan must carry NO Window (the old
+    // boundary prefix-sum) and NO collect_list/sort reassembly; the only
+    // exchanges left are the frequency agg + join-back + per-doc agg.
+    val p = plan("q_dedup_cdc")
+    assert(p.contains("cdc_chunks"), s"native chunker missing from scan:\n$p")
+    assert(!p.contains("Window"), s"boundary window came back:\n$p")
+    assert(!p.contains("collect_list"), s"chunk reassembly came back:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"expected ≤4 hash exchanges (distinct, freq agg, join, doc agg), found $exchanges:\n$p")
+  }
+
+  test("q_graph_linkpred: anti-join broadcasts and the top-20 rank-limits") {
+    // the wedge relation is model-sized (vocab²-bounded bigram nodes with
+    // the 1024 hub cap), so the non-edge filter must broadcast the edge
+    // set and the final 20 rows must never globally sort the candidates.
+    val df = Registry.byName("q_graph_linkpred").run(spark, sf)
+    df.collect() // finalize the AQE plan before reading it
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must rank-limit:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined ||
+      "LeftAnti, BuildRight".r.findFirstIn(p).isDefined,
+      s"edge anti-join must broadcast:\n$p")
+  }
+
+  test("bfsHops runs a bounded number of jobs per round (one shuffle round, O(1) driver state)") {
+    // VERDICT r4 item 3: pin the one-job-per-round claim behaviorally.
+    // Two path graphs whose eccentricities differ by a known number of
+    // rounds; the job-count DELTA per extra round must stay a small
+    // constant (the stateSum action that also materializes the lazy
+    // localCheckpoint). A regression that adds a per-round action (eager
+    // checkpoint, extra count, a collect) breaks the slope immediately.
+    import spark.implicits._
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async: wait until the count stops moving
+        var last = -1
+        while (jobs.get() != last) { last = jobs.get(); Thread.sleep(300) }
+      } finally spark.sparkContext.removeSparkListener(l)
+      jobs.get()
+    }
+    def pathEdges(n: Int) =
+      (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
+    // eccentricity from node 0 on an n-path is n-1 hops; bfs converges in
+    // ecc+1 rounds. AQE submits each query stage as its own job, so one
+    // logical round costs a few jobs (checkpoint materialization + the
+    // stateSum stages) — the pinned property is that the per-round cost is
+    // a SMALL CONSTANT independent of round number: plan-growth regressions
+    // (losing localCheckpoint truncation) make later rounds cost MORE jobs
+    // than earlier ones, which breaks slope equality immediately.
+    val j4 = countJobs { graft.operators.Dedup.bfsHops(pathEdges(4)).collect() }
+    val j7 = countJobs { graft.operators.Dedup.bfsHops(pathEdges(7)).collect() }
+    val j10 = countJobs { graft.operators.Dedup.bfsHops(pathEdges(10)).collect() }
+    val slopeEarly = (j7 - j4) / 3.0  // rounds 5..7 marginal cost
+    val slopeLate = (j10 - j7) / 3.0  // rounds 8..10 marginal cost
+    assert(slopeLate <= 6.0,
+      s"bfs round cost too high: $slopeLate jobs/round (j4=$j4, j7=$j7, j10=$j10)")
+    assert(math.abs(slopeLate - slopeEarly) <= 1.0,
+      s"bfs per-round cost GROWS with round number — plan truncation lost? " +
+        s"early=$slopeEarly late=$slopeLate (j4=$j4, j7=$j7, j10=$j10)")
+  }
 }
