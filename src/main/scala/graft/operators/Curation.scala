@@ -179,6 +179,50 @@ object Curation {
              |  CAST((cum - 1) // 512 AS BIGINT) AS chunk_last
              |FROM c ORDER BY lang, doc_id""".stripMargin)
     ),
+    // Sliding-window chunking with overlap (round 5) — the RAG/context-
+    // window complement of q_pack_chunks' concat-then-split packing: each
+    // document independently splits into 64-token windows every 48 tokens
+    // (16-token overlap), the standard retrieval-index and long-doc
+    // truncation recipe (chunks never cross doc boundaries, tails are
+    // KEPT short rather than dropped — retrieval must cover the whole
+    // doc). Per chunk: start offset, exact token count, and the h60
+    // digest of the space-joined window (the downstream embed/dedup key).
+    //
+    // Plan shape (100 TB): the window arithmetic is pure per-row math —
+    // sequence() of starts + posexplode + slice(), all inside the scan
+    // projection. ZERO shuffles (the final ORDER BY is presentation, R1);
+    // chunk count is ceil(n_tok/48) per doc, so output volume is
+    // corpus-linear with a 64/48 expansion factor, embarrassingly
+    // parallel at any scale.
+    GQ(
+      "q_chunk_overlap",
+      (s, d) => {
+        val W = 64; val S = 48
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0), size(col("ws")) - 1, lit(S)))
+              .as(Seq("chunk_id", "start_tok")),
+            col("ws"))
+          .select(col("doc_id"), col("chunk_id").cast(LongType),
+            col("start_tok").cast(LongType),
+            size(slice(col("ws"), col("start_tok") + 1, lit(W)))
+              .cast(LongType).as("n_tok"),
+            XHash.h60(array_join(
+              slice(col("ws"), col("start_tok") + 1, lit(W)), " ")).as("ch"))
+          .orderBy(col("doc_id"), col("chunk_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+             |  FROM documents),
+             |c AS (SELECT doc_id, ws,
+             |    unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_id FROM d),
+             |s AS (SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+             |    ws[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS cw FROM c)
+             |SELECT doc_id, chunk_id, start_tok,
+             |  CAST(len(cw) AS BIGINT) AS n_tok,
+             |  ${XHash.sqlH60("array_to_string(cw, ' ')")} AS ch
+             |FROM s ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
     // Domain-mixture reweighting (DoReMi-lite accounting): per language,
     // the deterministic downsampling rate that moves the corpus toward a
     // UNIFORM per-language token budget — rate = min(1, target/actual)

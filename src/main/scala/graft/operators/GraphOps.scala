@@ -97,6 +97,85 @@ object GraphOps {
              |  UNION ALL SELECT w AS word FROM tri)
              |GROUP BY word ORDER BY n_tri DESC, word LIMIT 10""".stripMargin)
     ),
+    // PageRank (round 5) — the canonical iterative graph centrality, on
+    // the same sparse bigram co-occurrence graph as q_graph_linkpred
+    // (edges = overlapping trigram bigrams, co-occurrence ≥ 2,
+    // symmetrized). Five power-iteration rounds with damping 0.85 in
+    // EXACT INTEGER FIXED-POINT: ranks scaled ×10⁶, each round
+    //   rank'(v) = 150000 + Σ_{m→v} (rank(m)·17) div (20·outdeg(m))
+    // — 17/20 = 0.85 and floor division is identical in Spark (`div`)
+    // and DuckDB (`//`) on positive BIGINTs, so five rounds stay
+    // bit-exact cross-engine with NO floating point anywhere (R7 has no
+    // division to worry about: the only IEEE op is none). TextRank
+    // (Retrieval.scala) is the sentence-similarity variant with
+    // FP-lattice accounting; this is the plain directed-contribution
+    // form a pipeline runs on entity/link graphs, exact by construction.
+    //
+    // Plan shape (100 TB): edges aggregate once (vocab²-bounded,
+    // persisted — they feed outdeg and all 5 rounds); each round is ONE
+    // join (ranks × adjacency on the source key) + ONE dst-keyed sum —
+    // the alternating two-shuffle pattern every distributed PageRank
+    // (Pregel, GraphX) runs, here on a model-sized relation. Fixed 5
+    // rounds ⇒ no convergence driver-collect at all; plan depth is
+    // statically bounded, so no checkpoint truncation is needed.
+    GQ(
+      "q_graph_pagerank",
+      (s, d) => {
+        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 3)
+          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+          .filter(col("g1") =!= col("g2"))
+        val pj = tg
+          .select(least(col("g1"), col("g2")).as("a"),
+            greatest(col("g1"), col("g2")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("a"), col("b"))
+        val sym = graft.Caches.persist(
+          pj.select(explode(array(
+            struct(col("a").as("m"), col("b").as("n")),
+            struct(col("b").as("m"), col("a").as("n")))).as("e"))
+            .select(col("e.m").as("m"), col("e.n").as("n")))
+        val deg = sym.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        val adj = graft.Caches.persist(sym.join(deg, "m"))
+        var ranks = deg.select(col("m").as("node"), lit(1000000L).as("rank"))
+        for (_ <- 1 to 5) {
+          ranks = adj.join(ranks, col("m") === col("node"))
+            .select(col("n"),
+              expr("(rank * 17) div (20 * deg)").as("contrib"))
+            .groupBy(col("n").as("node"))
+            .agg((lit(150000L) + sum(col("contrib"))).as("rank"))
+        }
+        ranks.orderBy(col("rank").desc, col("node")).limit(20)
+      },
+      Some {
+        def round(prev: String, cur: String) =
+          s"""$cur AS (SELECT s.n AS node,
+             |    150000 + CAST(SUM((r.rank * 17) // (20 * d.deg)) AS BIGINT)
+             |      AS rank
+             |  FROM sym s JOIN $prev r ON r.node = s.m
+             |  JOIN dg d ON d.m = s.m GROUP BY s.n)""".stripMargin
+        s"""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |tg AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+           |    i -> [ws[i] || ' ' || ws[i+1], ws[i+1] || ' ' || ws[i+2]])) AS gs
+           |  FROM dd WHERE len(ws) >= 3),
+           |e0 AS (SELECT least(gs[1], gs[2]) AS a, greatest(gs[1], gs[2]) AS b
+           |  FROM tg WHERE gs[1] <> gs[2]
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |sym AS (SELECT a AS m, b AS n FROM e0
+           |  UNION ALL SELECT b, a FROM e0),
+           |dg AS (SELECT m, COUNT(*) AS deg FROM sym GROUP BY m),
+           |r0 AS (SELECT m AS node, CAST(1000000 AS BIGINT) AS rank FROM dg),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")},
+           |${round("r3", "r4")},
+           |${round("r4", "r5")}
+           |SELECT node, rank FROM r5
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      }
+    ),
     // Link prediction by common-neighbor counting (round 4; node domain
     // rescaled round 5) — the second-order similarity primitive: nodes
     // NOT linked in the graph that share many neighbors (on a user/item

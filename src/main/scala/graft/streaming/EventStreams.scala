@@ -84,6 +84,16 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** [[dedup]] generalized to an arbitrary key set — the declared
+    * `q_stream_dedup` keys on the coarsened (user, type, minute) activity
+    * key. Same state story: one record per in-horizon key, evicted once
+    * the watermark passes. */
+  def dedupOnKeys(events: DataFrame, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** A closed user session emitted by [[userSessionsTimeout]]. */
   case class ClosedSession(
       user_id: Long, start_ms: Long, end_ms: Long, n_events: Long,

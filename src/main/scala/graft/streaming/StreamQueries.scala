@@ -150,6 +150,48 @@ object StreamQueries {
               |  COUNT(*) AS n_events, ${graft.C.sqlSumDec2("value")} AS session_value
               |FROM g GROUP BY user_id, sid
               |ORDER BY user_id, start_us""".stripMargin)
+    ),
+    // Streaming exact dedup, DECLARED (round 5) — the third stateful
+    // shape beside windowed aggregation (tumbling) and session windows:
+    // `dropDuplicatesWithinWatermark` keyed on (user_id, event_type,
+    // minute), the streaming form of the north-star exact-dedup family.
+    // The fixture's event_ids are unique, so the declared key is the
+    // COARSENED activity key a pipeline actually dedups on (at-least-once
+    // ingest collapsing to once-per-minute activity); duplicates are
+    // plentiful at every SF. First-wins emission is order-dependent in
+    // its non-key columns, so the query emits EXACTLY the key columns —
+    // making the answer order-free and the DuckDB oracle a plain
+    // DISTINCT. Dedup state is evicted past the watermark (the property
+    // that lets this run forever); emission is immediate (no
+    // window-close wait), so the bounded replay IS the complete answer —
+    // no complete-mode crutch and no sentinel needed, unlike the
+    // aggregating queries.
+    GQ(
+      "q_stream_dedup",
+      (s, d) => {
+        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+        val ev = raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
+        val keyed = ev.select(col("ts"), col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 60000000").as("minute_id"))
+        val q = EventStreams.dedupOnKeys(keyed,
+            Seq("user_id", "event_type", "minute_id"), watermark = "10 minutes")
+          .select(col("user_id"), col("event_type"), col("minute_id"))
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_stream_dedup")
+          .orderBy(col("user_id"), col("event_type"), col("minute_id"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type,
+             |  epoch_us(ts) // 60000000 AS minute_id
+             |FROM events
+             |ORDER BY user_id, event_type, minute_id""".stripMargin)
     )
   )
 }
