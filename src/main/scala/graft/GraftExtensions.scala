@@ -56,5 +56,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_might_contain"),
       info(classOf[BloomFilterMightContain], "graft_bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+    // the two scan-side text shredders (round 5): SQL-reachable shingling
+    // and content-defined chunking for ad-hoc dedup work
+    ext.injectFunction((
+      FunctionIdentifier("kgrams"),
+      info(classOf[graft.functions.KGrams], "kgrams"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KGrams(exprs(0), intLit(exprs(1), "kgrams k"))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      info(classOf[graft.functions.CdcChunks], "cdc_chunks"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CdcChunks(exprs(0), intLit(exprs(1), "cdc_chunks mask"))))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

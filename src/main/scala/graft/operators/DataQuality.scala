@@ -240,6 +240,45 @@ object DataQuality {
              |FROM orders""".stripMargin)
         branches.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }
+    ),
+    // Benford first-significant-digit audit (round 5) — the classic
+    // fraud/synthetic-data smell test: naturally-occurring amounts follow
+    // log10(1+1/d) first-digit frequencies, and fabricated or truncated
+    // feeds don't. One row per digit 1–9 with exact count and observed
+    // fraction (ONE IEEE division of exact ints, R7); the expected-law
+    // comparison is the caller's (log10 is transcendental — emitting it
+    // would put FP-library bits in the contract, the R8 lesson). First
+    // significant digit = first [1-9] in the decimal's plain string form
+    // — identical in Spark and DuckDB for DECIMAL(18,2) (no scientific
+    // notation, leading zeros only for sub-1 values, handled by scanning
+    // to the first NONZERO digit).
+    //
+    // Plan shape (100 TB): scan-side digit projection → 9-group hash agg
+    // → window over 9 rows for the total. One corpus exchange of 9
+    // partial rows per task — nothing else moves.
+    GQ(
+      "q_dq_benford",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val digits = Tables.t(s, d, "orders")
+          .select(regexp_extract(col("o_totalprice").cast(StringType),
+            "[1-9]", 0).as("digit"))
+          .filter(col("digit") =!= "")
+          .groupBy(col("digit").cast(IntegerType).as("digit"))
+          .agg(count(lit(1)).as("cnt"))
+        digits
+          .withColumn("frac", col("cnt").cast(DoubleType) /
+            sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH dg AS (SELECT CAST(regexp_extract(
+             |    CAST(o_totalprice AS VARCHAR), '[1-9]') AS INT) AS digit
+             |  FROM orders
+             |  WHERE regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]') <> ''),
+             |c AS (SELECT digit, COUNT(*) AS cnt FROM dg GROUP BY digit)
+             |SELECT digit, cnt,
+             |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS frac
+             |FROM c ORDER BY digit""".stripMargin)
     )
   )
 }

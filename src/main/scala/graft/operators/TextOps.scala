@@ -238,6 +238,53 @@ object TextOps {
              |  CAST(sumsq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
              |    AS conc
              |FROM g ORDER BY conc DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    // Readability scoring (round 5) — Flesch–Kincaid grade per document,
+    // the lightweight-quality-classifier signal beside q_text_quality's
+    // ratio gates (pipelines bucket corpora by readability to balance
+    // curricula). All inputs are exact integer counts — words (space
+    // split), sentence marks ([.!?], floored at 1 so markless synthetic
+    // docs stay defined), vowel-group syllable proxy ([aeiouy]+ runs of
+    // the lowercased text, the standard heuristic) — and the grade is ONE
+    // FIXED IEEE expression tree over those ints, written with identical
+    // parenthesization in both engines (R7 discipline: determinism comes
+    // from an identical operation sequence, not from avoiding FP).
+    //
+    // Plan shape (100 TB): three regexp/split counters inside the scan
+    // projection, zero shuffles (the ORDER BY is presentation). The
+    // regexes are RE2-simple (char classes + runs) — semantics identical
+    // across Java and DuckDB regex engines.
+    GQ(
+      "q_text_readability",
+      (s, d) =>
+        Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("n_words"),
+            greatest(lit(1L),
+              regexp_count(col("text"), lit("[.!?]"))).as("n_sents"),
+            regexp_count(lower(col("text")), lit("[aeiouy]+"))
+              .cast(LongType).as("n_syll"))
+          .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+            (lit(0.39) * (col("n_words").cast(DoubleType) /
+                col("n_sents").cast(DoubleType))
+              + lit(11.8) * (col("n_syll").cast(DoubleType) /
+                col("n_words").cast(DoubleType))
+              - lit(15.59)).as("fk_grade"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |  GREATEST(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(
+             |    text, '[.!?]')) AS BIGINT)) AS n_sents,
+             |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |    AS BIGINT) AS n_syll,
+             |  0.39 * (CAST(len(string_split(text, ' ')) AS DOUBLE) /
+             |      CAST(GREATEST(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(
+             |        text, '[.!?]')) AS BIGINT)) AS DOUBLE))
+             |    + 11.8 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |        AS DOUBLE) /
+             |      CAST(len(string_split(text, ' ')) AS DOUBLE))
+             |    - 15.59 AS fk_grade
+             |FROM documents ORDER BY doc_id""".stripMargin)
     )
   )
 }

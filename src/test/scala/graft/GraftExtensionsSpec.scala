@@ -47,6 +47,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (1L), (2L), (2L), (3L) t(v)""".stripMargin).collect().head
       assert(agg.getLong(0) === 3L)
       assert(agg.getBoolean(1))
+
+      // round 5: the scan-side text shredders resolve from plain SQL too
+      val shred = extended.sql(
+        """SELECT kgrams('a b c', 2) AS g,
+          |  size(cdc_chunks('a b c d e f g h', 7)) AS nc""".stripMargin)
+        .collect().head
+      assert(shred.getSeq[String](0) === Seq("a b", "b c"))
+      assert(shred.getInt(1) >= 1)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -370,6 +370,78 @@ class OperatorSpec extends AnyFunSuite {
     assert(byLang("en").map(_(1)).toSet === Set(1L, 2L, 5L))
   }
 
+  test("q_dq_benford: first significant digits of the six order totals") {
+    // totals 1000.50, 2000.25, 1500.00, 300.10, 1000.50, 750.75
+    // → digits 1,2,1,3,1,7 → counts 1→3, 2→1, 3→1, 7→1 over 6
+    assert(rows("q_dq_benford") === Seq(
+      Seq(1, 3L, 3.0 / 6.0), Seq(2, 1L, 1.0 / 6.0),
+      Seq(3, 1L, 1.0 / 6.0), Seq(7, 1L, 1.0 / 6.0)))
+  }
+
+  test("q_text_readability: hand-counted words/sentences/vowel-groups per doc") {
+    // no sentence marks in any fixture doc → n_sents floors to 1
+    def fk(w: Long, s: Long, y: Long): Double =
+      0.39 * (w.toDouble / s.toDouble) + 11.8 * (y.toDouble / w.toDouble) - 15.59
+    val expected = Seq(
+      (1L, 6L, 8L),  // the(1) fast(1) key(1) order(2) sort(1) merge(2)
+      (2L, 6L, 8L),  // identical text
+      (3L, 8L, 9L),  // der hund und die katze(2) ist nicht hier
+      (4L, 8L, 11L), // el perro(2) es una(2) casa(2) que la los
+      (5L, 2L, 2L),  // two words
+      (6L, 6L, 8L))  // die katze(2) ist nicht hier heute(2)
+      .map { case (id, w, y) => Seq(id, w, 1L, y, fk(w, 1L, y)) }
+    assert(rows("q_text_readability") === expected)
+  }
+
+  test("q_chunk_overlap: sub-48-token docs are exactly one whole-doc chunk") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long =
+      graft.functions.CdcChunks.h60(UTF8String.fromString(s))
+    val texts = Map(
+      1L -> "the fast key order sort merge",
+      2L -> "the fast key order sort merge",
+      3L -> "der hund und die katze ist nicht hier",
+      4L -> "el perro es una casa que la los",
+      5L -> "two words",
+      6L -> "die katze ist nicht hier heute")
+    val expected = Seq(1L, 2L, 3L, 4L, 5L, 6L).map { id =>
+      val n = texts(id).split(" ", -1).length.toLong
+      Seq(id, 0L, 0L, n, h(texts(id))) // one chunk: id 0, start 0, whole doc
+    }
+    assert(rows("q_chunk_overlap") === expected)
+  }
+
+  test("q_stream_dedup: (user, type, minute) activity keys of the six events") {
+    val m0 = 1704067200L / 60 // 2024-01-01 00:00 UTC, minutes
+    assert(rows("q_stream_dedup") === Seq(
+      Seq(10L, "error", m0), Seq(10L, "purchase", m0), Seq(10L, "view", m0 + 60),
+      Seq(11L, "click", m0), Seq(11L, "purchase", m0 + 60),
+      Seq(12L, "signup", m0 + 60)))
+  }
+
+  test("q_graph_pagerank matches an independent sequential integer PageRank") {
+    // hand-derived edge set (co-occurrence ≥ 2): docs 1+2 share all four
+    // trigram bigram-pairs of "the fast key order sort merge"; docs 3+6
+    // share the three of "die katze ist nicht hier" — two path components
+    val edges = Seq(
+      ("fast key", "the fast"), ("fast key", "key order"),
+      ("key order", "order sort"), ("order sort", "sort merge"),
+      ("die katze", "katze ist"), ("ist nicht", "katze ist"),
+      ("ist nicht", "nicht hier"))
+    val sym = edges ++ edges.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank: Map[String, Long] = deg.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to 5) {
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) * 17 / (20 * deg(src)) }.sum
+      }
+      rank = rank.map { case (n, _) => n -> (150000L + contrib.getOrElse(n, 0L)) }
+    }
+    val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }
+      .map { case (n, r) => Seq(n, r) }
+    assert(rows("q_graph_pagerank") === expected)
+  }
+
   test("q_sim_ann_pq: full top-3 per query, ADC distances sorted and finite") {
     val r = rows("q_sim_ann_pq")
     assert(r.length === 5 * 3)
