@@ -192,6 +192,56 @@ object StreamQueries {
              |  epoch_us(ts) // 60000000 AS minute_id
              |FROM events
              |ORDER BY user_id, event_type, minute_id""".stripMargin)
+    ),
+    // Stream-stream interval join, DECLARED (round 5) — the fourth
+    // stateful shape: clicks and purchases arrive as two INDEPENDENT
+    // streams (two readStream scans of the same replay directory,
+    // filtered per side) and join on user within [purchase − 1 h,
+    // purchase]. Both sides carry watermarks and the join condition
+    // bounds event-time distance, so both state stores are evictable —
+    // the property that lets the join run forever (without the bound
+    // Spark must buffer both streams in full). INNER join results emit
+    // in the batch that matches them (the watermark only governs state
+    // cleanup, not inner-join emission), so the bounded replay IS the
+    // complete batch answer — same no-sentinel story as q_stream_dedup.
+    // Output is exact integer µs + raw double passthrough (bit-stable,
+    // no aggregation), ordered (R1) on the unique id pair.
+    GQ(
+      "q_stream_join",
+      (s, d) => {
+        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+        def side() = {
+          val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+          raw.schema("ts").dataType match {
+            case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+          }
+        }
+        // one replay frame; the library filters it into the two sides,
+        // each becoming its own streaming scan with its own watermark
+        val q = EventStreams.purchaseAttribution(side(),
+            lookback = "1 hour", watermark = "10 minutes")
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            expr("unix_micros(purchase_ts)").as("p_us"),
+            expr("unix_micros(click_ts)").as("c_us"),
+            col("value"))
+          .writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_stream_join")
+          .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+      },
+      Some("""SELECT c.user_id AS user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id,
+             |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, p.value
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+             |   AND epoch_us(p.ts)
+             |ORDER BY user_id, purchase_id, click_id""".stripMargin)
     )
   )
 }
