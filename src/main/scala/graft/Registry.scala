@@ -26,6 +26,7 @@ object Registry {
       Layout.queries ++
       GraphOps.queries ++
       DataQuality.queries ++
+      Stats.queries ++
       LinearAlgebra.queries ++
       Lm.queries ++
       graft.streaming.StreamQueries.queries

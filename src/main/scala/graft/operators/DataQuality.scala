@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{GQ, Tables}
+import graft.{C, GQ, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -279,6 +279,69 @@ object DataQuality {
              |SELECT digit, cnt,
              |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS frac
              |FROM c ORDER BY digit""".stripMargin)
+    ),
+    // l-diversity audit (l=3) over customers — the second Sweeney-line
+    // privacy gate: k-anonymity (q_dq_kanonymity) bounds CLASS SIZE, but
+    // a large class whose members all share one sensitive value still
+    // leaks it (the "homogeneity attack"; Machanavajjhala 2007).
+    // Quasi-identifiers (c_nationkey, c_mktsegment); sensitive attribute
+    // = account-balance band (floor(acctbal/1000) on the exact 2-dp
+    // decimal — banding is itself the standard sensitive-value
+    // generalization). Emits every class with fewer than l distinct
+    // bands (class size, distinct-band count) plus the '__total__'
+    // members-at-risk summary row, mirroring the k-anonymity report.
+    //
+    // Determinism: banding is pure integer math on exact cents — and
+    // because balances go NEGATIVE (min −999.85 in the driver data) and
+    // Spark's `div` TRUNCATES toward zero where DuckDB's `//` FLOORS,
+    // the band is computed on cents SHIFTED into the non-negative domain
+    // (+10^6 cents = the TPC-H −10000.00 balance floor, documented
+    // assumption), where the two semantics coincide: band =
+    // (cents + 10^6) div 10^5 − 10. BIGINT counts; ties → QI key (R1).
+    // The summary's nationkey slot is -1 (the QI is numeric; no string
+    // sentinel available).
+    //
+    // Plan shape (100 TB): ONE scan → hash agg on the QI key with a
+    // distinct-band count (two-phase: (QI, band) partial distinct, then
+    // QI rollup — Spark plans count_distinct exactly so); output bounded
+    // by the QI domain. Nothing corpus-sized moves.
+    GQ(
+      "q_dq_ldiversity",
+      (s, d) => {
+        val l = 3
+        val classes = Tables.t(s, d, "customer")
+          .select(col("c_nationkey").cast(LongType).as("nationkey"),
+            col("c_mktsegment").as("segment"),
+            (C.dec2(col("c_acctbal")) * 100).cast(LongType).as("cents"))
+          .withColumn("band", expr("(cents + 1000000) div 100000 - 10"))
+          .groupBy(col("nationkey"), col("segment"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("band")).as("bands"))
+          .filter(col("bands") < l)
+        classes
+          .select(col("nationkey"), col("segment"), col("class_size"),
+            col("bands"))
+          .union(classes.agg(
+            lit(-1L).as("nationkey"), lit("__total__").as("segment"),
+            coalesce(sum(col("class_size")), lit(0L)).as("class_size"),
+            coalesce(count(lit(1)), lit(0L)).as("bands")))
+          .orderBy(col("nationkey"), col("segment"))
+      },
+      Some("""WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             |    c_mktsegment AS segment,
+             |    (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      + 1000000) // 100000 - 10 AS band
+             |  FROM customer),
+             |cl AS (SELECT nationkey, segment, COUNT(*) AS class_size,
+             |    COUNT(DISTINCT band) AS bands
+             |  FROM b GROUP BY 1, 2
+             |  HAVING COUNT(DISTINCT band) < 3)
+             |SELECT nationkey, segment, class_size, bands FROM cl
+             |UNION ALL
+             |SELECT -1, '__total__',
+             |  CAST(COALESCE(SUM(class_size), 0) AS BIGINT),
+             |  CAST(COUNT(*) AS BIGINT) FROM cl
+             |ORDER BY nationkey, segment""".stripMargin)
     )
   )
 }

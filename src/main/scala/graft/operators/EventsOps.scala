@@ -922,6 +922,65 @@ object EventsOps {
              |JOIN na xa ON pr.a = xa.event_type
              |JOIN na xb ON pr.b = xb.event_type, tot
              |ORDER BY lift DESC, a, b""".stripMargin)
+    ),
+    // Longest consecutive-day activity streak per user (round 5) — the
+    // gaps-and-islands pattern over CALENDAR days, the engagement metric
+    // behind every "7-day streak" product surface and the canonical SQL
+    // interview shape the surface didn't yet exercise: q_sessionize
+    // islands by TIME GAP inside one day; this islands by consecutive
+    // integer day index across the whole range. island_id = day −
+    // row_number over the user's distinct active days — constant exactly
+    // while days are consecutive — then the streak is a (user, island)
+    // count. Top-20 users by longest streak.
+    //
+    // Determinism: day index is exact integer nanos-div (R5); distinct
+    // days make the window order key unique per user, so row_number is
+    // deterministic without a tie-break; counts/min/max are BIGINTs; ties
+    // → (streak desc, user_id) (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (user, day) distinct (hash
+    // agg, map-side partial) → ONE user-keyed window + (user, island)
+    // hash agg on the |users|·|days|-bounded distinct relation → per-user
+    // max + top-k (TakeOrderedAndProject). The corpus exchanges once;
+    // everything after is bounded by active-days, not events.
+    GQ(
+      "q_events_streak",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val NanosPerDay = 86400L * 1000 * 1000 * 1000
+        val days = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts DIV $NanosPerDay").as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val streaks = days
+          .withColumn("isl", col("day") - row_number().over(w))
+          .groupBy(col("user_id"), col("isl"))
+          .agg(count(lit(1)).as("streak"), min(col("day")).as("from_day"),
+            max(col("day")).as("to_day"))
+        val best = Window.partitionBy(col("user_id"))
+          .orderBy(col("streak").desc, col("from_day"))
+        streaks
+          .withColumn("rn", row_number().over(best))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("streak"), col("from_day"), col("to_day"))
+          .orderBy(col("streak").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+             |isl AS (SELECT user_id, day,
+             |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+             |      AS isl
+             |  FROM days),
+             |st AS (SELECT user_id, isl, COUNT(*) AS streak,
+             |    MIN(day) AS from_day, MAX(day) AS to_day
+             |  FROM isl GROUP BY 1, 2),
+             |rk AS (SELECT user_id, streak, from_day, to_day,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY streak DESC, from_day) AS rn
+             |  FROM st)
+             |SELECT user_id, streak, from_day, to_day FROM rk WHERE rn = 1
+             |ORDER BY streak DESC, user_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -12,6 +12,35 @@ import org.apache.spark.sql.types._
   */
 object GraphOps {
 
+  /** Synchronous fixed-round k-core peel over a symmetrized edge list
+    * `(m, n)`: each round recomputes induced degrees and drops every
+    * node with degree < k in parallel, returning the surviving edges.
+    * Converged rounds are no-ops (peel is monotone), so `rounds` past
+    * the fixpoint yields the exact k-core.
+    *
+    * Each round references the previous round's edges THREE times
+    * (degree agg + two semi-joins) — without plan truncation the logical
+    * tree grows 3^rounds (the componentLabels lesson); lazy
+    * localCheckpoint flattens each round to its materialized RDD,
+    * keeping analysis cost linear in rounds. */
+  private[graft] def kcoreSurvivors(
+      sym: org.apache.spark.sql.DataFrame, k: Int, rounds: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var e = sym.localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("m").as("kp"))
+      e = e.join(keep, col("m") === col("kp"), "left_semi")
+        .join(keep, col("n") === col("kp"), "left_semi")
+      // truncate every SECOND round: two lazy rounds compound to 9 refs
+      // of the last checkpoint — still trivially analyzable — while
+      // halving the materialization jobs, which dominate the loop's
+      // wall-clock on the model-sized edge relation
+      if (r % 2 == 0 && r < rounds) e = e.localCheckpoint(false)
+    }
+    e
+  }
+
   val queries: Seq[GQ] = Seq(
     // Triangle participation counts (top-10 words) over the word
     // co-occurrence graph — the classic clustering-structure probe (a
@@ -268,6 +297,78 @@ object GraphOps {
              |WHERE NOT EXISTS (SELECT 1 FROM e0
              |  WHERE e0.a = cn.word_a AND e0.b = cn.word_b)
              |ORDER BY cn DESC, word_a, word_b LIMIT 20""".stripMargin)
+    ),
+    // k-core decomposition (round 5) — the density-peeling primitive the
+    // other three graph queries lack: repeatedly delete every node whose
+    // degree in the SURVIVING subgraph is < k until a fixpoint; what
+    // remains is the k-core (Seidman 1983), the standard "dense kernel"
+    // extractor for community seeding and spam/botnet isolation. Same
+    // bigram-node graph as q_graph_pagerank/q_graph_linkpred (overlapping
+    // trigram bigrams, co-occurrence ≥ 2, symmetrized), k = 8.
+    //
+    // SYNCHRONOUS fixed-round peel: 4 rounds, each recomputing induced
+    // degrees and dropping sub-k nodes IN PARALLEL (the Montresor et al.
+    // 2013 distributed formulation). Measured convergence on the driver
+    // data is ≤ 3 rounds at every SF (sf0.001 peels 21 of 900 nodes,
+    // sf0.01 peels 36, sf0.1 none — mindeg 16 ≥ k there), so 4 rounds IS
+    // the exact k-core with a round of margin; a round past the fixpoint
+    // is a no-op by construction (peel is monotone — once stable,
+    // degrees don't change), and the rounds-4 ≡ rounds-6 law is
+    // spec-pinned on the real corpus (PropertySpec). Output: top-20 core
+    // members by induced degree.
+    //
+    // Determinism: exact set construction + integer degrees, no FP; ties
+    // → node (R1). The oracle replays the identical 4 synchronous rounds
+    // as chained CTEs — same rounds, same fixpoint, same table.
+    //
+    // Plan shape (100 TB): the corpus is touched ONCE (the persisted
+    // vocab²-bounded edge agg); every peel round is one hash agg + two
+    // semi-joins on that model-sized relation — corpus-size-independent,
+    // and the 4-round plan depth is static (no convergence
+    // driver-collect); kcoreSurvivors truncates lineage every second
+    // round, trading 3²-ref segments for half the materialization jobs.
+    GQ(
+      "q_graph_kcore",
+      (s, d) => {
+        val k = 8
+        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 3)
+          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+          .filter(col("g1") =!= col("g2"))
+        val pj = graft.Caches.persist(tg
+          .select(least(col("g1"), col("g2")).as("a"),
+            greatest(col("g1"), col("g2")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("a"), col("b")))
+        val sym = pj.select(col("a").as("m"), col("b").as("n"))
+          .union(pj.select(col("b").as("m"), col("a").as("n")))
+        kcoreSurvivors(sym, k, rounds = 4)
+          .groupBy(col("m").as("node")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("node")).limit(20)
+      },
+      Some {
+        def peel(prev: String, cur: String) =
+          s"""k$cur AS (SELECT m FROM e$prev GROUP BY m HAVING COUNT(*) >= 8),
+             |e$cur AS (SELECT e.m, e.n FROM e$prev e
+             |  JOIN k$cur x ON x.m = e.m JOIN k$cur y ON y.m = e.n)""".stripMargin
+        s"""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |tg AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+           |    i -> [ws[i] || ' ' || ws[i+1], ws[i+1] || ' ' || ws[i+2]])) AS gs
+           |  FROM dd WHERE len(ws) >= 3),
+           |e0p AS (SELECT least(gs[1], gs[2]) AS a, greatest(gs[1], gs[2]) AS b
+           |  FROM tg WHERE gs[1] <> gs[2]
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+           |e0 AS (SELECT a AS m, b AS n FROM e0p
+           |  UNION ALL SELECT b, a FROM e0p),
+           |${peel("0", "1")},
+           |${peel("1", "2")},
+           |${peel("2", "3")},
+           |${peel("3", "4")}
+           |SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e4
+           |GROUP BY m ORDER BY deg DESC, node LIMIT 20""".stripMargin
+      }
     )
   )
 }

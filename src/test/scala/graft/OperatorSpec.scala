@@ -442,6 +442,59 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_graph_pagerank") === expected)
   }
 
+  test("q_stats_linreg: OLS per returnflag matches the closed-form moments") {
+    // expected replicates the query's exact IEEE tree over hand-summed
+    // integer moments (all < 2^53, so the doubles are exact) — two-point
+    // groups A and N must come out with r2 = 1.0 exactly
+    def ols(n: Long, sx: Double, sy: Double, sxx: Double, sxy: Double,
+        syy: Double): Seq[Any] = {
+      val nD = n.toDouble
+      val covn = nD * sxy - sx * sy
+      val varx = nD * sxx - sx * sx
+      val vary = nD * syy - sy * sy
+      val slope = covn / varx
+      def r6(v: Double) =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0
+      Seq(n, r6(slope), r6((sy - slope * sx) / nD),
+        r6(covn * covn / (varx * vary)))
+    }
+    assert(rows("q_stats_linreg") === Seq(
+      "A" +: ols(2, 91, 2950, 4321, 124250, 4902500),
+      "N" +: ols(2, 43, 1600, 1609, 60300, 2260000),
+      "R" +: ols(4, 85, 3600, 2155, 78000, 3440000)))
+  }
+
+  test("q_time_seasonal: single-day fixture has no day-7 ancestor -> empty") {
+    assert(rows("q_time_seasonal") === Seq())
+  }
+
+  test("q_dq_ldiversity: every 1-customer class violates l=3; bands exact") {
+    // cents +10^6 div 10^5 - 10: 100.25->0, -50.10->-1, 0.00->0,
+    // 999.99->0, 10.00->0; all five (nation, segment) classes are
+    // singletons -> flagged; total row carries 5 members at risk
+    assert(rows("q_dq_ldiversity") === Seq(
+      Seq(-1L, "__total__", 5L, 5L),
+      Seq(0L, "AUTOMOBILE", 1L, 1L),
+      Seq(0L, "BUILDING", 1L, 1L),
+      Seq(1L, "AUTOMOBILE", 1L, 1L),
+      Seq(2L, "BUILDING", 1L, 1L),
+      Seq(3L, "MACHINERY", 1L, 1L)))
+  }
+
+  test("q_events_streak: one active day per user -> three streaks of 1") {
+    val day = 1704067200L / 86400
+    assert(rows("q_events_streak") === Seq(
+      Seq(10L, 1L, day, day), Seq(11L, 1L, day, day), Seq(12L, 1L, day, day)))
+  }
+
+  test("q_graph_kcore: fixture bigram graph peels to nothing at k=8") {
+    // max degree in the co-occurrence>=2 bigram graph is 2 (the pagerank
+    // spec's hand-derived 7-edge path components), so the first peel
+    // round removes every node
+    assert(rows("q_graph_kcore") === Seq())
+  }
+
   test("q_sim_ann_pq: full top-3 per query, ADC distances sorted and finite") {
     val r = rows("q_sim_ann_pq")
     assert(r.length === 5 * 3)

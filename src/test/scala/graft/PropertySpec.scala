@@ -1039,4 +1039,73 @@ class PropertySpec extends AnyFunSuite {
     assert(!out.exists(_._2.endsWith("bolt")),
       s"singleton never emits: ${out.toSeq}")
   }
+
+  test("kcoreSurvivors: K10 clique survives k=8, attached tail peels away") {
+    // clique nodes c0..c9 (induced degree 9 >= 8) + a 3-node path tail
+    // hung off c0; the tail peels in the first rounds, after which the
+    // clique is stable — the exact k-core
+    val clique = for {
+      i <- 0 until 10; j <- 0 until 10 if i != j
+    } yield (f"c$i", f"c$j")
+    val tail = Seq(("c0", "t1"), ("t1", "t2"), ("t2", "t3"))
+    val sym = (clique ++ tail ++ tail.map(_.swap)).toDF("m", "n")
+    val surv = operators.GraphOps.kcoreSurvivors(sym, 8, 6)
+      .groupBy(col("m")).agg(count(lit(1)).as("deg"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(surv === (0 until 10).map(i => f"c$i" -> 9L).toMap,
+      s"exact 8-core is the clique with induced degree 9: $surv")
+    // below the clique degree nothing survives: k=10 > max induced degree
+    assert(operators.GraphOps.kcoreSurvivors(sym, 10, 6).count() === 0L)
+  }
+
+  test("q_graph_kcore: 4 peel rounds reach the fixpoint on the real corpus") {
+    // the declared query runs 4 fixed rounds (measured convergence <= 3);
+    // this pins that 2 extra rounds change NOTHING on driver data — the
+    // monotone-peel fixpoint really is inside the round budget
+    def core(rounds: Int): Map[String, Long] = {
+      val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
+      val tg = operators.Grams.kgramRows(docs, 3, Seq())
+        .select(split(col("item"), " ").as("p"))
+        .filter(size(col("p")) === 3)
+        .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+          concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+        .filter(col("g1") =!= col("g2"))
+      val pj = tg
+        .select(least(col("g1"), col("g2")).as("a"),
+          greatest(col("g1"), col("g2")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2).select(col("a"), col("b"))
+      val sym = pj.select(col("a").as("m"), col("b").as("n"))
+        .union(pj.select(col("b").as("m"), col("a").as("n")))
+      operators.GraphOps.kcoreSurvivors(sym, 8, rounds)
+        .groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val at4 = core(4)
+    assert(at4.nonEmpty, "the sf0.01 8-core must be non-empty")
+    assert(at4 === core(6), "rounds 5-6 must be no-ops (fixpoint reached)")
+  }
+
+  test("q_time_seasonal: planted 3-week series backtests the lag-7 forecast") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("snaive-").toString
+    val day0 = 19723L // 2024-01-01
+    // day d carries (d - day0 + 1) events for 21 consecutive days, except
+    // day0+10 is SKIPPED — the calendar join must forecast day0+17 from
+    // the missing day as absent (no row), not misalign like a row-lag
+    val counts = (0 until 21).filter(_ != 10).map(i => (day0 + i, i + 1L))
+    val rows = counts.flatMap { case (d, c) =>
+      (0L until c).map(j => (d * 1000 + j, d * 86400L * 1000000000L + j * 1000L,
+        j % 3, "view", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_seasonal").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = counts.collect { case (d, c) if counts.toMap.contains(d - 7) =>
+      (d, c, c - 7, 7L)
+    }
+    assert(out.toSeq === expected,
+      "snaive error is exactly 7 on the linear ramp; gap days drop out")
+  }
 }
