@@ -27,6 +27,7 @@ object Registry {
       GraphOps.queries ++
       DataQuality.queries ++
       Stats.queries ++
+      Recs.queries ++
       LinearAlgebra.queries ++
       Lm.queries ++
       graft.streaming.StreamQueries.queries

@@ -84,6 +84,42 @@ object Joins {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY c_custkey""".stripMargin)
     ),
+    // NOT IN anti join (round 5) — the THIRD negation shape beside
+    // left_anti/NOT EXISTS: `x NOT IN (subquery)` carries three-valued
+    // logic that NOT EXISTS does not — one NULL in the subquery makes
+    // every non-matching row UNKNOWN and the result EMPTY, so Spark
+    // plans a NULL-AWARE anti join (single-key broadcast hash NAAJ,
+    // SPARK-32290) instead of a plain anti join; an engine that rewrites
+    // NOT IN to anti-join blindly is WRONG on nullable inputs. Query:
+    // parts never shipped in quantity ≥ 48 ("slow movers"). The driver
+    // columns carry no NULLs, so the output is non-empty at every SF
+    // (21/357/3297 rows); the planted-NULL → empty-result semantics are
+    // pinned in PropertySpec where the fixture can plant one.
+    //
+    // Determinism: pure key set logic, no arithmetic; ORDER BY the
+    // unique p_partkey (R1).
+    //
+    // Plan shape (100 TB): the filtered subquery side (qty ≥ 48
+    // pushdown-filtered at the scan) builds one broadcast hash relation
+    // with a null flag; the probe is scan-local — no shuffle of either
+    // corpus. NAAJ requires the build side to broadcast; a too-big build
+    // side is the signal to pre-aggregate it (DISTINCT l_partkey) first,
+    // which this query's oracle shape already implies.
+    GQ(
+      "q_join_not_in",
+      (s, d) => {
+        Tables.t(s, d, "part").createOrReplaceTempView("graft_part_ni")
+        Tables.t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_ni")
+        s.sql("""SELECT p_partkey, p_name FROM graft_part_ni
+                |WHERE p_partkey NOT IN (SELECT l_partkey FROM graft_lineitem_ni
+                |                        WHERE l_quantity >= 48)
+                |ORDER BY p_partkey""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+             |                        WHERE l_quantity >= 48)
+             |ORDER BY p_partkey""".stripMargin)
+    ),
     GQ(
       "q_join_theta",
       (s, d) =>

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{GQ, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Recommendation operators (round 5): collaborative filtering over the
+  * order→part bipartite relation. The reference has no recommendation
+  * surface; this is the classic batch output a commerce pipeline derives
+  * from exactly the co-occurrence statistics q_events_assoc computes on
+  * sessions — but shaped as per-item TOP-K RECOMMENDATIONS, the serving
+  * artifact, not the global rule table.
+  */
+object Recs {
+
+  val queries: Seq[GQ] = Seq(
+    // Item-item collaborative filtering ("customers also bought"):
+    // cosine similarity over the binary order×part incidence —
+    // cos(a,b) = n_ab / √(n_a·n_b) (Sarwar et al. 2001) — and the top-3
+    // most similar parts per part. Co-purchase counts come from a
+    // baskets self-join keyed on the order, so pair volume is
+    // Σ_orders |basket|² — ORDER-SIZE-bounded (≤ 7 items in the driver
+    // data), never |parts|²; this is the same blocking argument as the
+    // session-keyed q_events_assoc self-join, on the commerce relation.
+    //
+    // Determinism: n_ab/n_a/n_b are exact BIGINTs; the cosine is ONE
+    // fixed IEEE tree (integer product → exact double < 2^53 → one
+    // correctly-rounded sqrt → one division) so ranking on it is
+    // bit-stable cross-engine; ties → recommended part id; roundz(6)
+    // display (R7/R8); final ORDER BY the unique (part, rank) (R1).
+    //
+    // Plan shape (100 TB): (order, part) distinct → order-keyed
+    // self-join (basket-bounded) → (a, b) hash agg; the n_a margins are
+    // a |parts|-sized broadcast; the top-3 is a part-keyed window that
+    // WindowGroupLimit cuts to 3 rows per part map-side. Nothing bigger
+    // than the pair relation (≤ Σ|basket|²) ever shuffles.
+    GQ(
+      "q_recs_itemcf",
+      (s, d) => {
+        // li feeds the self-join twice plus the margins; pairs feeds both
+        // union directions — persist each so the corpus distinct and the
+        // basket self-join run once (the q_graph_linkpred pattern)
+        val li = graft.Caches.persist(Tables.t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct())
+        val pairs = graft.Caches.persist(li.as("x")
+          .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("n_ab")))
+        val deg = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+        val sym = pairs.select(col("a").as("item"), col("b").as("rec"),
+            col("n_ab"))
+          .union(pairs.select(col("b").as("item"), col("a").as("rec"),
+            col("n_ab")))
+        val scored = sym
+          .join(broadcast(deg.select(col("p").as("item"), col("n").as("n_i"))),
+            "item")
+          .join(broadcast(deg.select(col("p").as("rec"), col("n").as("n_r"))),
+            "rec")
+          .withColumn("cosine", col("n_ab").cast(DoubleType) /
+            sqrt((col("n_i") * col("n_r")).cast(DoubleType)))
+        val w = Window.partitionBy(col("item"))
+          .orderBy(col("cosine").desc, col("rec"))
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("item"), col("rank").cast(LongType).as("rank"),
+            col("rec"), col("n_ab"),
+            graft.functions.vec.roundz(col("cosine"), 6).as("cosine"))
+          .orderBy(col("item"), col("rank"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |pr AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS n_ab
+             |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+             |  GROUP BY 1, 2),
+             |deg AS (SELECT p, COUNT(*) AS n FROM li GROUP BY p),
+             |sym AS (SELECT a AS item, b AS rec, n_ab FROM pr
+             |  UNION ALL SELECT b, a, n_ab FROM pr),
+             |sc AS (SELECT s.item, s.rec, s.n_ab,
+             |    CAST(s.n_ab AS DOUBLE) /
+             |      sqrt(CAST(di.n * dr.n AS DOUBLE)) AS cosine
+             |  FROM sym s JOIN deg di ON di.p = s.item
+             |  JOIN deg dr ON dr.p = s.rec),
+             |rk AS (SELECT item, rec, n_ab, cosine,
+             |    row_number() OVER (PARTITION BY item
+             |      ORDER BY cosine DESC, rec) AS rank
+             |  FROM sc)
+             |SELECT item, CAST(rank AS BIGINT) AS rank, rec, n_ab,
+             |  (ROUND(cosine, 6) + 0.0) AS cosine
+             |FROM rk WHERE rank <= 3 ORDER BY item, rank""".stripMargin)
+    )
+  )
+}

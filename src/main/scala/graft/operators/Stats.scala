@@ -122,6 +122,57 @@ object Stats {
              |  abs(c.actual - p.actual) AS abs_err
              |FROM daily c JOIN daily p ON c.day = p.day + 7
              |ORDER BY day""".stripMargin)
+    ),
+    // CUSUM change-point scan over the daily event series (Page 1954) —
+    // the monitoring primitive that finds WHERE a level shift happened,
+    // complementing q_time_anomaly (which spike is abnormal) and
+    // q_time_seasonal (how wrong the baseline is). Classic centered
+    // cumulative sum, scaled INTEGER-EXACT: instead of Σ(c_i − S/N) in
+    // floats, accumulate N·c_i − S — the same series ×N — so every
+    // partial sum is an exact BIGINT (|days|·N·max_cnt ≪ 2^63) and the
+    // argmax |cusum| (the estimated change point, flagged per row) is
+    // bit-free of FP. Emits the full diagnostic series: day, count,
+    // scaled cusum, is_change flag.
+    //
+    // Determinism: integers end to end; the argmax flag breaks ties by
+    // flagging EVERY day attaining max |cusum| (no hidden tie-break);
+    // ORDER BY the unique day (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → day-keyed hash agg; the
+    // cumulative window and the max-abs window both run on the
+    // |days|-sized series (single-partition window over a model-sized
+    // relation — the bounded-driver-pattern analog for windows), with
+    // the (N, S) totals broadcast from a 1-row agg.
+    GQ(
+      "q_time_cusum",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val NanosPerDay = 86400L * 1000 * 1000 * 1000
+        val daily = Tables.events(s, d)
+          .withColumn("day", expr(s"ts DIV $NanosPerDay"))
+          .groupBy(col("day")).agg(count(lit(1)).as("actual"))
+        val tot = daily.agg(count(lit(1)).as("nd"), sum(col("actual")).as("st"))
+        val cum = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(tot))
+          .withColumn("cusum",
+            sum(col("actual") * col("nd") - col("st")).over(cum))
+          .withColumn("is_change",
+            abs(col("cusum")) === max(abs(col("cusum"))).over(
+              Window.partitionBy()))
+          .select(col("day"), col("actual"), col("cusum"), col("is_change"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+             |    COUNT(*) AS actual FROM events GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS nd, SUM(actual) AS st FROM daily),
+             |cs AS (SELECT day, actual,
+             |    SUM(actual * nd - st) OVER (ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS cusum
+             |  FROM daily, tot)
+             |SELECT day, actual, CAST(cusum AS BIGINT) AS cusum,
+             |  abs(cusum) = MAX(abs(cusum)) OVER () AS is_change
+             |FROM cs ORDER BY day""".stripMargin)
     )
   )
 }

@@ -70,6 +70,27 @@ object StreamQueries {
     }
   }
 
+  /** Run `body` (a bounded streaming execution) with the session's shuffle
+    * partitions — which fix the STATE STORE partition count at stream
+    * start — temporarily sized to the state volume, then restore.
+    *
+    * Round-5 perf: the declared streams carry KB-scale state (dozens of
+    * windows / sessions / join rows), but inherited the CPU-sized 32
+    * shuffle partitions, so every microbatch paid 32 (×2 for the
+    * stream-stream join) state-store instantiations+commits of mostly
+    * EMPTY stores — pure fixed overhead that made q_stream_join the
+    * surface's slowest query (5.7 s at sf0.1; the state itself is a few
+    * thousand rows). A real deployment sizes state partitions to state
+    * cardinality, not core count — exactly this knob. Batch stages around
+    * the stream (the final ORDER BY) run after restore, at full width. */
+  private def withStatePartitions[A](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_stream_tumbling",
@@ -83,12 +104,14 @@ object StreamQueries {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
         }
-        val q = EventStreams.tumbling(ev, every = "1 hour", watermark = "10 minutes")
-          .writeStream.format("memory").queryName("graft_stream_tumbling")
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 4) {
+          val q = EventStreams.tumbling(ev, every = "1 hour", watermark = "10 minutes")
+            .writeStream.format("memory").queryName("graft_stream_tumbling")
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_stream_tumbling")
           .select(
             expr("unix_seconds(CAST(window_start AS TIMESTAMP))").as("epoch_s"),
@@ -122,12 +145,14 @@ object StreamQueries {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
         }
-        val q = EventStreams.sessions(ev, gap = "30 minutes", watermark = "10 minutes")
-          .writeStream.format("memory").queryName("graft_stream_sessions")
-          .outputMode("complete")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 4) {
+          val q = EventStreams.sessions(ev, gap = "30 minutes", watermark = "10 minutes")
+            .writeStream.format("memory").queryName("graft_stream_sessions")
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_stream_sessions")
           .select(
             col("user_id"),
@@ -177,14 +202,16 @@ object StreamQueries {
         }
         val keyed = ev.select(col("ts"), col("user_id"), col("event_type"),
           expr("unix_micros(ts) div 60000000").as("minute_id"))
-        val q = EventStreams.dedupOnKeys(keyed,
-            Seq("user_id", "event_type", "minute_id"), watermark = "10 minutes")
-          .select(col("user_id"), col("event_type"), col("minute_id"))
-          .writeStream.format("memory").queryName("graft_stream_dedup")
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 4) {
+          val q = EventStreams.dedupOnKeys(keyed,
+              Seq("user_id", "event_type", "minute_id"), watermark = "10 minutes")
+            .select(col("user_id"), col("event_type"), col("minute_id"))
+            .writeStream.format("memory").queryName("graft_stream_dedup")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_stream_dedup")
           .orderBy(col("user_id"), col("event_type"), col("minute_id"))
       },
@@ -219,17 +246,19 @@ object StreamQueries {
         }
         // one replay frame; the library filters it into the two sides,
         // each becoming its own streaming scan with its own watermark
-        val q = EventStreams.purchaseAttribution(side(),
-            lookback = "1 hour", watermark = "10 minutes")
-          .select(col("user_id"), col("purchase_id"), col("click_id"),
-            expr("unix_micros(purchase_ts)").as("p_us"),
-            expr("unix_micros(click_ts)").as("c_us"),
-            col("value"))
-          .writeStream.format("memory").queryName("graft_stream_join")
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
+        withStatePartitions(s, 4) {
+          val q = EventStreams.purchaseAttribution(side(),
+              lookback = "1 hour", watermark = "10 minutes")
+            .select(col("user_id"), col("purchase_id"), col("click_id"),
+              expr("unix_micros(purchase_ts)").as("p_us"),
+              expr("unix_micros(click_ts)").as("c_us"),
+              col("value"))
+            .writeStream.format("memory").queryName("graft_stream_join")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
         s.table("graft_stream_join")
           .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
       },

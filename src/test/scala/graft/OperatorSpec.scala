@@ -495,6 +495,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_graph_kcore") === Seq())
   }
 
+  test("q_join_not_in: parts with a qty>=48 shipment are excluded") {
+    // only lineitem qty >= 48 is the 55 on partkey 3 -> parts 1 and 2 stay
+    assert(rows("q_join_not_in") === Seq(
+      Seq(1L, "ivory part"), Seq(2L, "azure part")))
+  }
+
+  test("q_time_cusum: single-day series has cusum 0 and flags itself") {
+    assert(rows("q_time_cusum") === Seq(Seq(19723L, 6L, 0L, true)))
+  }
+
+  test("q_recs_itemcf: the one co-purchased pair recommends both ways") {
+    // baskets {1,2},{3},{1,2},{3},{1},{2}: only pair (1,2) with n_ab=2,
+    // deg(1)=deg(2)=3 -> cosine 2/3; part 3 never co-occurs -> absent
+    assert(rows("q_recs_itemcf") === Seq(
+      Seq(1L, 1L, 2L, 2L, 0.666667), Seq(2L, 1L, 1L, 2L, 0.666667)))
+  }
+
   test("q_sim_ann_pq: full top-3 per query, ADC distances sorted and finite") {
     val r = rows("q_sim_ann_pq")
     assert(r.length === 5 * 3)

@@ -38,6 +38,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_join_not_in: plans a null-aware anti join, not a plain anti") {
+    // PropertySpec proves the 3VL semantics; this pins the physical
+    // operator that makes them cheap — single-key NOT IN must hit the
+    // broadcast-hash NAAJ path (SPARK-32290), not a nested loop
+    // AdaptiveSparkPlanExec hides its inner plan from collect(), so pin
+    // the printed form: BroadcastHashJoinExec renders its
+    // isNullAwareAntiJoin flag as the trailing argument
+    val p = plan("q_join_not_in")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"no null-aware BroadcastHashJoin in:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"NOT IN degraded to a nested loop:\n$p")
+  }
+
+  test("q_recs_itemcf: the per-item top-3 is group-limited map-side") {
+    val p = plan("q_recs_itemcf")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 filter must push into WindowGroupLimit:\n$p")
+  }
+
   test("top-k queries use TakeOrderedAndProject, never a global sort") {
     for (q <- Seq("q_sort_limit", "q_text_ngram_topk")) {
       val p = plan(q)

@@ -1058,6 +1058,26 @@ class PropertySpec extends AnyFunSuite {
     assert(operators.GraphOps.kcoreSurvivors(sym, 10, 6).count() === 0L)
   }
 
+  test("q_join_not_in: one NULL in the subquery empties the result (3VL)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("notinprop-").toString
+    val ts = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    Seq((1L, "a part", "Brand#1", "T", 1, 1.0), (2L, "b part", "Brand#1", "T", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    // partkey NULL on a qualifying row: x NOT IN {1, NULL} is UNKNOWN for
+    // every x not in the set, so NO part may survive — the semantics that
+    // separate NOT IN from NOT EXISTS (which would keep part 2)
+    Seq((10L, Some(1L), 1L, 1, 50.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (11L, None: Option[Long], 1L, 1, 50.0, 1.0, 0.0, 0.0, "N", "O", ts))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    assert(Registry.byName("q_join_not_in").run(spark, dir).count() === 0L,
+      "a NULL key in the NOT IN subquery must empty the result")
+  }
+
   test("q_graph_kcore: 4 peel rounds reach the fixpoint on the real corpus") {
     // the declared query runs 4 fixed rounds (measured convergence <= 3);
     // this pins that 2 extra rounds change NOTHING on driver data — the
