@@ -163,6 +163,64 @@ object LinearAlgebra {
              |  FROM embeddings)
              |SELECT label, bucket_c, COUNT(*) AS n
              |FROM h GROUP BY 1, 2 ORDER BY label, bucket_c""".stripMargin)
+    ),
+    // Scalar (per-dimension min-max) int8 quantization audit (round 5) —
+    // the OTHER standard embedding compressor beside q_sim_ann_pq's
+    // product quantization: each dimension linearly maps onto [0, 255]
+    // by its corpus min/max, 4× smaller vectors with per-dim codebooks
+    // of two floats. Emitted per vector: the exact integer CODE SUM
+    // (the reproducibility fingerprint two quantization runs compare)
+    // and the saturated-dimension count (codes 0/255 — the clipping
+    // audit that tells you the corpus has outlier dims).
+    //
+    // Determinism: min/max of raw floats are exact; the code is ONE
+    // fixed IEEE tree floor((v−mn)·255/(mx−mn)) over exact float→double
+    // casts — identical doubles cross-engine, so identical floors at
+    // every boundary; constant dims (mx = mn) code to 0 by contract.
+    // BIGINT sums are order-free; ORDER BY the unique vec_id (R1).
+    //
+    // Plan shape (100 TB): explode ×64 → dim-keyed agg whose output is
+    // 64 rows (map-side combined) → BROADCAST back onto the exploded
+    // corpus → vec-keyed hash agg. Two corpus-order scans, both
+    // scan-bound linear; nothing wider than ×dims ever materializes,
+    // and the per-dim codebook is model-sized forever.
+    GQ(
+      "q_embed_quantize",
+      (s, d) => {
+        val ex = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .withColumn("v", col("v").cast(DoubleType))
+        val dims = ex.groupBy(col("pos"))
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+        ex.join(broadcast(dims), "pos")
+          .withColumn("code",
+            when(col("mx") > col("mn"),
+              least(greatest(
+                floor((col("v") - col("mn")) * 255 / (col("mx") - col("mn")))
+                  .cast(LongType), lit(0L)), lit(255L)))
+              .otherwise(lit(0L)))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum(col("code")).as("codesum"),
+            sum(when(col("code") === 0 || col("code") === 255, 1L)
+              .otherwise(0L)).as("n_saturated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    generate_subscripts(embedding, 1) AS pos,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |st AS (SELECT pos, MIN(v) AS mn, MAX(v) AS mx
+             |  FROM e GROUP BY pos),
+             |c AS (SELECT vec_id, label,
+             |    CASE WHEN mx > mn THEN LEAST(GREATEST(CAST(FLOOR(
+             |      (v - mn) * 255 / (mx - mn)) AS BIGINT), 0), 255)
+             |    ELSE 0 END AS code
+             |  FROM e JOIN st USING (pos))
+             |SELECT vec_id, label, CAST(SUM(code) AS BIGINT) AS codesum,
+             |  CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_saturated
+             |FROM c GROUP BY 1, 2 ORDER BY vec_id""".stripMargin)
     )
   )
 }

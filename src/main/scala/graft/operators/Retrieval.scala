@@ -492,6 +492,55 @@ object Retrieval {
            |FROM sc GROUP BY doc_id
            |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
       }
+    ),
+    // Boolean conjunctive retrieval with negation (round 5) — the
+    // postings-intersection primitive under every ranked retriever:
+    // docs containing ALL of {key, order, sort} AND NOT {slow},
+    // ranked by combined query-term frequency. q_index_postings builds
+    // the index, q_retrieval_bm25 ranks — this is the AND/NOT set
+    // algebra between them (the "filtered retrieval" every RAG corpus
+    // query runs before scoring).
+    //
+    // Algorithm: the exploded corpus is filtered to the 3-term query
+    // set SCAN-SIDE (the membership predicate evaluates inside the
+    // scan projection — no posting list for non-query terms ever
+    // exists), intersected by a (doc, distinct-term-count = 3) agg —
+    // the standard docs-at-a-time conjunction — and the NOT term
+    // subtracts via an anti join on its doc set.
+    //
+    // Determinism: exact BIGINT counts; ties → doc_id (R1).
+    //
+    // Plan shape (100 TB): corpus scan → query-term-filtered explode
+    // (output bounded by query-term postings, NOT corpus vocabulary)
+    // → ONE doc-keyed hash agg; the negation side is the same filtered
+    // shape for one term, broadcast into the anti join; top-k is
+    // TakeOrderedAndProject. Nothing vocabulary-wide ever shuffles.
+    GQ(
+      "q_retrieval_boolean",
+      (s, d) => {
+        val terms = Seq("key", "order", "sort")
+        val toks = Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val hits = toks.filter(col("w").isin(terms: _*))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("w")).as("nt"), count(lit(1)).as("tf"))
+          .filter(col("nt") === terms.size)
+        val negDocs = toks.filter(col("w") === "slow")
+          .select(col("doc_id")).distinct()
+        hits.join(negDocs, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("tf"))
+          .orderBy(col("tf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |hits AS (SELECT doc_id, COUNT(DISTINCT w) AS nt, COUNT(*) AS tf
+             |  FROM toks WHERE w IN ('key', 'order', 'sort')
+             |  GROUP BY doc_id HAVING COUNT(DISTINCT w) = 3)
+             |SELECT doc_id, tf FROM hits
+             |WHERE NOT EXISTS (SELECT 1 FROM toks
+             |  WHERE toks.doc_id = hits.doc_id AND toks.w = 'slow')
+             |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

@@ -86,7 +86,20 @@ object ScaleStress {
     // the 10× backfill in source-governed batches
     "q_stream_tumbling", "q_stream_sessions",
     // one-scan fused profile — must stay scan-bound
-    "q_dq_profile")
+    "q_dq_profile",
+    // round 5: k-core + PageRank (fixed rounds over the vocab-bounded
+    // edge relation — loop cost must not scale with corpus), item-item
+    // CF (basket-bounded self-join — THE pair-volume risk), NOT IN
+    // (the NAAJ build side grows with the corpus — broadcast budget
+    // probe), streaks (one user window over distinct days), the
+    // day-bounded cusum/seasonal series, linreg (3-row moments agg),
+    // l-diversity (QI-bounded), overlap chunking (scan-linear ×64/48),
+    // Benford + readability (scan-side projections), and the two new
+    // streaming replays (dedup state keys / join state both bounded)
+    "q_graph_kcore", "q_graph_pagerank", "q_recs_itemcf", "q_join_not_in",
+    "q_events_streak", "q_time_cusum", "q_time_seasonal", "q_stats_linreg",
+    "q_dq_ldiversity", "q_chunk_overlap", "q_dq_benford",
+    "q_text_readability", "q_stream_dedup", "q_stream_join")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -512,6 +512,21 @@ class OperatorSpec extends AnyFunSuite {
       Seq(1L, 1L, 2L, 2L, 0.666667), Seq(2L, 1L, 1L, 2L, 0.666667)))
   }
 
+  test("q_retrieval_boolean: only the key-order-sort docs conjoin; no slow") {
+    // docs 1/2 contain all of {key, order, sort} once each (tf 3); no
+    // fixture doc contains 'slow'
+    assert(rows("q_retrieval_boolean") === Seq(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("q_embed_quantize: hand-quantized 4-dim codes (min-max per dim)") {
+    // dim0 range [0,2], dims1-3 [0,1]; codes floor((v-mn)*255/(mx-mn))
+    // with float->double cast: 0.2f -> 25, 0.5 -> 63 (dim0) / 127 (dim1),
+    // 0.1f -> 25, 0.9f -> 229; saturated = codes hitting 0 or 255
+    assert(rows("q_embed_quantize") === Seq(
+      Seq(0L, 0, 127L, 3L), Seq(1L, 1, 255L, 4L), Seq(2L, 2, 190L, 2L),
+      Seq(3L, 3, 510L, 4L), Seq(4L, 4, 279L, 1L), Seq(5L, 5, 255L, 4L)))
+  }
+
   test("q_sim_ann_pq: full top-3 per query, ADC distances sorted and finite") {
     val r = rows("q_sim_ann_pq")
     assert(r.length === 5 * 3)

@@ -52,6 +52,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"NOT IN degraded to a nested loop:\n$p")
   }
 
+  test("q_embed_quantize: the 64-row dim codebook broadcasts onto the corpus") {
+    val p = plan("q_embed_quantize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim stats must broadcast, not shuffle the exploded corpus:\n$p")
+  }
+
   test("q_recs_itemcf: the per-item top-3 is group-limited map-side") {
     val p = plan("q_recs_itemcf")
     assert(p.contains("WindowGroupLimit"),
