@@ -1078,6 +1078,25 @@ class PropertySpec extends AnyFunSuite {
       "a NULL key in the NOT IN subquery must empty the result")
   }
 
+  test("q_time_cusum: a symmetric series flags EVERY day attaining max |cusum|") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("cusumprop-").toString
+    val day0 = 19723L
+    // counts (1, 3, 1): scaled terms 3c−5 are (−2, +4, −2), cusum
+    // (−2, 2, 0) — |max| = 2 is attained TWICE; the contract says both
+    // days flag (no hidden tie-break), the final balanced day does not
+    val rows = Seq((day0, 1L), (day0 + 1, 3L), (day0 + 2, 1L)).flatMap {
+      case (d, c) => (0L until c).map(j =>
+        (d * 100 + j, d * 86400L * 1000000000L + j, 1L, "view", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_cusum").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq((day0, 1L, -2L, true), (day0 + 1, 3L, 2L, true),
+      (day0 + 2, 1L, 0L, false)))
+  }
+
   test("q_graph_kcore: 4 peel rounds reach the fixpoint on the real corpus") {
     // the declared query runs 4 fixed rounds (measured convergence <= 3);
     // this pins that 2 extra rounds change NOTHING on driver data — the
