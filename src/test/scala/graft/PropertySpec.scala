@@ -1078,6 +1078,34 @@ class PropertySpec extends AnyFunSuite {
       "a NULL key in the NOT IN subquery must empty the result")
   }
 
+  test("withHilbert: matches sequential xy2d on the full 32x32 grid (bijection)") {
+    // independent reference: the classic mutable xy2d walk
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val out = operators.Layout
+      .withHilbert(grid.toDF("x", "y"), col("x"), col("y"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.size === 1024)
+    for ((x, y) <- grid)
+      assert(out((x, y)) === xy2d(5, x, y), s"hilbert mismatch at ($x, $y)")
+    // bijection: every d in [0, 1024) appears exactly once
+    assert(out.values.toSeq.sorted === (0L until 1024L))
+  }
+
   test("q_time_cusum: a symmetric series flags EVERY day attaining max |cusum|") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("cusumprop-").toString
