@@ -55,6 +55,20 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  // The accidental-quadratic net (round 5): no declared query may ever plan
+  // a CartesianProduct — Spark only picks that operator for a non-broadcast
+  // cross join, which at 100 TB is a corpus² shuffle no matter how small it
+  // looks on MiniData. Deliberate 1-row stats joins come out as
+  // BroadcastNestedLoopJoin (allowed); a lost join condition or a stats
+  // relation that stopped broadcasting lands here first.
+  test("no query plans a CartesianProduct (global sweep)") {
+    for (gq <- Registry.all) {
+      val p = gq.run(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${gq.name} plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("entry flagship returns rows (t1 smoke shape)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
