@@ -173,6 +173,57 @@ object Stats {
              |SELECT day, actual, CAST(cusum AS BIGINT) AS cusum,
              |  abs(cusum) = MAX(abs(cusum)) OVER () AS is_change
              |FROM cs ORDER BY day""".stripMargin)
+    ),
+    // DAU / rolling 28-day MAU / stickiness (round 5) — the engagement
+    // triple every product-analytics stack reports. The rolling distinct
+    // is computed EXACTLY by joining the (day, user) activity relation
+    // onto each report day's trailing window (distinct-over-window has
+    // no streaming-aggregate form — sliding distinct sets don't merge),
+    // with DAU folded into the same pass as a conditional distinct.
+    // Stickiness = DAU·1000 div MAU in exact integer thousandths
+    // (identical floor division on positives, R7-free).
+    //
+    // Determinism: exact distinct counts + integer division; ORDER BY
+    // the unique day (R1). Partial leading windows (< 28 days of
+    // history) report what exists — the standard convention.
+    //
+    // Plan shape (100 TB): ONE corpus scan → (day, user) distinct (the
+    // only corpus-sized exchange); the |days|-sized calendar BROADCASTS
+    // into a nested-loop range join — ≤ 28 output rows per activity row,
+    // a fixed fan-out like q_time_sliding's explode — then one day-keyed
+    // distinct agg. At petabyte user counts the exact path gives way to
+    // the mergeable per-day HLL tiles of q_sketch_rollup (union 28
+    // sketches per report day); this query IS the exact oracle that
+    // validates that sketch rollup.
+    GQ(
+      "q_events_dau_mau",
+      (s, d) => {
+        val NanosPerDay = 86400L * 1000 * 1000 * 1000
+        val du = Tables.events(s, d)
+          .select(expr(s"ts DIV $NanosPerDay").as("day"), col("user_id"))
+          .distinct()
+        val days = du.select(col("day").as("d")).distinct()
+        broadcast(days)
+          .join(du, col("day").between(col("d") - 27, col("d")))
+          .groupBy(col("d"))
+          .agg(
+            countDistinct(when(col("day") === col("d"), col("user_id")))
+              .as("dau"),
+            countDistinct(col("user_id")).as("mau"))
+          .select(col("d").as("day"), col("dau"), col("mau"),
+            expr("dau * 1000 div mau").as("stickiness_milli"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT
+             |    epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day AS d FROM du)
+             |SELECT d AS day,
+             |  COUNT(DISTINCT CASE WHEN du.day = d THEN du.user_id END) AS dau,
+             |  COUNT(DISTINCT du.user_id) AS mau,
+             |  (COUNT(DISTINCT CASE WHEN du.day = d THEN du.user_id END) * 1000)
+             |    // COUNT(DISTINCT du.user_id) AS stickiness_milli
+             |FROM days JOIN du ON du.day BETWEEN d - 27 AND d
+             |GROUP BY d ORDER BY day""".stripMargin)
     )
   )
 }

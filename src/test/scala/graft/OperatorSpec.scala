@@ -505,6 +505,10 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_time_cusum") === Seq(Seq(19723L, 6L, 0L, true)))
   }
 
+  test("q_events_dau_mau: single active day -> dau = mau, stickiness 1000") {
+    assert(rows("q_events_dau_mau") === Seq(Seq(19723L, 3L, 3L, 1000L)))
+  }
+
   test("q_recs_itemcf: the one co-purchased pair recommends both ways") {
     // baskets {1,2},{3},{1,2},{3},{1},{2}: only pair (1,2) with n_ab=2,
     // deg(1)=deg(2)=3 -> cosine 2/3; part 3 never co-occurs -> absent

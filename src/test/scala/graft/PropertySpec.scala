@@ -1125,6 +1125,28 @@ class PropertySpec extends AnyFunSuite {
       (day0 + 2, 1L, 0L, false)))
   }
 
+  test("q_events_dau_mau: trailing window unions users; window edge at 28 days") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("dauprop-").toString
+    val day0 = 19723L
+    // day0 users {1,2}; day1 users {2,3}; day0+28 user {9}. The trailing
+    // window of day0+28 is [day0+1, day0+28]: day1's users {2,3} are IN
+    // (exactly 27 days back), day0's are OUT (28 back) — the window-edge
+    // probe for the BETWEEN d-27 AND d convention
+    val rows = Seq((day0, 1L), (day0, 2L), (day0 + 1, 2L), (day0 + 1, 3L),
+      (day0 + 28, 9L)).zipWithIndex.map { case ((d, u), i) =>
+      (i.toLong, d * 86400L * 1000000000L + i, u, "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_dau_mau").run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (day0, 2L, 2L, 1000L),          // users {1,2}
+      (day0 + 1, 2L, 3L, 666L),       // dau {2,3}, mau {1,2,3}, 2000 div 3
+      (day0 + 28, 1L, 3L, 333L)))     // dau {9}, mau {2,3,9}, 1000 div 3
+  }
+
   test("q_graph_kcore: 4 peel rounds reach the fixpoint on the real corpus") {
     // the declared query runs 4 fixed rounds (measured convergence <= 3);
     // this pins that 2 extra rounds change NOTHING on driver data — the
