@@ -304,33 +304,41 @@ object GraphOps {
     // remains is the k-core (Seidman 1983), the standard "dense kernel"
     // extractor for community seeding and spam/botnet isolation. Same
     // bigram-node graph as q_graph_pagerank/q_graph_linkpred (overlapping
-    // trigram bigrams, co-occurrence ≥ 2, symmetrized), k = 8.
+    // trigram bigrams, co-occurrence ≥ 2, symmetrized).
     //
-    // SYNCHRONOUS fixed-round peel: 4 rounds, each recomputing induced
+    // k is DATA-ADAPTIVE: k = max(2, (2·meandeg) div 3), meandeg =
+    // |sym| div |V| in exact integer division. A fixed k cannot track
+    // this graph across SFs — its density roughly quadruples from
+    // sf0.001 (meandeg 15) to sf0.1 (meandeg 57), so any constant
+    // either peels nothing at bench scale or empties the small SFs.
+    // Measured with the adaptive k: sf0.001 peels 83 of 903 nodes
+    // (k=10, 5 rounds), sf0.01 peels 137 (k=10, 7 rounds), sf0.1 peels
+    // 25 of 925 (k=38, 2 rounds) — real peeling AND a non-empty core at
+    // every SF. The two scalars come from ONE bounded driver fetch (a
+    // 1-row agg — the Lloyd/PCA bounded-model pattern) because k gates
+    // every round's HAVING.
+    //
+    // SYNCHRONOUS fixed-round peel: 8 rounds, each recomputing induced
     // degrees and dropping sub-k nodes IN PARALLEL (the Montresor et al.
-    // 2013 distributed formulation). Measured convergence on the driver
-    // data is ≤ 3 rounds at every SF (sf0.001 peels 21 of 900 nodes,
-    // sf0.01 peels 36, sf0.1 none — mindeg 16 ≥ k there), so 4 rounds IS
-    // the exact k-core with a round of margin; a round past the fixpoint
-    // is a no-op by construction (peel is monotone — once stable,
-    // degrees don't change), and the rounds-4 ≡ rounds-6 law is
-    // spec-pinned on the real corpus (PropertySpec). Output: top-20 core
-    // members by induced degree.
+    // 2013 distributed formulation); observed convergence ≤ 7 rounds,
+    // so 8 reaches the fixpoint with margin (a round past it is a no-op
+    // — peel is monotone), and the rounds-8 ≡ rounds-10 law is
+    // spec-pinned on the real corpus (PropertySpec). Output: top-20
+    // core members by induced degree.
     //
-    // Determinism: exact set construction + integer degrees, no FP; ties
-    // → node (R1). The oracle replays the identical 4 synchronous rounds
-    // as chained CTEs — same rounds, same fixpoint, same table.
+    // Determinism: exact set construction + integer degrees and integer
+    // k, no FP; ties → node (R1). The oracle computes the identical k
+    // in a scalar CTE and replays the identical 8 synchronous rounds.
     //
     // Plan shape (100 TB): the corpus is touched ONCE (the persisted
     // vocab²-bounded edge agg); every peel round is one hash agg + two
     // semi-joins on that model-sized relation — corpus-size-independent,
-    // and the 4-round plan depth is static (no convergence
+    // and the 8-round plan depth is static (no convergence
     // driver-collect); kcoreSurvivors truncates lineage every second
     // round, trading 3²-ref segments for half the materialization jobs.
     GQ(
       "q_graph_kcore",
       (s, d) => {
-        val k = 8
         val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
           .select(split(col("item"), " ").as("p"))
           .filter(size(col("p")) === 3)
@@ -344,14 +352,26 @@ object GraphOps {
           .filter(col("w") >= 2).select(col("a"), col("b")))
         val sym = pj.select(col("a").as("m"), col("b").as("n"))
           .union(pj.select(col("b").as("m"), col("a").as("n")))
-        kcoreSurvivors(sym, k, rounds = 4)
+        // bounded driver fetch (1 row): |sym| and |V| for the adaptive k
+        val st = sym
+          .agg(count(lit(1)).as("e2"), countDistinct(col("m")).as("v"))
+          .head()
+        val k = math.max(2L, (st.getLong(0) / math.max(1L, st.getLong(1)))
+          * 2 / 3)
+        kcoreSurvivors(sym, k.toInt, rounds = 8)
           .groupBy(col("m").as("node")).agg(count(lit(1)).as("deg"))
           .orderBy(col("deg").desc, col("node")).limit(20)
       },
       Some {
+        // MATERIALIZED is load-bearing: each round references the prior
+        // round's edge set 3× (the scan + both semi-joins); DuckDB's
+        // default CTE inlining would expand 8 rounds into a 3^8-leaf
+        // plan that re-opens the parquet thousands of times (observed:
+        // fd exhaustion at the 20k ulimit)
         def peel(prev: String, cur: String) =
-          s"""k$cur AS (SELECT m FROM e$prev GROUP BY m HAVING COUNT(*) >= 8),
-             |e$cur AS (SELECT e.m, e.n FROM e$prev e
+          s"""k$cur AS MATERIALIZED (SELECT m FROM e$prev GROUP BY m
+             |  HAVING COUNT(*) >= (SELECT k FROM kv)),
+             |e$cur AS MATERIALIZED (SELECT e.m, e.n FROM e$prev e
              |  JOIN k$cur x ON x.m = e.m JOIN k$cur y ON y.m = e.n)""".stripMargin
         s"""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
            |tg AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
@@ -360,13 +380,19 @@ object GraphOps {
            |e0p AS (SELECT least(gs[1], gs[2]) AS a, greatest(gs[1], gs[2]) AS b
            |  FROM tg WHERE gs[1] <> gs[2]
            |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-           |e0 AS (SELECT a AS m, b AS n FROM e0p
+           |e0 AS MATERIALIZED (SELECT a AS m, b AS n FROM e0p
            |  UNION ALL SELECT b, a FROM e0p),
+           |kv AS MATERIALIZED (SELECT GREATEST(2,
+           |    ((COUNT(*) // COUNT(DISTINCT m)) * 2) // 3) AS k FROM e0),
            |${peel("0", "1")},
            |${peel("1", "2")},
            |${peel("2", "3")},
-           |${peel("3", "4")}
-           |SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e4
+           |${peel("3", "4")},
+           |${peel("4", "5")},
+           |${peel("5", "6")},
+           |${peel("6", "7")},
+           |${peel("7", "8")}
+           |SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e8
            |GROUP BY m ORDER BY deg DESC, node LIMIT 20""".stripMargin
       }
     )

@@ -99,7 +99,13 @@ object ScaleStress {
     "q_graph_kcore", "q_graph_pagerank", "q_recs_itemcf", "q_join_not_in",
     "q_events_streak", "q_time_cusum", "q_time_seasonal", "q_stats_linreg",
     "q_dq_ldiversity", "q_chunk_overlap", "q_dq_benford",
-    "q_text_readability", "q_stream_dedup", "q_stream_join")
+    "q_text_readability", "q_stream_dedup", "q_stream_join",
+    // round 5, second batch: Hilbert (scan-side integer recurrence —
+    // must stay scan-bound like zorder), boolean retrieval (query-term-
+    // bounded postings), int8 quantization (×64 explode, broadcast
+    // codebook), DAU/MAU (≤×28 fan-out range join over (day, user))
+    "q_layout_hilbert", "q_retrieval_boolean", "q_embed_quantize",
+    "q_events_dau_mau")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

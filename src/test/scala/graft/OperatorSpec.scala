@@ -488,10 +488,10 @@ class OperatorSpec extends AnyFunSuite {
       Seq(10L, 1L, day, day), Seq(11L, 1L, day, day), Seq(12L, 1L, day, day)))
   }
 
-  test("q_graph_kcore: fixture bigram graph peels to nothing at k=8") {
-    // max degree in the co-occurrence>=2 bigram graph is 2 (the pagerank
-    // spec's hand-derived 7-edge path components), so the first peel
-    // round removes every node
+  test("q_graph_kcore: fixture path components peel to nothing at the k=2 floor") {
+    // the 7-edge fixture graph (pagerank spec) has meandeg 14 div 9 = 1,
+    // so the adaptive k floors at 2; path components have no 2-core
+    // (leaves peel, exposing new leaves, until nothing remains)
     assert(rows("q_graph_kcore") === Seq())
   }
 

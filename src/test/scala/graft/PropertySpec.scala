@@ -1147,10 +1147,11 @@ class PropertySpec extends AnyFunSuite {
       (day0 + 28, 1L, 3L, 333L)))     // dau {9}, mau {2,3,9}, 1000 div 3
   }
 
-  test("q_graph_kcore: 4 peel rounds reach the fixpoint on the real corpus") {
-    // the declared query runs 4 fixed rounds (measured convergence <= 3);
-    // this pins that 2 extra rounds change NOTHING on driver data — the
-    // monotone-peel fixpoint really is inside the round budget
+  test("q_graph_kcore: 8 peel rounds reach the fixpoint on the real corpus") {
+    // the declared query runs 8 fixed rounds with the adaptive
+    // k = max(2, (2·meandeg) div 3) (measured convergence <= 7 at sf0.01,
+    // the slowest SF); this pins that 2 extra rounds change NOTHING on
+    // driver data — the monotone-peel fixpoint really is inside the budget
     def core(rounds: Int): Map[String, Long] = {
       val docs = Tables.t(spark, "/root/testdata/sf0.01", "documents")
       val tg = operators.Grams.kgramRows(docs, 3, Seq())
@@ -1166,13 +1167,16 @@ class PropertySpec extends AnyFunSuite {
         .filter(col("w") >= 2).select(col("a"), col("b"))
       val sym = pj.select(col("a").as("m"), col("b").as("n"))
         .union(pj.select(col("b").as("m"), col("a").as("n")))
-      operators.GraphOps.kcoreSurvivors(sym, 8, rounds)
+      val st = sym
+        .agg(count(lit(1)).as("e2"), countDistinct(col("m")).as("v")).head()
+      val k = math.max(2L, st.getLong(0) / st.getLong(1) * 2 / 3)
+      operators.GraphOps.kcoreSurvivors(sym, k.toInt, rounds)
         .groupBy(col("m")).agg(count(lit(1)).as("deg"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
-    val at4 = core(4)
-    assert(at4.nonEmpty, "the sf0.01 8-core must be non-empty")
-    assert(at4 === core(6), "rounds 5-6 must be no-ops (fixpoint reached)")
+    val at8 = core(8)
+    assert(at8.nonEmpty, "the sf0.01 adaptive core must be non-empty")
+    assert(at8 === core(10), "rounds 9-10 must be no-ops (fixpoint reached)")
   }
 
   test("q_time_seasonal: planted 3-week series backtests the lag-7 forecast") {
