@@ -124,6 +124,90 @@ object Layout {
               |  MIN(x) AS min_x, MAX(x) AS max_x,
               |  MIN(y) AS min_y, MAX(y) AS max_y
               |FROM h0 GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+    // Run-length (RLE) compressibility audit (round 5) — the measurement
+    // that closes the layout loop: q_layout_zorder/_hilbert choose a sort
+    // key, THIS reports what that choice buys per column. Under the
+    // table's physical key order (l_orderkey, l_linenumber), each audited
+    // column's run count (maximal stretches of equal values) bounds its
+    // RLE-encoded size; rows/runs is the mean run length a columnar
+    // writer's RLE_DICTIONARY encoder would see. Emits one row per
+    // audited column {l_returnflag, l_linestatus, l_quantity}.
+    //
+    // Runs are counted SHARD-LOCALLY — a run boundary is a row whose
+    // value differs from its predecessor WITHIN the same l_orderkey
+    // (each order's first row starts a run) — exactly how a columnar
+    // format counts them: runs never span row groups, and the order key
+    // is the row-group-aligned unit here. This keeps the window
+    // partitioned (no global-sort single-partition window, the banned
+    // shape) while measuring the same quantity a writer sees.
+    //
+    // Determinism: boundary flags are exact compares (the doubles in
+    // l_quantity compare bit-equal cross-engine — no arithmetic touches
+    // them); counts are BIGINTs; mean run length is ONE IEEE division,
+    // ROUND(6) (positive, no R8 clause). ORDER BY column name (R1).
+    // The window order is (l_linenumber, then the three audited columns):
+    // (l_orderkey, l_linenumber) is NOT unique in this data, and an
+    // under-specified LAG order lets each engine break ties its own way —
+    // appending the compared columns to the sort key makes any two
+    // tie-equivalent rows equal IN EVERY COMPARED VALUE, so the flag sums
+    // are permutation-invariant (R1 applied to window order, the lesson
+    // sf0.01 taught: sf0.001 agreed by luck).
+    //
+    // Plan shape (100 TB): ONE scan → ONE orderkey-keyed window exchange
+    // computing all three lag-flags in a single Window node (one sort,
+    // three projections) → a 1-row global agg (map-side partial) →
+    // 3-row unpivot. Nothing but the corpus scan and one keyed exchange.
+    GQ(
+      "q_compress_rle_audit",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey")).orderBy(
+          col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"))
+        def bnd(c: String) =
+          when(lag(col(c), 1).over(w).isNull ||
+            col(c) =!= lag(col(c), 1).over(w), 1L).otherwise(0L)
+        Tables.t(s, d, "lineitem")
+          .select(bnd("l_returnflag").as("rf"), bnd("l_linestatus").as("ls"),
+            bnd("l_quantity").as("qt"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("rf")).as("rf_runs"),
+            sum(col("ls")).as("ls_runs"), sum(col("qt")).as("qt_runs"))
+          .selectExpr("n_rows",
+            """stack(3, 'l_linestatus', ls_runs, 'l_quantity', qt_runs,
+              |  'l_returnflag', rf_runs) AS (column_name, runs)""".stripMargin)
+          .select(col("column_name"), col("n_rows"), col("runs"),
+            round(col("n_rows").cast(DoubleType) / col("runs").cast(DoubleType),
+              6).as("mean_run_len"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH f AS (SELECT
+             |    CASE WHEN LAG(l_returnflag) OVER w IS NULL
+             |      OR l_returnflag <> LAG(l_returnflag) OVER w
+             |      THEN 1 ELSE 0 END AS rf,
+             |    CASE WHEN LAG(l_linestatus) OVER w IS NULL
+             |      OR l_linestatus <> LAG(l_linestatus) OVER w
+             |      THEN 1 ELSE 0 END AS ls,
+             |    CASE WHEN LAG(l_quantity) OVER w IS NULL
+             |      OR l_quantity <> LAG(l_quantity) OVER w
+             |      THEN 1 ELSE 0 END AS qt
+             |  FROM lineitem
+             |  WINDOW w AS (PARTITION BY l_orderkey
+             |    ORDER BY l_linenumber, l_returnflag, l_linestatus,
+             |      l_quantity)),
+             |a AS (SELECT COUNT(*) AS n_rows,
+             |    CAST(SUM(rf) AS BIGINT) AS rf_runs,
+             |    CAST(SUM(ls) AS BIGINT) AS ls_runs,
+             |    CAST(SUM(qt) AS BIGINT) AS qt_runs
+             |  FROM f),
+             |u AS (SELECT 'l_linestatus' AS column_name, n_rows,
+             |      ls_runs AS runs FROM a
+             |  UNION ALL SELECT 'l_quantity', n_rows, qt_runs FROM a
+             |  UNION ALL SELECT 'l_returnflag', n_rows, rf_runs FROM a)
+             |SELECT column_name, n_rows, runs,
+             |  ROUND(CAST(n_rows AS DOUBLE) / CAST(runs AS DOUBLE), 6)
+             |    AS mean_run_len
+             |FROM u ORDER BY column_name""".stripMargin)
     )
   )
 

@@ -340,6 +340,125 @@ object Lm {
            |FROM dw JOIN dim ON dim.word = dw.word
            |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
       }
+    ),
+    // Zipf rank-frequency fit (round 5) — the corpus-health scalar
+    // beside q_dq_benford's digit law: natural language follows
+    // freq ∝ rank^(−s) with s ≈ 1 (Zipf 1949), so the OLS slope of
+    // log2(freq) on log2(rank) sits near −1 for organic text and near 0
+    // for a uniform synthetic vocabulary — a one-row smell test for
+    // template-generated or shuffled corpora (this driver corpus IS
+    // near-uniform and reports slope ≈ −0.04: the detector detecting).
+    //
+    // Determinism: both logs are the EXACT DYADIC LOG2 of the file
+    // header — characteristic from integer bit length, 10 fractional
+    // bits from the mantissa-squaring chain, every step BIGINT — the
+    // same recurrence q_text_perplexity's spec pins to a BigInt replay,
+    // applied to TWO values (rank, freq) in one pass. The slope is the
+    // q_stats_linreg moment tree over the quantized integers: the 2^-10
+    // unit cancels in the ratio; the intercept divides once by 1024 to
+    // report bits. roundz(6) + R8 (slope reaches 0 from below on
+    // anti-Zipfian corpora). Overflow budget (R10): freq·2^30 needs
+    // freq < 2^33 — the q_text_perplexity bound; beyond, pre-shift.
+    //
+    // Plan shape (100 TB): ONE corpus scan → vocab-keyed hash agg
+    // (map-side combine); ranking is a window over the VOCAB-bounded
+    // frequency relation (corpus-size-independent, the q_text_rarity
+    // precedent); the log2 chain and the 1-row moment agg run on that
+    // same model-sized relation. Linear in corpus, forever.
+    GQ(
+      "q_text_zipf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wf = Tables.t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val rk = wf.select(col("c"),
+          row_number().over(Window.orderBy(col("c").desc, col("w")))
+            .cast(LongType).as("r"))
+        var cur = rk
+          .withColumn("xe", (length(bin(col("r"))) - 1).cast(LongType))
+          .withColumn("xm", expr(s"(r * ${M}L) div shiftleft(1L, CAST(xe AS INT))"))
+          .withColumn("xf", lit(0L))
+          .withColumn("ye", (length(bin(col("c"))) - 1).cast(LongType))
+          .withColumn("ym", expr(s"(c * ${M}L) div shiftleft(1L, CAST(ye AS INT))"))
+          .withColumn("yf", lit(0L))
+        for (_ <- 1 to FracBits) {
+          cur = cur
+            .withColumn("xm2", expr(s"(xm * xm) div ${M}L"))
+            .withColumn("xf",
+              expr(s"xf * 2 + (CASE WHEN xm2 >= ${H}L THEN 1 ELSE 0 END)"))
+            .withColumn("xm",
+              expr(s"CASE WHEN xm2 >= ${H}L THEN xm2 div 2 ELSE xm2 END"))
+            .withColumn("ym2", expr(s"(ym * ym) div ${M}L"))
+            .withColumn("yf",
+              expr(s"yf * 2 + (CASE WHEN ym2 >= ${H}L THEN 1 ELSE 0 END)"))
+            .withColumn("ym",
+              expr(s"CASE WHEN ym2 >= ${H}L THEN ym2 div 2 ELSE ym2 END"))
+        }
+        val m = cur
+          .select((col("xe") * 1024 + col("xf")).as("xq"),
+            (col("ye") * 1024 + col("yf")).as("yq"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+            sum(col("xq") * col("yq")).as("sxy"),
+            sum(col("xq") * col("xq")).as("sxx"))
+        val nD = col("n").cast(DoubleType)
+        def dbl(c: String) = col(c).cast(DoubleType)
+        val covN = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+        val varX = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+        val slope = covN / varX
+        m.select(col("n").as("n_words"),
+          when(varX > 0, graft.functions.vec.roundz(slope, 6)).as("slope"),
+          when(varX > 0, graft.functions.vec.roundz(
+            (dbl("sy") - slope * dbl("sx")) / nD / 1024.0, 6))
+            .as("intercept_bits"))
+      },
+      Some {
+        def zstep(j: Int): String = {
+          val prev = if (j == 1) "z0" else s"z${j - 1}"
+          s"""z$j AS (SELECT xe, ye,
+             |    CASE WHEN (xm*xm)//$M >= $H THEN ((xm*xm)//$M)//2
+             |         ELSE (xm*xm)//$M END AS xm,
+             |    xf*2 + CASE WHEN (xm*xm)//$M >= $H THEN 1 ELSE 0 END AS xf,
+             |    CASE WHEN (ym*ym)//$M >= $H THEN ((ym*ym)//$M)//2
+             |         ELSE (ym*ym)//$M END AS ym,
+             |    yf*2 + CASE WHEN (ym*ym)//$M >= $H THEN 1 ELSE 0 END AS yf
+             |  FROM $prev)"""
+        }
+        s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w),
+           |rk AS (SELECT c,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+           |  FROM wf),
+           |z0 AS (SELECT
+           |    CAST(length(bin(r)) - 1 AS BIGINT) AS xe,
+           |    (r * $M) // (1::BIGINT <<
+           |      CAST(length(bin(r)) - 1 AS INTEGER)) AS xm,
+           |    0::BIGINT AS xf,
+           |    CAST(length(bin(c)) - 1 AS BIGINT) AS ye,
+           |    (c * $M) // (1::BIGINT <<
+           |      CAST(length(bin(c)) - 1 AS INTEGER)) AS ym,
+           |    0::BIGINT AS yf
+           |  FROM rk),
+           |${(1 to FracBits).map(zstep).mkString(",\n")},
+           |q AS (SELECT xe * 1024 + xf AS xq, ye * 1024 + yf AS yq
+           |  FROM z$FracBits),
+           |m AS (SELECT COUNT(*) AS n,
+           |    CAST(SUM(xq) AS DOUBLE) AS sx, CAST(SUM(yq) AS DOUBLE) AS sy,
+           |    CAST(SUM(xq * yq) AS DOUBLE) AS sxy,
+           |    CAST(SUM(xq * xq) AS DOUBLE) AS sxx
+           |  FROM q)
+           |SELECT n AS n_words,
+           |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+           |    (ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+           |      / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) + 0.0) END AS slope,
+           |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0 THEN
+           |    (ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+           |        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+           |      / CAST(n AS DOUBLE) / 1024.0, 6) + 0.0) END AS intercept_bits
+           |FROM m""".stripMargin
+      }
     )
   )
 }

@@ -541,6 +541,58 @@ object Retrieval {
              |WHERE NOT EXISTS (SELECT 1 FROM toks
              |  WHERE toks.doc_id = hits.doc_id AND toks.w = 'slow')
              |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    // Exact phrase retrieval (round 5) — the POSITIONAL-postings primitive
+    // q_retrieval_boolean's bag-of-words conjunction cannot express: docs
+    // where "order" is IMMEDIATELY followed by "fast", ranked by phrase
+    // occurrence count with the 1-based position of the first occurrence.
+    // Adjacency needs word positions, the classic positional-index
+    // intersection (Manning et al., IIR §2.4.2): posting lists restricted
+    // to the query terms, joined on (doc, pos₂ = pos₁ + 1).
+    //
+    // Determinism: exact integer positions and counts; ties → doc_id
+    // (R1). Spark's posexplode is 0-based, DuckDB lists are 1-based —
+    // the emitted first_pos is pinned 1-based (pos + 1 engine-side).
+    //
+    // The oracle deliberately takes a DIFFERENT route to the same
+    // answer — adjacency re-expressed as bigram equality ("the phrase IS
+    // a bigram") — so the two engines cross-check the semantics, not a
+    // shared formulation (the R11 spirit at the query level).
+    //
+    // Plan shape (100 TB): corpus scan → positional explode filtered to
+    // the TWO query terms scan-side (postings volume is query-term-
+    // bounded, not corpus-bounded — same guarantee as boolean retrieval);
+    // ONE (doc_id, pos)-keyed equi-join between the two term lists; ONE
+    // doc-keyed hash agg; top-k is TakeOrderedAndProject. At web scale
+    // the term postings shuffle-join on doc_id — never the corpus.
+    GQ(
+      "q_retrieval_phrase",
+      (s, d) => {
+        val (w1, w2) = ("order", "fast")
+        val toks = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val p1 = toks.filter(col("w") === w1)
+          .select(col("doc_id"), col("pos"))
+        val p2 = toks.filter(col("w") === w2)
+          .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+        p1.join(p2,
+            col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_occ"),
+            (min(col("pos")) + 1).cast(LongType).as("first_pos"))
+          .orderBy(col("n_occ").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH bg AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws)),
+             |      i -> {'p': i, 'g': ws[i] || ' ' || ws[i+1]})) AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents))
+             |SELECT doc_id, COUNT(*) AS n_occ,
+             |  CAST(MIN(s.p) AS BIGINT) AS first_pos
+             |FROM bg WHERE s.g = 'order fast'
+             |GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin)
     )
   )
 }

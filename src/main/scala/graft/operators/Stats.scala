@@ -4,15 +4,18 @@ import graft.{C, GQ, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Statistical-modeling operators (round 5): closed-form regression and
-  * seasonal forecasting — the "fit a line / project a baseline" layer a
-  * metrics pipeline runs on top of the aggregation surface. The reference
-  * has no statistics at all (SURVEY §2.4); these extend its P1-class
-  * column math the same way q_agg_stats extends its counts.
+/** Statistical-modeling and product-analytics operators (round 5):
+  * closed-form regression, seasonal forecasting, changepoint detection,
+  * engagement (DAU/MAU), RFM segmentation, autocorrelation, and the
+  * chi-squared contingency audit — the "fit a line / score a cohort /
+  * test independence" layer a metrics pipeline runs on top of the
+  * aggregation surface. The reference has no statistics at all (SURVEY
+  * §2.4); these extend its P1-class column math the same way q_agg_stats
+  * extends its counts.
   *
-  * Both queries follow the moments pattern: the corpus is reduced to a
-  * handful of EXACT sums (decimal or integer — aggregation-order-free in
-  * both engines), and the model coefficients are a fixed IEEE expression
+  * The model queries share the moments pattern: the corpus is reduced to
+  * a handful of EXACT sums (decimal or integer — aggregation-order-free
+  * in both engines), and the coefficients are a fixed IEEE expression
   * tree over those exact moments (the q_text_outliers determinism scheme).
   */
 object Stats {
@@ -224,6 +227,209 @@ object Stats {
              |    // COUNT(DISTINCT du.user_id) AS stickiness_milli
              |FROM days JOIN du ON du.day BETWEEN d - 27 AND d
              |GROUP BY d ORDER BY day""".stripMargin)
+    ),
+    // RFM segmentation (round 5) — the classic customer-value cube
+    // (Hughes 1994): per purchasing user, Recency (last purchase day),
+    // Frequency (purchase count), Monetary (exact decimal spend), each
+    // scored 1-5 against the population's quintile boundaries, reported
+    // as segment-level user counts + total spend.
+    //
+    // Deliberately NOT NTILE: a global NTILE(5) window is one sorted
+    // partition carrying every user through a single task — the
+    // anti-pattern this engine bans (q_sample_reservoir lesson). Instead
+    // the four cut points per dimension come from percentile_disc
+    // (cume_dist ≥ p, the convention pinned by q_agg_percentile), a
+    // 1-row relation that BROADCASTS into a scan-side bucket projection:
+    // score = 1 + Σ (metric > cut_k). Ties land in the lower bucket in
+    // BOTH engines by the shared strict-> rule; counts-vs-NTILE equal
+    // splits differ under ties, which is fine — the boundary rule IS the
+    // declared semantics.
+    //
+    // Determinism: recency = exact integer day (R5); monetary compares
+    // and sums in DECIMAL(18,2) (R2) — never raw doubles; one final
+    // cast to DOUBLE per segment. ORDER BY the (rq, fq, mq) key (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → user-keyed hash agg; the
+    // quintile agg reduces users → 1 row (percentile_disc's buffer is
+    // value-distinct-bounded — day domain is calendar-bounded, freq
+    // small-integer; monetary is the widest and at petabyte user counts
+    // would quantize to cents-buckets first); bucket assignment is a
+    // broadcast nested-loop over the 1-row bounds + one ≤125-group agg.
+    GQ(
+      "q_events_rfm",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_rfm")
+        s.sql(RfmSql("graft_events_rfm", "ts DIV 86400000000000"))
+      },
+      Some(RfmSql("events", "epoch_ns(ts) // 86400000000000"))
+    ),
+    // Autocorrelation function of the hourly event-count series at lags
+    // 1-3 h, per event type (round 5) — the seasonality/burst detector
+    // run before picking q_time_seasonal's lag or trusting q_time_ewma's
+    // smoothing: r(L) ≈ 1 means the series is self-similar L hours
+    // apart, r(L) ≈ 0 means white noise. Pairs are the OBSERVED ALIGNED
+    // hours (t and t−L both present) via a calendar self-join — the
+    // q_time_seasonal rule: a row-lag window silently misaligns across
+    // gaps in the hour series, a calendar join cannot.
+    //
+    // Determinism: hour = exact integer nanos div (R5); the five moment
+    // sums are BIGINTs (counts and count-products — order-free); r is
+    // ONE fixed IEEE tree (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy −
+    // Sy²)) over the moment doubles — IEEE sqrt is correctly rounded in
+    // both engines — with roundz(6) + R8 (r can round to −0.0); a
+    // constant side (zero variance) yields NULL by contract. Overflow
+    // budget (R10): Σ c² needs c²·|hours| < 2^63 — c < 3·10⁷ events per
+    // (type, hour) at 10⁴ hours; beyond, the moments widen to DECIMAL.
+    //
+    // Plan shape (100 TB): ONE corpus scan → (type, hour) hash agg
+    // (map-side combine; output is calendar-bounded, corpus-size-
+    // independent); the ×3-lag fan-out and self-join run on that
+    // model-sized series — broadcast-able forever. Linear at any scale.
+    GQ(
+      "q_time_acf",
+      (s, d) => {
+        val NanosPerHour = 3600L * 1000 * 1000 * 1000
+        val hourly = graft.Caches.persist(
+          Tables.events(s, d)
+            .groupBy(col("event_type"), expr(s"ts DIV $NanosPerHour").as("h"))
+            .agg(count(lit(1)).as("c")))
+        val x = hourly.select(col("event_type"), col("h"), col("c").as("x"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("lag"))
+        val y = hourly.select(col("event_type").as("et2"),
+          col("h").as("h2"), col("c").as("y"))
+        val m = x.join(y, col("event_type") === col("et2") &&
+            col("h2") === col("h") - col("lag"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val nD = col("n").cast(DoubleType)
+        def dbl(c: String) = col(c).cast(DoubleType)
+        val covN = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+        val varX = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+        val varY = nD * dbl("syy") - dbl("sy") * dbl("sy")
+        m.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+            when(varX > 0 && varY > 0,
+              graft.functions.vec.roundz(covN / sqrt(varX * varY), 6))
+              .as("acf"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+             |    epoch_ns(ts) // 3600000000000 AS h, COUNT(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT a.event_type, l.lag, COUNT(*) AS n,
+             |    CAST(SUM(a.c) AS DOUBLE) AS sx,
+             |    CAST(SUM(b.c) AS DOUBLE) AS sy,
+             |    CAST(SUM(a.c * b.c) AS DOUBLE) AS sxy,
+             |    CAST(SUM(a.c * a.c) AS DOUBLE) AS sxx,
+             |    CAST(SUM(b.c * b.c) AS DOUBLE) AS syy
+             |  FROM hourly a
+             |  CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2), (3)) l(lag)
+             |  JOIN hourly b ON b.event_type = a.event_type
+             |    AND b.h = a.h - l.lag
+             |  GROUP BY 1, 2)
+             |SELECT event_type, lag, n AS n_pairs,
+             |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+             |    THEN (ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+             |            * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0)
+             |  END AS acf
+             |FROM m ORDER BY event_type, lag""".stripMargin)
+    ),
+    // Chi-squared contingency audit: o_orderpriority × o_orderstatus
+    // (round 5) — the categorical-independence screen (Pearson 1900) a
+    // data-quality pipeline runs to catch feed drift between two
+    // dimensions (a status that suddenly skews toward one priority).
+    // Emits the per-cell χ² contribution (o−e)²/e in the algebraically
+    // exact form (o·N − r·c)² / (r·c·N); the caller sums cells and reads
+    // the χ² table — emitting the sum would put an FP accumulation
+    // order in the contract (the q_dq_benford expected-law precedent).
+    //
+    // Determinism: o, r, c, N are exact BIGINT counts; the numerator
+    // widens EXPLICITLY to DECIMAL(38,0) vs HUGEINT BEFORE the first
+    // multiply (R10 — diff² ≤ N⁴ passes 2^63 already at ~55k rows, i.e.
+    // at bench scale; N⁴ stays under both engines' 128-bit ceilings to
+    // N ≈ 3·10⁹ rows, beyond which the margins pre-scale), the
+    // denominator likewise;
+    // the contribution is ONE IEEE division of two correctly-rounded
+    // casts, ROUND(6) (never negative, so no R8 clause). ORDER BY the
+    // (priority, status) cell key (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → hash agg to the
+    // |priorities|×|statuses|-bounded cell relation; margins are three
+    // window sums OVER THAT TINY RELATION (not the corpus); everything
+    // after the first agg is model-sized forever.
+    GQ(
+      "q_stats_chisq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.t(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("o"))
+        val wide = DecimalType(38, 0)
+        val m = cells
+          .withColumn("rp", sum(col("o")).over(Window.partitionBy(col("p"))))
+          .withColumn("cs", sum(col("o")).over(Window.partitionBy(col("st"))))
+          .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+        val diff = col("o").cast(wide) * col("nn") -
+          col("rp").cast(wide) * col("cs")
+        val denom = col("rp").cast(wide) * col("cs") * col("nn")
+        m.select(col("p"), col("st"), col("o"),
+            round((diff * diff).cast(DoubleType) / denom.cast(DoubleType), 6)
+              .as("chi2_part"))
+          .orderBy(col("p"), col("st"))
+      },
+      Some("""WITH cells AS (SELECT o_orderpriority AS p, o_orderstatus AS st,
+             |    COUNT(*) AS o FROM orders GROUP BY 1, 2),
+             |m AS (SELECT p, st, o,
+             |    SUM(o) OVER (PARTITION BY p) AS rp,
+             |    SUM(o) OVER (PARTITION BY st) AS cs,
+             |    SUM(o) OVER () AS nn
+             |  FROM cells),
+             |d AS (SELECT p, st, o,
+             |    CAST(o AS HUGEINT) * nn - CAST(rp AS HUGEINT) * cs AS df,
+             |    CAST(rp AS HUGEINT) * cs * nn AS dn
+             |  FROM m)
+             |SELECT p, st, o,
+             |  ROUND(CAST(df * df AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+             |    AS chi2_part
+             |FROM d ORDER BY p, st""".stripMargin)
     )
   )
+
+  /** One RFM SQL text for both engines (anti-drift): only the table name
+    * and the epoch-day expression differ (Spark `DIV` on the normalized
+    * nanos column vs DuckDB `//` on `epoch_ns`). percentile_disc WITHIN
+    * GROUP parses identically in Spark ≥3.4 and DuckDB.
+    */
+  private def RfmSql(table: String, dayExpr: String): String = {
+    val dims = Seq("rec" -> "rec_day", "frq" -> "freq", "mon" -> "mon")
+    val cuts = dims.map { case (pfx, c) =>
+      Seq(2, 4, 6, 8).map(p =>
+        s"percentile_disc(0.$p) WITHIN GROUP (ORDER BY $c) AS $pfx$p")
+        .mkString(",\n    ")
+    }.mkString(",\n    ")
+    def score(pfx: String, c: String) =
+      Seq(2, 4, 6, 8).map(p =>
+        s"CASE WHEN $c > $pfx$p THEN 1 ELSE 0 END").mkString(s"1 + ", " + ", "")
+    s"""WITH u AS (SELECT user_id,
+       |    MAX($dayExpr) AS rec_day,
+       |    COUNT(*) AS freq,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS mon
+       |  FROM $table WHERE event_type = 'purchase' GROUP BY user_id),
+       |b AS (SELECT
+       |    $cuts
+       |  FROM u),
+       |sc AS (SELECT u.user_id, u.mon,
+       |    CAST(${score("rec", "rec_day")} AS BIGINT) AS rq,
+       |    CAST(${score("frq", "freq")} AS BIGINT) AS fq,
+       |    CAST(${score("mon", "mon")} AS BIGINT) AS mq
+       |  FROM u CROSS JOIN b)
+       |SELECT rq, fq, mq, COUNT(*) AS users,
+       |  CAST(SUM(mon) AS DOUBLE) AS mon_total
+       |FROM sc GROUP BY rq, fq, mq ORDER BY rq, fq, mq""".stripMargin
+  }
 }

@@ -105,7 +105,13 @@ object ScaleStress {
     // bounded postings), int8 quantization (×64 explode, broadcast
     // codebook), DAU/MAU (≤×28 fan-out range join over (day, user))
     "q_layout_hilbert", "q_retrieval_boolean", "q_embed_quantize",
-    "q_events_dau_mau")
+    "q_events_dau_mau",
+    // round 5, third batch: phrase (query-term-bounded positional join),
+    // RFM (user agg + 1-row quintiles), ACF (calendar-bounded series),
+    // chi-squared (cell-bounded), RLE audit (one keyed window over the
+    // corpus), Zipf (vocab-bounded log2 chain)
+    "q_retrieval_phrase", "q_events_rfm", "q_time_acf", "q_stats_chisq",
+    "q_compress_rle_audit", "q_text_zipf")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

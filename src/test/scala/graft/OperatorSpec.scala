@@ -544,4 +544,54 @@ class OperatorSpec extends AnyFunSuite {
       assert(!rs.map(_(1)).contains(q), s"query $q must exclude itself")
     }
   }
+
+  test("q_retrieval_phrase: adjacency, not co-occurrence") {
+    // docs 1/2 contain BOTH query terms ("fast" at pos 2, "order" at pos 4)
+    // but never adjacently — a bag-of-words AND would return them; the
+    // positional intersection must return nothing
+    assert(rows("q_retrieval_phrase") === Seq())
+  }
+
+  test("q_events_rfm: two purchasers, same day, split by monetary quintiles") {
+    // purchases: user 10 (185.22), user 11 (99.99), both on day 19723.
+    // rec/freq cuts all tie -> rq=fq=1; monetary cuts (2 users,
+    // percentile_disc cume>=p): m2=m4=99.99, m6=m8=185.22 -> user 10
+    // scores 1+2 strict-greater hits = 3, user 11 scores 1
+    assert(rows("q_events_rfm") === Seq(
+      Seq(1L, 1L, 1L, 1L, 99.99), Seq(1L, 1L, 3L, 1L, 185.22)))
+  }
+
+  test("q_time_acf: single aligned pair has zero variance -> NULL r") {
+    // hourly counts: only purchase occurs in BOTH hours (h0 and h1), one
+    // pair at lag 1; n=1 makes varX=0 so acf is NULL by contract; every
+    // other (type, lag) has no aligned pair and drops out
+    assert(rows("q_time_acf") === Seq(Seq("purchase", 1L, 1L, null)))
+  }
+
+  test("q_stats_chisq: hand-computed cell contributions on 6 orders") {
+    // cells (priority, status, o): (1-URGENT,F,2) (2-HIGH,O,2)
+    // (3-MEDIUM,O,1) (5-LOW,P,1); N=6; contribution (oN-rc)^2/(rcN):
+    // 64/24, 36/36, 9/18, 25/6
+    assert(rows("q_stats_chisq") === Seq(
+      Seq("1-URGENT", "F", 2L, 2.666667),
+      Seq("2-HIGH", "O", 2L, 1.0),
+      Seq("3-MEDIUM", "O", 1L, 0.5),
+      Seq("5-LOW", "P", 1L, 4.166667)))
+  }
+
+  test("q_compress_rle_audit: hand-counted runs under the per-order window") {
+    // 8 rows; runs per order summed: returnflag 7 (order 100 breaks R->A),
+    // linestatus 6 (never breaks inside an order), quantity 8 (all differ)
+    assert(rows("q_compress_rle_audit") === Seq(
+      Seq("l_linestatus", 8L, 6L, 1.333333),
+      Seq("l_quantity", 8L, 8L, 1.0),
+      Seq("l_returnflag", 8L, 7L, 1.142857)))
+  }
+
+  test("q_text_zipf: BigInt-replayed dyadic-log2 OLS on the 25-word fixture") {
+    // 11 words at freq 2, 14 at freq 1; expected values replayed with the
+    // identical integer recurrence (e = bitlen-1, 10 mantissa squarings)
+    // outside Spark, then the same IEEE moment tree
+    assert(rows("q_text_zipf") === Seq(Seq(25L, -0.3328, 1.553867)))
+  }
 }

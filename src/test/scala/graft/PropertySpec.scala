@@ -1201,4 +1201,120 @@ class PropertySpec extends AnyFunSuite {
     assert(out.toSeq === expected,
       "snaive error is exactly 7 on the linear ramp; gap days drop out")
   }
+
+  test("q_retrieval_phrase: positional join equals the array recount at sf0.001") {
+    // cross-formulation law: the engine's positional-postings join must
+    // agree with an INDEPENDENT zip_with/array recount of adjacent pairs
+    // (different algorithm, same semantics — the oracle's bigram route,
+    // replayed inside Spark so the law runs offline)
+    val d = "/root/testdata/sf0.001"
+    val eng = Registry.byName("q_retrieval_phrase").run(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val re = Tables.t(spark, d, "documents")
+      .withColumn("pairs", expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |  slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .select(col("doc_id"),
+        size(expr("filter(pairs, g -> g = 'order fast')")).cast("long")
+          .as("n_occ"),
+        expr("array_position(pairs, 'order fast')").as("first_pos"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(eng.nonEmpty, "the phrase must occur at sf0.001")
+    assert(eng === re)
+  }
+
+  test("q_events_rfm: segments conserve the purchasing population and spend") {
+    val d = "/root/testdata/sf0.01"
+    val out = Registry.byName("q_events_rfm").run(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out.forall { case (rq, fq, mq, u, _) =>
+      Seq(rq, fq, mq).forall(q => q >= 1 && q <= 5) && u >= 1
+    }, "scores in 1..5, segments non-empty")
+    val purch = Tables.events(spark, d).filter(col("event_type") === "purchase")
+    val nUsers = purch.select(col("user_id")).distinct().count()
+    assert(out.map(_._4).sum === nUsers,
+      "every purchasing user lands in exactly one segment")
+    val total = purch
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")).head.getDouble(0)
+    assert(math.abs(out.map(_._5).sum - total) < 1e-6,
+      "segment monetary totals conserve the global spend")
+  }
+
+  test("q_time_acf: planted alternating series gives r = -1, +1, -1") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("acf-").toString
+    val h0 = 1704067200L // epoch seconds, hour-aligned
+    // 48 hours alternating 10/20 events: perfect period 2 -> lag-2
+    // correlation exactly +1, odd lags exactly -1 (the series is its own
+    // negative-phase copy); the IEEE tree reproduces +-1.0 after round(6)
+    val rows = (0 until 48).flatMap { h =>
+      val c = if (h % 2 == 0) 10 else 20
+      (0 until c).map(j => (h * 1000L + j,
+        (h0 + h * 3600L) * 1000000000L + j * 1000L, j.toLong % 5, "view",
+        1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_acf").run(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out === Seq((1L, 47L, -1.0), (2L, 46L, 1.0), (3L, 45L, -1.0)))
+  }
+
+  test("q_compress_rle_audit: run counts are bounded and the ratio recomputes") {
+    val d = "/root/testdata/sf0.01"
+    val li = Tables.t(spark, d, "lineitem")
+    val nRows = li.count()
+    val nOrders = li.select(col("l_orderkey")).distinct().count()
+    val out = Registry.byName("q_compress_rle_audit").run(spark, d).collect()
+    assert(out.length === 3)
+    for (r <- out) {
+      val (rows, runs, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(rows === nRows)
+      assert(runs >= nOrders, "each order starts at least one run")
+      assert(runs <= rows, "runs cannot exceed rows")
+      assert(ratio === BigDecimal(rows.toDouble / runs.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("q_text_zipf: engine output equals an independent integer replay") {
+    // the full dyadic-log2 + OLS pipeline recomputed OUTSIDE Spark from
+    // raw word counts (the q_text_perplexity BigInt-replay discipline)
+    val d = "/root/testdata/sf0.001"
+    def log2q(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      var m = (v * (1L << 30)) / (1L << e)
+      var f = 0L
+      for (_ <- 1 to 10) {
+        val m2 = (m * m) / (1L << 30)
+        f = f * 2 + (if (m2 >= (1L << 31)) 1 else 0)
+        m = if (m2 >= (1L << 31)) m2 / 2 else m2
+      }
+      e * 1024L + f
+    }
+    val freqs = Tables.t(spark, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+    val pts = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (log2q(i + 1L), log2q(c))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val out = Registry.byName("q_text_zipf").run(spark, d).collect().head
+    assert(out.getLong(0) === pts.length.toLong)
+    assert(out.getDouble(1) === r6(slope))
+    assert(out.getDouble(2) === r6((sy - slope * sx) / n / 1024.0))
+  }
 }
