@@ -1125,6 +1125,60 @@ object Curation {
            |JOIN ex ON ex.lang = n.lang
            |ORDER BY n.lang""".stripMargin
       }
+    ),
+    // Class-balanced downsampling (round 5) — the third sampling verb
+    // beside q_sample_stratified's fixed-rate gate and q_sample_weighted's
+    // importance draw: cap EVERY language class at the SMALLEST class's
+    // size, the standard de-biasing pass before training on a skewed
+    // corpus (en is ~3× fr here — a uniform sample preserves the skew,
+    // this removes it). Selection within a class is the deterministic
+    // h60 lottery: rank docs by (hash, doc_id) and keep rank ≤ min-class
+    // size, so membership is reproducible, seed-free (R3), and
+    // independent of physical row order.
+    //
+    // Determinism: exact integer counts; the kept-set is pinned by the
+    // h60 basis both engines share; per-class sums of n_chars are BIGINTs;
+    // ties in the lottery break on doc_id (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → per-class window
+    // (PARTITIONED by lang — never a global sort; Spark plans the rank ≤
+    // K filter as WindowGroupLimit, keeping the per-class top-K map-side)
+    // → lang-keyed agg. The min-class scalar is a 1-row broadcast from a
+    // |langs|-bounded agg. Linear at any corpus size.
+    GQ(
+      "q_sample_balanced",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, d, "documents")
+        val mn = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("mn"))
+        val h = XHash.h60(concat(lit("bal:"), col("doc_id").cast(StringType)))
+        val rk = docs
+          .select(col("lang"), col("doc_id"), col("n_chars"), h.as("h"))
+          .withColumn("r", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        rk.crossJoin(broadcast(mn))
+          .filter(col("r") <= col("mn"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            min(col("h")).as("h_first"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+             |  GROUP BY lang),
+             |mn AS (SELECT MIN(n) AS mn FROM cnt),
+             |rk AS (SELECT lang, doc_id, n_chars,
+             |    ${XHash.sqlH60("'bal:' || CAST(doc_id AS VARCHAR)")} AS h,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY ${XHash.sqlH60("'bal:' || CAST(doc_id AS VARCHAR)")},
+             |        doc_id) AS r
+             |  FROM documents)
+             |SELECT lang, COUNT(*) AS n_kept,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+             |  MIN(h) AS h_first
+             |FROM rk WHERE r <= (SELECT mn FROM mn)
+             |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

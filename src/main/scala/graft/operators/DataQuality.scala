@@ -342,6 +342,65 @@ object DataQuality {
              |  CAST(COALESCE(SUM(class_size), 0) AS BIGINT),
              |  CAST(COUNT(*) AS BIGINT) FROM cl
              |ORDER BY nationkey, segment""".stripMargin)
+    ),
+    // Approximate functional-dependency audit (round 5) — the
+    // profiling pass (Metanome/HoloClean lineage) that discovers which
+    // column rules a feed ACTUALLY obeys: for each candidate A → B,
+    // count determinant keys, keys violating the FD (> 1 distinct B),
+    // and the violation rate. One exactly-held FD (o_orderkey →
+    // o_orderstatus: the key is unique, rate 0) sits beside three
+    // soft dependencies so drift in either direction is visible.
+    //
+    // Determinism: exact BIGINT distinct counts; rate is ONE IEEE
+    // division (R7, never negative). ORDER BY the dependency name (R1).
+    //
+    // Plan shape (100 TB): each candidate is ONE scan → determinant-
+    // keyed agg (map-side partial distinct on (A, B) pairs) → 1-row
+    // summary; the four 1-row summaries union. Nothing after the aggs
+    // exceeds four rows; each scan prunes to exactly its two columns.
+    GQ(
+      "q_dq_funcdep",
+      (s, d) => {
+        def fd(df: DataFrame, dep: String, a: String, b: String) =
+          df.groupBy(col(a)).agg(count_distinct(col(b)).as("nb"))
+            .agg(count(lit(1)).as("n_keys"),
+              sum(when(col("nb") > 1, 1L).otherwise(0L)).as("violating_keys"))
+            .select(lit(dep).as("dependency"), col("n_keys"),
+              col("violating_keys"),
+              (col("violating_keys").cast(DoubleType) /
+                col("n_keys").cast(DoubleType)).as("violation_rate"))
+        val orders = Tables.t(s, d, "orders")
+        fd(orders, "o_orderkey->o_orderstatus", "o_orderkey", "o_orderstatus")
+          .unionByName(fd(orders, "o_custkey->o_orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .unionByName(fd(Tables.t(s, d, "lineitem"),
+            "l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"))
+          .unionByName(fd(Tables.t(s, d, "customer"),
+            "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+          .orderBy(col("dependency"))
+      },
+      Some {
+        def fd(table: String, dep: String, a: String, b: String) =
+          s"""SELECT '$dep' AS dependency, COUNT(*) AS n_keys,
+             |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS violating_keys,
+             |  CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS violation_rate
+             |FROM (SELECT $a, COUNT(DISTINCT $b) AS nb FROM $table
+             |      GROUP BY $a)""".stripMargin
+        s"""${fd("orders", "o_orderkey->o_orderstatus",
+              "o_orderkey", "o_orderstatus")}
+           |UNION ALL
+           |${fd("orders", "o_custkey->o_orderpriority",
+              "o_custkey", "o_orderpriority")}
+           |UNION ALL
+           |${fd("lineitem", "l_orderkey->l_returnflag",
+              "l_orderkey", "l_returnflag")}
+           |UNION ALL
+           |${fd("customer", "c_nationkey->c_mktsegment",
+              "c_nationkey", "c_mktsegment")}
+           |ORDER BY dependency""".stripMargin
+      }
     )
   )
 }

@@ -395,6 +395,97 @@ object GraphOps {
            |SELECT m AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e8
            |GROUP BY m ORDER BY deg DESC, node LIMIT 20""".stripMargin
       }
+    ),
+    // Degree assortativity (round 5) — Newman 2002's mixing coefficient:
+    // the Pearson correlation of (deg(m), deg(n)) over the directed edge
+    // set of the symmetrized bigram co-occurrence graph. r > 0 means hubs
+    // attach to hubs (social-network-like), r < 0 means hubs attach to
+    // leaves (star/hub-and-spoke — typical of text co-occurrence);
+    // alongside q_graph_triangles/kcore it completes the structural
+    // fingerprint a graph pipeline reports before committing to a
+    // partitioning strategy.
+    //
+    // Determinism: degrees are exact set-construction counts; the five
+    // moment sums widen to DECIMAL(38,0) vs HUGEINT BEFORE multiplying
+    // (R10 — Σ deg² over edges passes 2^63 once E·deg² ≳ 10¹⁹, reachable
+    // at web-scale vocabularies; 128-bit holds essentially forever), then
+    // ONE IEEE tree with correctly-rounded sqrt, roundz(6) + R8 (r is
+    // signed). Zero variance (regular graph) → NULL by contract.
+    //
+    // Plan shape (100 TB): corpus touched ONCE (the persisted
+    // vocab²-bounded edge agg); degrees are one hash agg over it; the two
+    // degree joins and the 1-row moment agg run on the model-sized edge
+    // relation — corpus-size-independent forever.
+    GQ(
+      "q_graph_assortativity",
+      (s, d) => {
+        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 3)
+          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+          .filter(col("g1") =!= col("g2"))
+        val pj = graft.Caches.persist(tg
+          .select(least(col("g1"), col("g2")).as("a"),
+            greatest(col("g1"), col("g2")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select(col("a"), col("b")))
+        val sym = pj.select(col("a").as("m"), col("b").as("n"))
+          .union(pj.select(col("b").as("m"), col("a").as("n")))
+        val dg = sym.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+        val nv = dg.agg(count(lit(1)).as("n_nodes"))
+        val wide = DecimalType(38, 0)
+        val e = sym
+          .join(dg.select(col("m"), col("deg").as("dx")), "m")
+          .join(dg.select(col("m").as("n"), col("deg").as("dy")), "n")
+        val mo = e.agg(count(lit(1)).as("ne"),
+          sum(col("dx").cast(wide)).as("sx"),
+          sum(col("dy").cast(wide)).as("sy"),
+          sum(col("dx").cast(wide) * col("dy")).as("sxy"),
+          sum(col("dx").cast(wide) * col("dx")).as("sxx"),
+          sum(col("dy").cast(wide) * col("dy")).as("syy"))
+        def dbl(c: String) = col(c).cast(DoubleType)
+        val nD = col("ne").cast(DoubleType)
+        val covN = nD * dbl("sxy") - dbl("sx") * dbl("sy")
+        val varX = nD * dbl("sxx") - dbl("sx") * dbl("sx")
+        val varY = nD * dbl("syy") - dbl("sy") * dbl("sy")
+        mo.crossJoin(broadcast(nv))
+          .select(col("n_nodes"), col("ne").as("n_edges"),
+            when(varX > 0 && varY > 0,
+              graft.functions.vec.roundz(covN / sqrt(varX * varY), 6))
+              .as("assortativity"))
+      },
+      Some(s"""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
+              |tg AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+              |    i -> [ws[i] || ' ' || ws[i+1], ws[i+1] || ' ' || ws[i+2]])) AS gs
+              |  FROM dd WHERE len(ws) >= 3),
+              |e0p AS (SELECT least(gs[1], gs[2]) AS a, greatest(gs[1], gs[2]) AS b
+              |  FROM tg WHERE gs[1] <> gs[2]
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              |e0 AS (SELECT a AS m, b AS n FROM e0p
+              |  UNION ALL SELECT b, a FROM e0p),
+              |dg AS (SELECT m, COUNT(*) AS deg FROM e0 GROUP BY m),
+              |mo AS (SELECT COUNT(*) AS ne,
+              |    SUM(CAST(x.deg AS HUGEINT)) AS sx,
+              |    SUM(CAST(y.deg AS HUGEINT)) AS sy,
+              |    SUM(CAST(x.deg AS HUGEINT) * y.deg) AS sxy,
+              |    SUM(CAST(x.deg AS HUGEINT) * x.deg) AS sxx,
+              |    SUM(CAST(y.deg AS HUGEINT) * y.deg) AS syy
+              |  FROM e0 JOIN dg x ON x.m = e0.m JOIN dg y ON y.m = e0.n),
+              |nv AS (SELECT COUNT(*) AS n_nodes FROM dg)
+              |SELECT nv.n_nodes, mo.ne AS n_edges,
+              |  CASE WHEN CAST(ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+              |      AND CAST(ne AS DOUBLE) * CAST(syy AS DOUBLE)
+              |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+              |    THEN (ROUND((CAST(ne AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |      / sqrt((CAST(ne AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |        * (CAST(ne AS DOUBLE) * CAST(syy AS DOUBLE)
+              |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0)
+              |  END AS assortativity
+              |FROM mo CROSS JOIN nv""".stripMargin)
     )
   )
 }

@@ -397,6 +397,67 @@ object Stats {
              |  ROUND(CAST(df * df AS DOUBLE) / CAST(dn AS DOUBLE), 6)
              |    AS chi2_part
              |FROM d ORDER BY p, st""".stripMargin)
+    ),
+    // Welch's two-sample t statistic between every pair of order
+    // statuses on o_totalprice (round 5) — the difference-of-means screen
+    // (Welch 1947) run beside q_stats_chisq's independence test: the A/B
+    // comparison every experimentation/drift pipeline computes. Emits the
+    // t statistic per status pair; the caller reads the t table (the
+    // q_dq_benford rule — no transcendental CDF in the contract).
+    //
+    // Determinism (R2/R7): per-group moments are exact decimal sums cast
+    // once to DOUBLE; mean/variance/t is ONE fixed IEEE tree — sample
+    // variance v = (Sxx − Sx²/n)/(n−1), se = sqrt(v1/n1 + v2/n2)
+    // (correctly-rounded IEEE sqrt) — mirrored token for token in the
+    // oracle; roundz(6) + R8 (t is signed). A group with n < 2 has no
+    // sample variance: its pairs emit NULL by contract (fixture-pinned —
+    // MiniData's P status has one order). ORDER BY the pair key (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → |statuses|-row moment agg;
+    // the pair self-join and the t tree run on that model-sized relation.
+    GQ(
+      "q_stats_ttest",
+      (s, d) => {
+        val m = Tables.t(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("n"),
+            sum(C.dec2(col("o_totalprice"))).cast(DoubleType).as("sx"),
+            sum(C.dec2(col("o_totalprice")) * C.dec2(col("o_totalprice")))
+              .cast(DoubleType).as("sxx"))
+        val a = m.select(col("st").as("st1"), col("n").as("n1"),
+          col("sx").as("sx1"), col("sxx").as("sxx1"))
+        val b = m.select(col("st").as("st2"), col("n").as("n2"),
+          col("sx").as("sx2"), col("sxx").as("sxx2"))
+        def nD(c: String) = col(c).cast(DoubleType)
+        val v1 = (col("sxx1") - col("sx1") * col("sx1") / nD("n1")) /
+          (nD("n1") - 1.0)
+        val v2 = (col("sxx2") - col("sx2") * col("sx2") / nD("n2")) /
+          (nD("n2") - 1.0)
+        val t = (col("sx1") / nD("n1") - col("sx2") / nD("n2")) /
+          sqrt(v1 / nD("n1") + v2 / nD("n2"))
+        a.join(b, col("st1") < col("st2"))
+          .select(col("st1"), col("st2"), col("n1"), col("n2"),
+            when(col("n1") > 1 && col("n2") > 1,
+              graft.functions.vec.roundz(t, 6)).as("t_welch"))
+          .orderBy(col("st1"), col("st2"))
+      },
+      Some("""WITH m AS (SELECT o_orderstatus AS st, COUNT(*) AS n,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS sx,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+             |      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |  FROM orders GROUP BY 1)
+             |SELECT a.st AS st1, b.st AS st2, a.n AS n1, b.n AS n2,
+             |  CASE WHEN a.n > 1 AND b.n > 1 THEN
+             |    (ROUND((a.sx / CAST(a.n AS DOUBLE) - b.sx / CAST(b.n AS DOUBLE))
+             |      / sqrt(((a.sxx - a.sx * a.sx / CAST(a.n AS DOUBLE))
+             |            / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+             |          + ((b.sxx - b.sx * b.sx / CAST(b.n AS DOUBLE))
+             |            / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE)),
+             |      6) + 0.0)
+             |  END AS t_welch
+             |FROM m a JOIN m b ON a.st < b.st
+             |ORDER BY st1, st2""".stripMargin)
     )
   )
 

@@ -111,7 +111,12 @@ object ScaleStress {
     // chi-squared (cell-bounded), RLE audit (one keyed window over the
     // corpus), Zipf (vocab-bounded log2 chain)
     "q_retrieval_phrase", "q_events_rfm", "q_time_acf", "q_stats_chisq",
-    "q_compress_rle_audit", "q_text_zipf")
+    "q_compress_rle_audit", "q_text_zipf",
+    // round 5, fourth batch: balanced sampling (per-class window),
+    // Welch t + FD audit (moment/distinct aggs), assortativity
+    // (model-sized edge relation)
+    "q_sample_balanced", "q_stats_ttest", "q_dq_funcdep",
+    "q_graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -594,4 +594,58 @@ class OperatorSpec extends AnyFunSuite {
     // outside Spark, then the same IEEE moment tree
     assert(rows("q_text_zipf") === Seq(Seq(25L, -0.3328, 1.553867)))
   }
+
+  test("q_sample_balanced: min class (es, 1 doc) caps every language at 1") {
+    // h60('bal:'||doc_id) replayed outside Spark picks doc 3 (de), doc 1
+    // (en), doc 4 (es); chars/h_first are those docs' values
+    assert(rows("q_sample_balanced") === Seq(
+      Seq("de", 1L, 38L, 928987367076988962L),
+      Seq("en", 1L, 30L, 2348465831355491L),
+      Seq("es", 1L, 31L, 481964563842313904L)))
+  }
+
+  test("q_stats_ttest: hand-computed Welch t; single-order status P -> NULL") {
+    // F {1000.50, 1500.00} vs O {2000.25, 1000.50, 750.75}: means differ
+    // by -0.25 against se sqrt(62375.0625 + 145729.1875) -> -0.000548;
+    // P has n=1 (no sample variance) so both its pairs are NULL
+    assert(rows("q_stats_ttest") === Seq(
+      Seq("F", "O", 2L, 3L, -0.000548),
+      Seq("F", "P", 2L, 1L, null),
+      Seq("O", "P", 3L, 1L, null)))
+  }
+
+  test("q_dq_funcdep: the unique-key FD holds exactly, soft FDs report rates") {
+    // hand-derived: custkeys 1,2 order at two priorities (2/4 violate);
+    // order 100 mixes returnflags R,A (1/6); nation 0 mixes segments (1/4);
+    // o_orderkey is unique so its FD holds with rate 0
+    assert(rows("q_dq_funcdep") === Seq(
+      Seq("c_nationkey->c_mktsegment", 4L, 1L, 0.25),
+      Seq("l_orderkey->l_returnflag", 6L, 1L, 1.0 / 6.0),
+      Seq("o_custkey->o_orderpriority", 4L, 2L, 0.5),
+      Seq("o_orderkey->o_orderstatus", 6L, 0L, 0.0)))
+  }
+
+  test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
+    // same hand-derived edge set as the pagerank spec; expected replays
+    // degree joins + the exact IEEE moment tree sequentially
+    val edges = Seq(
+      ("fast key", "the fast"), ("fast key", "key order"),
+      ("key order", "order sort"), ("order sort", "sort merge"),
+      ("die katze", "katze ist"), ("ist nicht", "katze ist"),
+      ("ist nicht", "nicht hier"))
+    val sym = edges ++ edges.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val pts = sym.map { case (m, n) => (deg(m), deg(n)) }
+    val ne = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val syy = pts.map(p => p._2 * p._2).sum.toDouble
+    val r = (ne * sxy - sx * sy) /
+      math.sqrt((ne * sxx - sx * sx) * (ne * syy - sy * sy))
+    val r6 = BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble + 0.0
+    assert(rows("q_graph_assortativity") === Seq(Seq(9L, 14L, r6)))
+  }
 }

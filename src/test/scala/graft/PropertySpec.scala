@@ -1317,4 +1317,53 @@ class PropertySpec extends AnyFunSuite {
     assert(out.getDouble(1) === r6(slope))
     assert(out.getDouble(2) === r6((sy - slope * sx) / n / 1024.0))
   }
+
+  test("q_sample_balanced: every class is capped at exactly the min class size") {
+    val d = "/root/testdata/sf0.01"
+    val byLang = Tables.t(spark, d, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = byLang.values.min
+    val out = Registry.byName("q_sample_balanced").run(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === byLang.keySet, "every language survives")
+    assert(out.values.forall(_ === mn),
+      s"every class downsamples to the min class size $mn")
+  }
+
+  test("q_stats_ttest: engine tree equals an independent moment replay") {
+    val d = "/root/testdata/sf0.01"
+    val m = Tables.t(spark, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sx"),
+        sum(col("o_totalprice").cast("decimal(18,2)")
+          * col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sxx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def t(a: String, b: String): Double = {
+      val (n1, sx1, sxx1) = m(a); val (n2, sx2, sxx2) = m(b)
+      val v1 = (sxx1 - sx1 * sx1 / n1.toDouble) / (n1.toDouble - 1.0)
+      val v2 = (sxx2 - sx2 * sx2 / n2.toDouble) / (n2.toDouble - 1.0)
+      val raw = (sx1 / n1.toDouble - sx2 / n2.toDouble) /
+        math.sqrt(v1 / n1.toDouble + v2 / n2.toDouble)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0
+    }
+    val out = Registry.byName("q_stats_ttest").run(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    for (((a, b), got) <- out) assert(got === t(a, b), s"pair ($a,$b)")
+  }
+
+  test("q_dq_funcdep: the unique-key dependency is exactly clean at sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    val nOrders = Tables.t(spark, d, "orders").count()
+    val out = Registry.byName("q_dq_funcdep").run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val clean = out.find(_._1 == "o_orderkey->o_orderstatus").get
+    assert(clean._2 === nOrders && clean._3 === 0L && clean._4 === 0.0)
+    assert(out.forall { case (_, nk, vk, rate) =>
+      vk <= nk && rate >= 0.0 && rate <= 1.0
+    })
+  }
 }
