@@ -1141,24 +1141,26 @@ object Curation {
     // ties in the lottery break on doc_id (R1).
     //
     // Plan shape (100 TB): ONE corpus scan → per-class window
-    // (PARTITIONED by lang — never a global sort; Spark plans the rank ≤
-    // K filter as WindowGroupLimit, keeping the per-class top-K map-side)
-    // → lang-keyed agg. The min-class scalar is a 1-row broadcast from a
-    // |langs|-bounded agg. Linear at any corpus size.
+    // (PARTITIONED by lang — never a global sort). The min-class size is
+    // fetched as ONE bounded 1-row driver scalar (the kcore adaptive-k
+    // pattern) so the rank filter carries a LITERAL bound — that is what
+    // lets Spark plan WindowGroupLimit and keep the per-class top-K
+    // map-side (a column-valued bound cannot group-limit; plan-pinned in
+    // PlanShapeSpec) → lang-keyed agg. Linear at any corpus size.
     GQ(
       "q_sample_balanced",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, d, "documents")
+        // bounded driver fetch (1 row over the |langs|-sized agg)
         val mn = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-          .agg(min(col("n")).as("mn"))
+          .agg(min(col("n"))).head().getLong(0)
         val h = XHash.h60(concat(lit("bal:"), col("doc_id").cast(StringType)))
-        val rk = docs
+        docs
           .select(col("lang"), col("doc_id"), col("n_chars"), h.as("h"))
           .withColumn("r", row_number().over(
             Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
-        rk.crossJoin(broadcast(mn))
-          .filter(col("r") <= col("mn"))
+          .filter(col("r") <= lit(mn))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_kept"),
             sum(col("n_chars")).as("chars_kept"),

@@ -401,6 +401,106 @@ object DataQuality {
               "c_nationkey", "c_mktsegment")}
            |ORDER BY dependency""".stripMargin
       }
+    ),
+    // Shannon entropy profile of categorical columns (round 5) — the
+    // cardinality/skew fingerprint a profiler reports next to
+    // q_dq_profile's null/min/max surface: H(column) in bits, exact.
+    // A column whose entropy collapses release-over-release is the
+    // classic silent-feed-degradation signal (values defaulting, enum
+    // drift); uniform k-value columns read log2(k), constants read 0.
+    //
+    // Determinism: each value's surprisal log2(N/c) is the EXACT DYADIC
+    // LOG2 of the ≥ 1 rational (the q_text_perplexity recurrence —
+    // characteristic from integer floor-division bit length, 10
+    // mantissa-squaring fractional bits, all BIGINT); H_q = Σ c·q sums
+    // order-free in BIGINT, and the bits figure is ONE IEEE division
+    // H_q/(N·1024) (R7, non-negative). Overflow budget (R10): Σ c·q ≤
+    // N·64·1024 < 2^63 needs N < 1.4·10¹⁴ rows per column — beyond,
+    // widen the sum to DECIMAL. ORDER BY column name (R1).
+    //
+    // Plan shape (100 TB): each column is ONE pruned 1-column scan →
+    // value-keyed hash agg (map-side combine; output value-domain-
+    // bounded); the log2 chain and the 1-row reduce run on that
+    // model-sized relation; four 1-row results union.
+    GQ(
+      "q_dq_entropy",
+      (s, d) => {
+        val M = 1L << 30
+        val H = 1L << 31
+        def colEntropy(df: DataFrame, name: String, c: String): DataFrame = {
+          val cnt = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+          val tot = cnt.agg(sum(col("c")).as("nn"), count(lit(1)).as("nd"))
+          var cur = cnt.crossJoin(broadcast(tot))
+            .withColumn("e", length(bin(expr("nn div c"))) - 1)
+            .withColumn("m", expr(s"(nn * ${M}L) div (c * shiftleft(1L, e))"))
+            .withColumn("f", lit(0L))
+          for (_ <- 1 to 10) {
+            cur = cur
+              .withColumn("m2", expr(s"(m * m) div ${M}L"))
+              .withColumn("f",
+                expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
+              .withColumn("m",
+                expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
+          }
+          cur
+            .select(col("nn"), col("nd"),
+              (col("c") * (col("e").cast(LongType) * 1024 + col("f")))
+                .as("cq"))
+            .groupBy(col("nn"), col("nd")).agg(sum(col("cq")).as("hq"))
+            .select(lit(name).as("column_name"), col("nn").as("n_rows"),
+              col("nd").as("n_distinct"),
+              (col("hq").cast(DoubleType) /
+                (col("nn").cast(DoubleType) * 1024.0)).as("entropy_bits"))
+        }
+        colEntropy(Tables.t(s, d, "documents"), "documents.lang", "lang")
+          .unionByName(colEntropy(Tables.t(s, d, "documents"),
+            "documents.source", "source"))
+          .unionByName(colEntropy(Tables.events(s, d),
+            "events.event_type", "event_type"))
+          .unionByName(colEntropy(Tables.t(s, d, "orders"),
+            "orders.o_orderpriority", "o_orderpriority"))
+          .orderBy(col("column_name"))
+      },
+      Some {
+        val M = 1L << 30
+        val H = 1L << 31
+        def ent(tag: String, src: String, c: String, name: String): String = {
+          def step(j: Int): String = {
+            val prev = if (j == 1) s"${tag}i" else s"$tag${j - 1}"
+            s"""$tag$j AS (SELECT c, nn, nd, e,
+               |    CASE WHEN (m*m)//$M >= $H THEN ((m*m)//$M)//2
+               |         ELSE (m*m)//$M END AS m,
+               |    f*2 + CASE WHEN (m*m)//$M >= $H THEN 1 ELSE 0 END AS f
+               |  FROM $prev)"""
+          }
+          s"""${tag}c AS (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM $src GROUP BY 1),
+             |${tag}t AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+             |    CAST(COUNT(*) AS BIGINT) AS nd FROM ${tag}c),
+             |${tag}i AS (SELECT c, nn, nd,
+             |    CAST(length(bin(nn // c)) - 1 AS BIGINT) AS e,
+             |    (nn * $M) // (c * (1::BIGINT <<
+             |      CAST(length(bin(nn // c)) - 1 AS INTEGER))) AS m,
+             |    0::BIGINT AS f
+             |  FROM ${tag}c CROSS JOIN ${tag}t),
+             |${(1 to 10).map(step).mkString(",\n")},
+             |${tag}h AS (SELECT '$name' AS column_name, MIN(nn) AS n_rows,
+             |    MIN(nd) AS n_distinct,
+             |    CAST(SUM(c * (e * 1024 + f)) AS BIGINT) AS hq
+             |  FROM ${tag}10)"""
+        }
+        s"""WITH ${ent("la", "documents", "lang", "documents.lang")},
+           |${ent("so", "documents", "source", "documents.source")},
+           |${ent("ev", "events", "event_type", "events.event_type")},
+           |${ent("op", "orders", "o_orderpriority",
+              "orders.o_orderpriority")}
+           |SELECT column_name, n_rows, n_distinct,
+           |  CAST(hq AS DOUBLE) / (CAST(n_rows AS DOUBLE) * 1024.0)
+           |    AS entropy_bits
+           |FROM (SELECT * FROM lah UNION ALL SELECT * FROM soh
+           |  UNION ALL SELECT * FROM evh UNION ALL SELECT * FROM oph)
+           |ORDER BY column_name""".stripMargin
+      }
     )
   )
 }

@@ -625,6 +625,18 @@ class OperatorSpec extends AnyFunSuite {
       Seq("o_orderkey->o_orderstatus", 6L, 0L, 0.0)))
   }
 
+  test("q_dq_entropy: dyadic-log2 entropy replayed by hand on the fixture") {
+    // per-column value counts hand-tallied; hq = Σ c·log2q(N/c) replayed
+    // with the integer recurrence outside Spark (lang [2,3,1] → 8965,
+    // source [3,3] → 6144 = exactly 1.0 bit, event_type [1,1,2,1,1] →
+    // 13834, o_orderpriority [2,2,1,1] → 11786); bits = hq/(N·1024)
+    assert(rows("q_dq_entropy") === Seq(
+      Seq("documents.lang", 6L, 3L, 8965.0 / (6 * 1024.0)),
+      Seq("documents.source", 6L, 2L, 1.0),
+      Seq("events.event_type", 6L, 5L, 13834.0 / (6 * 1024.0)),
+      Seq("orders.o_orderpriority", 6L, 4L, 11786.0 / (6 * 1024.0))))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

@@ -419,4 +419,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bfs per-round cost GROWS with round number — plan truncation lost? " +
         s"early=$slopeEarly late=$slopeLate (j4=$j4, j7=$j7, j10=$j10)")
   }
+
+  test("q_sample_balanced: literal min-class bound keeps the top-K map-side") {
+    // the min-class size is a bounded driver fetch precisely so the rank
+    // filter carries a LITERAL — a column-valued bound cannot plan
+    // WindowGroupLimit and the whole corpus would sort per class
+    val p = plan("q_sample_balanced")
+    assert(p.contains("WindowGroupLimit"),
+      s"balanced sampler lost its rank-limit:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"balanced sampler needs only the lang window exchange, got $exchanges:\n$p")
+  }
+
+  test("q_compress_rle_audit: all three flag columns share one window pass") {
+    // three lag() flags over the same (orderkey, order) spec must compile
+    // to ONE Window node over ONE keyed exchange — a second sort/exchange
+    // means the specs drifted apart
+    val p = plan("q_compress_rle_audit")
+    assert(!p.contains("Join"), s"RLE audit must not join:\n$p")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"RLE audit needs exactly one Window node, got $windows:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"RLE audit needs only the orderkey window exchange, got $exchanges:\n$p")
+  }
 }

@@ -1355,6 +1355,47 @@ class PropertySpec extends AnyFunSuite {
     for (((a, b), got) <- out) assert(got === t(a, b), s"pair ($a,$b)")
   }
 
+  test("q_dq_entropy: engine output equals an integer replay at sf0.01") {
+    // recompute each column's H_q = Σ c·log2q(N/c) from raw value counts
+    // with the recurrence outside Spark; the 20-source uniform column must
+    // read the quantized log2(20) exactly
+    val d = "/root/testdata/sf0.01"
+    def log2q(nn: Long, c: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(nn / c)
+      var m = (nn * (1L << 30)) / (c * (1L << e))
+      var f = 0L
+      for (_ <- 1 to 10) {
+        val m2 = (m * m) / (1L << 30)
+        f = f * 2 + (if (m2 >= (1L << 31)) 1 else 0)
+        m = if (m2 >= (1L << 31)) m2 / 2 else m2
+      }
+      e * 1024L + f
+    }
+    def expected(counts: Seq[Long]): (Long, Long, Double) = {
+      val nn = counts.sum
+      val hq = counts.map(c => c * log2q(nn, c)).sum
+      (nn, counts.size.toLong, hq.toDouble / (nn.toDouble * 1024.0))
+    }
+    val docs = Tables.t(spark, d, "documents")
+    val cols = Map(
+      "documents.lang" -> docs.groupBy(col("lang")).count(),
+      "documents.source" -> docs.groupBy(col("source")).count(),
+      "events.event_type" ->
+        Tables.events(spark, d).groupBy(col("event_type")).count(),
+      "orders.o_orderpriority" ->
+        Tables.t(spark, d, "orders").groupBy(col("o_orderpriority")).count())
+    val out = Registry.byName("q_dq_entropy").run(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for ((name, cdf) <- cols) {
+      val counts = cdf.collect().map(_.getLong(1)).toSeq
+      assert(out(name) === expected(counts), name)
+    }
+    val q20 = log2q(20L, 1L)
+    assert(out("documents.source")._3 === q20.toDouble / 1024.0,
+      "uniform 20-source column reads the quantized log2(20)")
+  }
+
   test("q_dq_funcdep: the unique-key dependency is exactly clean at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val nOrders = Tables.t(spark, d, "orders").count()
