@@ -363,6 +363,81 @@ object EventsOps {
              |UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM s4
              |ORDER BY stage""".stripMargin)
     ),
+    // Conversion-window funnel (round 5) — q_funnel with the constraint
+    // every real attribution model adds: each stage must fire within 24 h
+    // of the PREVIOUS stage's earliest qualifying time, or the user is
+    // counted as dropped there. The unbounded funnel overstates
+    // conversion by crediting purchases weeks after the click; the
+    // windowed one is what growth dashboards actually report.
+    //
+    // Same engine shape as q_funnel (one user-keyed window pass; each
+    // event row sees its user's running-min previous-stage time and
+    // qualifies only inside (t_prev, t_prev + 24h]); the oracle takes
+    // the independent per-stage-join route with the same bound — the
+    // cross-formulation pattern. The two agree because the running min
+    // over preceding rows EQUALS the stage's global earliest time
+    // whenever any qualifying event precedes the row (the q_funnel
+    // argument, unchanged by the upper bound — the bound depends only on
+    // that earliest time). Exact integer nanos arithmetic (R5); stage
+    // labels carry the ordering key (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan, ONE user_id exchange serving
+    // all four window stages, one two-level agg — identical to q_funnel
+    // (plan-pinned there); the bound adds only scan-side comparisons.
+    GQ(
+      "q_funnel_windowed",
+      (s, d) => {
+        val Delta = 86400L * 1000 * 1000 * 1000 // 24 h in nanos
+        val wPrev = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        def within(prev: String) = col(prev).isNotNull &&
+          col("ts") <= col(prev) + Delta
+        val staged = Tables.events(s, d)
+          .withColumn("t1r",
+            min(when(col("event_type") === "signup", col("ts"))).over(wPrev))
+          .withColumn("v2",
+            when(col("event_type") === "view" && within("t1r"), col("ts")))
+          .withColumn("t2r", min(col("v2")).over(wPrev))
+          .withColumn("v3",
+            when(col("event_type") === "click" && within("t2r"), col("ts")))
+          .withColumn("t3r", min(col("v3")).over(wPrev))
+          .withColumn("v4",
+            when(col("event_type") === "purchase" && within("t3r"), col("ts")))
+        staged.groupBy(col("user_id"))
+          .agg(
+            count(when(col("event_type") === "signup", lit(1))).as("n1"),
+            count(col("v2")).as("n2"), count(col("v3")).as("n3"),
+            count(col("v4")).as("n4"))
+          .agg(
+            count(when(col("n1") > 0, lit(1))).as("c1"),
+            count(when(col("n2") > 0, lit(1))).as("c2"),
+            count(when(col("n3") > 0, lit(1))).as("c3"),
+            count(when(col("n4") > 0, lit(1))).as("c4"))
+          .select(expr(
+            """stack(4, '1_signup', c1, '2_view', c2,
+              |'3_click', c3, '4_purchase', c4) AS (stage, n_users)""".stripMargin))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(epoch_ns(ts)) AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |s2 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t2 FROM events e
+             |  JOIN s1 USING (user_id)
+             |  WHERE e.event_type = 'view' AND epoch_ns(e.ts) > s1.t1
+             |    AND epoch_ns(e.ts) <= s1.t1 + 86400000000000 GROUP BY 1),
+             |s3 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t3 FROM events e
+             |  JOIN s2 USING (user_id)
+             |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s2.t2
+             |    AND epoch_ns(e.ts) <= s2.t2 + 86400000000000 GROUP BY 1),
+             |s4 AS (SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t4 FROM events e
+             |  JOIN s3 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s3.t3
+             |    AND epoch_ns(e.ts) <= s3.t3 + 86400000000000 GROUP BY 1)
+             |SELECT '1_signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+             |UNION ALL SELECT '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+             |UNION ALL SELECT '3_click', CAST(COUNT(*) AS BIGINT) FROM s3
+             |UNION ALL SELECT '4_purchase', CAST(COUNT(*) AS BIGINT) FROM s4
+             |ORDER BY stage""".stripMargin)
+    ),
     // Cohort retention: users grouped by first-activity week, distinct
     // actives counted per week offset — the second standard event-sequence
     // report. All bucketing is exact integer division over epoch nanos

@@ -285,6 +285,69 @@ object TextOps {
              |      CAST(len(string_split(text, ' ')) AS DOUBLE))
              |    - 15.59 AS fk_grade
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+    // RAKE keyword scores (round 5) — Rapid Automatic Keyword Extraction
+    // (Rose et al. 2010), the unsupervised keyword pass run beside
+    // q_text_tfidf's corpus-relative salience: split each doc into
+    // candidate phrases at stopword boundaries, then score each word
+    // degree/frequency, where degree(w) = Σ |phrase| over phrases
+    // containing w (its within-phrase co-occurrence mass). Words living
+    // in LONG content runs outrank equally-frequent words living alone —
+    // the signal TF-IDF cannot see. Top-20 words.
+    //
+    // Determinism: phrase segmentation is exact integer arithmetic (the
+    // phrase id is a running stopword count per doc); freq/degree are
+    // BIGINTs; the score is ONE IEEE division of two exact ints (R7);
+    // ties → (freq DESC, word) (R1).
+    //
+    // Plan shape (100 TB): positional explode → ONE doc-keyed window
+    // (running stopword count; partitioned by doc, never global) → a
+    // (doc, phrase)-keyed length agg joined back on the SAME key (no
+    // second corpus partitioning) → vocab-bounded word agg → top-k
+    // TakeOrderedAndProject. Two corpus-keyed exchanges total.
+    GQ(
+      "q_text_rake",
+      (s, d) => {
+        val stops = Seq("the", "a", "is", "of")
+        val g = Tables.t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("st",
+            when(col("w").isin(stops: _*), 1L).otherwise(0L))
+          .withColumn("pid", sum(col("st")).over(
+            Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        val content = g.filter(col("st") === 0)
+        val ph = content.groupBy(col("doc_id"), col("pid"))
+          .agg(count(lit(1)).as("plen"))
+        content.join(ph, Seq("doc_id", "pid"))
+          .groupBy(col("w").as("word"))
+          .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+          .select(col("word"), col("freq"), col("degree"),
+            (col("degree").cast(DoubleType) / col("freq").cast(DoubleType))
+              .as("rake_score"))
+          .orderBy(col("rake_score").desc, col("freq").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(ws) + 1),
+             |      i -> {'p': i, 'w': ws[i]})) AS s
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             |        FROM documents)),
+             |f AS (SELECT doc_id, s.p AS pos, s.w AS w,
+             |    CASE WHEN s.w IN ('the', 'a', 'is', 'of') THEN 1 ELSE 0 END
+             |      AS st FROM t),
+             |g AS (SELECT *, SUM(st) OVER (PARTITION BY doc_id ORDER BY pos)
+             |    AS pid FROM f),
+             |ph AS (SELECT doc_id, pid, COUNT(*) AS plen FROM g
+             |  WHERE st = 0 GROUP BY 1, 2)
+             |SELECT g.w AS word, COUNT(*) AS freq,
+             |  CAST(SUM(ph.plen) AS BIGINT) AS degree,
+             |  CAST(SUM(ph.plen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             |    AS rake_score
+             |FROM g JOIN ph ON ph.doc_id = g.doc_id AND ph.pid = g.pid
+             |WHERE g.st = 0
+             |GROUP BY g.w
+             |ORDER BY rake_score DESC, freq DESC, word LIMIT 20""".stripMargin)
     )
   )
 }

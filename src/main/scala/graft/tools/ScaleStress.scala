@@ -116,7 +116,8 @@ object ScaleStress {
     // Welch t + FD audit (moment/distinct aggs), assortativity
     // (model-sized edge relation)
     "q_sample_balanced", "q_stats_ttest", "q_dq_funcdep",
-    "q_graph_assortativity", "q_dq_entropy")
+    "q_graph_assortativity", "q_dq_entropy", "q_text_rake",
+    "q_funnel_windowed")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

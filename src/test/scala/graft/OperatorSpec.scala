@@ -637,6 +637,41 @@ class OperatorSpec extends AnyFunSuite {
       Seq("orders.o_orderpriority", 6L, 4L, 11786.0 / (6 * 1024.0))))
   }
 
+  test("q_funnel_windowed: only the signup stage fires on the fixture") {
+    // user 12 signs up but never views; users 10/11 view/click/purchase
+    // without any signup — every later stage requires a signup within 24h
+    assert(rows("q_funnel_windowed") === Seq(
+      Seq("1_signup", 1L), Seq("2_view", 0L),
+      Seq("3_click", 0L), Seq("4_purchase", 0L)))
+  }
+
+  test("q_text_rake matches a sequential replay on the fixture corpus") {
+    // RAKE recomputed outside Spark: phrases split at {the, a, is, of},
+    // degree = sum of phrase lengths containing the word, score = deg/freq
+    val texts = Seq(
+      "the fast key order sort merge", "the fast key order sort merge",
+      "der hund und die katze ist nicht hier",
+      "el perro es una casa que la los", "two words",
+      "die katze ist nicht hier heute")
+    val stops = Set("the", "a", "is", "of")
+    val words = texts.flatMap { t =>
+      // split into stopword-delimited phrases, keep (word, phraseLen)
+      val phrases = t.split(" ").foldLeft(List(List.empty[String])) {
+        case (acc, w) if stops(w) => Nil :: acc
+        case (h :: rest, w) => (w :: h) :: rest
+        case (Nil, _) => Nil // unreachable
+      }.filter(_.nonEmpty)
+      phrases.flatMap(p => p.map(w => (w, p.size.toLong)))
+    }
+    val expected = words.groupBy(_._1).map { case (w, occ) =>
+      val freq = occ.size.toLong
+      val degree = occ.map(_._2).sum
+      (w, freq, degree, degree.toDouble / freq.toDouble)
+    }.toSeq.sortBy { case (w, f, _, sc) => (-sc, -f, w) }.take(20)
+      .map { case (w, f, dg, sc) => Seq[Any](w, f, dg, sc) }
+    assert(rows("q_text_rake") === expected)
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

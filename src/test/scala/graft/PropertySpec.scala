@@ -1355,6 +1355,42 @@ class PropertySpec extends AnyFunSuite {
     for (((a, b), got) <- out) assert(got === t(a, b), s"pair ($a,$b)")
   }
 
+  test("q_funnel_windowed: the +24h boundary converts; +24h+1ns drops (R11)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("fwin-").toString
+    val t0 = 1704067200L * 1000000000L
+    val D = 86400L * 1000000000L
+    // user 1 converts three stages, each EXACTLY at the +24h edge (<= is
+    // the contract); its purchase lands 1 ns past the edge and must drop.
+    // user 2's view is 1 ns past the edge and must drop there.
+    val rows = Seq(
+      (1L, t0, 1L, "signup", 0.0, "{}"),
+      (2L, t0 + D, 1L, "view", 0.0, "{}"),
+      (3L, t0 + 2 * D, 1L, "click", 0.0, "{}"),
+      (4L, t0 + 3 * D + 1, 1L, "purchase", 0.0, "{}"),
+      (5L, t0, 2L, "signup", 0.0, "{}"),
+      (6L, t0 + D + 1, 2L, "view", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_funnel_windowed").run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("1_signup", 2L), ("2_view", 1L),
+      ("3_click", 1L), ("4_purchase", 0L)))
+  }
+
+  test("q_funnel_windowed is stage-wise dominated by the unbounded funnel") {
+    val d = "/root/testdata/sf0.01"
+    def counts(q: String) = Registry.byName(q).run(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bounded = counts("q_funnel_windowed")
+    val free = counts("q_funnel")
+    assert(bounded("1_signup") === free("1_signup"),
+      "stage 1 has no window constraint")
+    for (st <- Seq("2_view", "3_click", "4_purchase"))
+      assert(bounded(st) <= free(st), s"window can only shrink $st")
+    assert(bounded("2_view") > 0, "the 24h window must not empty sf0.01")
+  }
+
   test("q_dq_entropy: engine output equals an integer replay at sf0.01") {
     // recompute each column's H_q = Σ c·log2q(N/c) from raw value counts
     // with the recurrence outside Spark; the 20-source uniform column must
