@@ -34,8 +34,11 @@ object GraphOps {
         .join(keep, col("n") === col("kp"), "left_semi")
       // truncate every SECOND round: two lazy rounds compound to 9 refs
       // of the last checkpoint — still trivially analyzable — while
-      // halving the materialization jobs, which dominate the loop's
-      // wall-clock on the model-sized edge relation
+      // halving the materialization jobs on the model-sized edge
+      // relation. An every-3 cadence (27-ref segments) measured no
+      // faster at sf0.1 (both ~6-7 s warm, within box noise): the saved
+      // job roughly cancels against re-executing the longer segment, so
+      // 2 stays for the smaller analysis surface.
       if (r % 2 == 0 && r < rounds) e = e.localCheckpoint(false)
     }
     e

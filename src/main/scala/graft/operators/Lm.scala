@@ -459,6 +459,68 @@ object Lm {
            |      / CAST(n AS DOUBLE) / 1024.0, 6) + 0.0) END AS intercept_bits
            |FROM m""".stripMargin
       }
+    ),
+    // Train/test bigram coverage (round 5) — the OOV audit run before
+    // trusting any corpus-trained LM score (q_text_perplexity trains on
+    // the full corpus; a REAL pipeline trains on a split and must know
+    // what fraction of held-out transitions the model has even seen):
+    // docs split 80/20 by the deterministic h60 gate (the q_split_assign
+    // convention, distinct salt), per test-doc language the distinct
+    // held-out bigrams and the fraction covered by the train split. A
+    // language whose coverage collapses is under-represented in train —
+    // the actionable signal for q_mix_weights.
+    //
+    // Determinism: the split is seed-free h60 mod 10 (R3); counts are
+    // exact distinct BIGINTs; coverage is ONE IEEE division (R7); ORDER
+    // BY lang (R1).
+    //
+    // Plan shape (100 TB): bigrams assemble scan-side (native KGrams, no
+    // shuffle); train is a vocab²-bounded distinct that the semi-join
+    // probes (broadcast at this scale, hash semi-join keyed on the gram
+    // beyond); test side is one (lang, gram) distinct + two lang aggs.
+    // Corpus touched once, nothing vocabulary-unbounded shuffles twice.
+    GQ(
+      "q_lm_coverage",
+      (s, d) => {
+        val withSplit = Tables.t(s, d, "documents").withColumn("tr",
+          pmod(graft.XHash.h60(
+            concat(lit("cov:"), col("doc_id").cast(StringType))),
+            lit(10L)) < 8)
+        val bg = Grams.kgramRows(withSplit, 2, Seq("lang", "tr"))
+          .filter(size(split(col("item"), " ")) === 2)
+        val train = bg.filter(col("tr")).select(col("item")).distinct()
+        val test = graft.Caches.persist(
+          bg.filter(!col("tr")).select(col("lang"), col("item")).distinct())
+        val cov = test.join(train, Seq("item"), "left_semi")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_covered"))
+        test.groupBy(col("lang")).agg(count(lit(1)).as("n_test"))
+          .join(cov, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_test"),
+            coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+            (coalesce(col("n_covered"), lit(0L)).cast(DoubleType) /
+              col("n_test").cast(DoubleType)).as("coverage"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH dd AS (SELECT lang, string_split(text, ' ') AS ws,
+             |    CASE WHEN ${graft.XHash.sqlH60(
+                  "'cov:' || CAST(doc_id AS VARCHAR)")} % 10 < 8
+             |      THEN 1 ELSE 0 END AS tr
+             |  FROM documents),
+             |bg AS (SELECT lang, tr,
+             |    unnest(list_transform(range(1, len(ws)),
+             |      i -> ws[i] || ' ' || ws[i+1])) AS g
+             |  FROM dd WHERE len(ws) >= 2),
+             |train AS (SELECT DISTINCT g FROM bg WHERE tr = 1),
+             |test AS (SELECT DISTINCT lang, g FROM bg WHERE tr = 0),
+             |tot AS (SELECT lang, COUNT(*) AS n_test FROM test GROUP BY 1),
+             |cov AS (SELECT t.lang, COUNT(*) AS n_cov FROM test t
+             |  JOIN train ON train.g = t.g GROUP BY 1)
+             |SELECT tot.lang, tot.n_test,
+             |  COALESCE(cov.n_cov, 0) AS n_covered,
+             |  CAST(COALESCE(cov.n_cov, 0) AS DOUBLE)
+             |    / CAST(tot.n_test AS DOUBLE) AS coverage
+             |FROM tot LEFT JOIN cov ON cov.lang = tot.lang
+             |ORDER BY tot.lang""".stripMargin)
     )
   )
 }

@@ -458,8 +458,53 @@ object Stats {
              |  END AS t_welch
              |FROM m a JOIN m b ON a.st < b.st
              |ORDER BY st1, st2""".stripMargin)
+    ),
+    // Theil–Sen robust trend of the daily event-count series (round 5) —
+    // the median of all pairwise slopes (Theil 1950, Sen 1968): immune to
+    // up to ~29% outlier days, the robust complement of q_stats_linreg's
+    // OLS (one anomalous day drags OLS arbitrarily; it moves one slope
+    // among C(n,2) here). The intercept is the median residual under the
+    // chosen slope (the standard estimator).
+    //
+    // Determinism: day/count are exact integers; each pairwise slope is
+    // ONE IEEE division of two exact ints (identical doubles in both
+    // engines); the medians are percentile_disc(0.5) — an ELEMENT of the
+    // slope multiset under the pinned cume_dist ≥ p convention, never an
+    // interpolation — so the output is bit-stable end to end. ONE SQL
+    // text serves both engines (the RfmSql pattern).
+    //
+    // Plan shape (100 TB): ONE corpus scan → day-keyed hash agg (output
+    // CALENDAR-bounded); the pair self-join is |days|² on that
+    // model-sized series — 10 years of days is ~3.7k rows, 6.7M pairs,
+    // broadcast-able forever; the medians aggregate that bounded set.
+    GQ(
+      "q_time_theilsen",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_ts")
+        s.sql(TheilSenSql("graft_events_ts", "ts DIV 86400000000000"))
+      },
+      Some(TheilSenSql("events", "epoch_ns(ts) // 86400000000000"))
     )
   )
+
+  /** One Theil–Sen SQL text for both engines (anti-drift): only the table
+    * name and the epoch-day expression differ.
+    */
+  private def TheilSenSql(table: String, dayExpr: String): String =
+    s"""WITH daily AS (SELECT $dayExpr AS day, COUNT(*) AS c
+       |  FROM $table GROUP BY 1),
+       |pr AS (SELECT CAST(b.c - a.c AS DOUBLE)
+       |      / CAST(b.day - a.day AS DOUBLE) AS sl
+       |  FROM daily a JOIN daily b ON b.day > a.day),
+       |m AS (SELECT COUNT(*) AS n_pairs,
+       |    percentile_disc(0.5) WITHIN GROUP (ORDER BY sl) AS slope
+       |  FROM pr),
+       |ic AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY
+       |      CAST(c AS DOUBLE) - (SELECT slope FROM m) * CAST(day AS DOUBLE))
+       |    AS icept FROM daily)
+       |SELECT (SELECT COUNT(*) FROM daily) AS n_days, m.n_pairs,
+       |  m.slope AS ts_slope, ic.icept AS ts_intercept
+       |FROM m CROSS JOIN ic""".stripMargin
 
   /** One RFM SQL text for both engines (anti-drift): only the table name
     * and the epoch-day expression differ (Spark `DIV` on the normalized

@@ -672,6 +672,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_text_rake") === expected)
   }
 
+  test("q_time_theilsen: a single-day series has no pairs -> NULL trend") {
+    // all six fixture events fall on day 19723; zero pairwise slopes, so
+    // both medians are NULL by the percentile-over-empty contract
+    assert(rows("q_time_theilsen") === Seq(Seq(1L, 0L, null, null)))
+  }
+
+  test("q_lm_coverage: doc 3 is the only held-out doc; 4 of its 7 bigrams trained") {
+    // h60('cov:'||id) % 10 sends only doc 3 to test; doc 6 trains
+    // 'die katze','katze ist','ist nicht','nicht hier' -> 4/7 covered
+    assert(rows("q_lm_coverage") === Seq(Seq("de", 7L, 4L, 4.0 / 7.0)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

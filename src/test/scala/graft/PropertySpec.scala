@@ -1391,6 +1391,28 @@ class PropertySpec extends AnyFunSuite {
     assert(bounded("2_view") > 0, "the 24h window must not empty sf0.01")
   }
 
+  test("q_time_theilsen: one planted outlier day cannot move the median slope") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("theil-").toString
+    val day0 = 19723L
+    // 15 days on a perfect +2/day ramp, except day 7 spikes to 500 events:
+    // 91 of 105 pairwise slopes are exactly 2.0, so the Theil-Sen median
+    // is 2.0 and the median residual is the ramp's exact intercept — OLS
+    // would be dragged by the spike (the robustness claim, pinned)
+    val counts = (0 until 15).map(i =>
+      (day0 + i, if (i == 7) 500L else 10L + 2 * i))
+    val rows = counts.flatMap { case (d, c) =>
+      (0L until c).map(j => (d * 1000 + j, d * 86400L * 1000000000L + j,
+        j % 3, "view", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_theilsen").run(spark, dir).collect().head
+    assert((out.getLong(0), out.getLong(1)) === ((15L, 105L)))
+    assert(out.getDouble(2) === 2.0)
+    assert(out.getDouble(3) === 10.0 - 2.0 * day0)
+  }
+
   test("q_dq_entropy: engine output equals an integer replay at sf0.01") {
     // recompute each column's H_q = Σ c·log2q(N/c) from raw value counts
     // with the recurrence outside Spark; the 20-source uniform column must
