@@ -916,6 +916,54 @@ object EventsOps {
            |ORDER BY event_type, hour_start""".stripMargin
       }
     ),
+    // Rolling exact median of the daily event-count series (round 5) —
+    // the robust smoother beside q_time_ewma's exponential mean: a single
+    // spike day moves a trailing mean for a week but cannot move the
+    // trailing-7 median at all (the monitoring baseline that doesn't
+    // alert on its own outlier). Window = the last 7 OBSERVED days per
+    // event type (ROWS semantics, documented — the gapless complement of
+    // q_time_seasonal's calendar-join rule; this corpus's day series is
+    // dense, and an observation window is itself a standard spec).
+    //
+    // Determinism: the median is an ELEMENT — the sorted trailing array's
+    // ceil(n/2)-th value, 1-based, the percentile_disc cume_dist ≥ 0.5
+    // convention applied to a ≤7-element array — all exact integers, no
+    // interpolation. Leading partial windows report the median of what
+    // exists. ORDER BY (event_type, day) (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (type, day) hash agg
+    // (calendar-bounded output) → one type-keyed window over the
+    // model-sized series carrying 6 lags + an in-row sort of ≤7 values.
+    GQ(
+      "q_time_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val lags = col("c") +: (1 to 6).map(j => lag(col("c"), j).over(w))
+        Tables.events(s, d)
+          .groupBy(col("event_type"), expr(s"ts DIV $NanosPerDay").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("sl",
+            sort_array(filter(array(lags: _*), x => x.isNotNull)))
+          .select(col("event_type"), col("day"), col("c"),
+            expr("element_at(sl, CAST((size(sl) + 1) DIV 2 AS INT))")
+              .as("med7"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some {
+        val lags = "c" +: (1 to 6).map(j => s"lag(c, $j) OVER w")
+        s"""WITH daily AS (SELECT event_type,
+           |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |l AS (SELECT event_type, day, c,
+           |    list_sort(list_filter([${lags.mkString(", ")}],
+           |      x -> x IS NOT NULL)) AS sl
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+           |SELECT event_type, day, c,
+           |  sl[CAST((len(sl) + 1) // 2 AS INTEGER)] AS med7
+           |FROM l ORDER BY event_type, day""".stripMargin
+      }
+    ),
     // Association rules over sessions (round 4, batch 12) — market-basket
     // mining with the 30-min session as the basket: which event types
     // co-occur in one session beyond chance? support = P(a,b),

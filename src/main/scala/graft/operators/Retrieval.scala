@@ -593,6 +593,130 @@ object Retrieval {
              |  CAST(MIN(s.p) AS BIGINT) AS first_pos
              |FROM bg WHERE s.g = 'order fast'
              |GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+    // Log-likelihood-ratio collocations (round 5) — Dunning 1993's G²
+    // test, THE standard collocation statistic for sparse counts where
+    // q_text_pmi's lift explodes on rare pairs (lift weights a 5/5/5
+    // pair like a 5k/5k/5k one; LLR scales with evidence mass). Per
+    // candidate bigram the 2×2 contingency table (k11 = pair count, row
+    // and column margins over the bigram population) scores
+    // G² = 2·N·I(A;B) via the mutual-information identity
+    // Σ_rows r·log2(N/r) + Σ_cols c·log2(N/c) − Σ_cells k·log2(N/k).
+    //
+    // Determinism: every log2 is the EXACT DYADIC LOG2 of an N/k ≥ 1
+    // rational (the q_text_perplexity recurrence), run ONCE over a tall
+    // (pair × 8 signed entries) relation; G² accumulates as a signed
+    // BIGINT in 2^-10-bit units — order-free — with zero cells
+    // contributing zero by construction; ONE IEEE division renders bits
+    // (R7). Ties → (w1, w2) (R1). Overflow (R10): k·q ≤ N·2^16 needs
+    // N < 2^47 bigrams; the chain's n·2^30 needs N < 2^33 first — the
+    // shared perplexity bound; beyond, pre-shift.
+    //
+    // Plan shape (100 TB): corpus scanned once into the vocab²-bounded
+    // bigram agg; margins are two aggs OVER that relation; the ×8 tall
+    // explode, the log2 chain, and the G² re-agg all run on candidate
+    // pairs (k11 ≥ 5 — vocab²-bounded, corpus-size-independent); top-k
+    // is TakeOrderedAndProject.
+    GQ(
+      "q_text_llr",
+      (s, d) => {
+        val M = 1L << 30
+        val Hb = 1L << 31
+        val bg = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
+          .select(split(col("item"), " ").as("p"))
+          .filter(size(col("p")) === 2)
+          .select(col("p")(0).as("w1"), col("p")(1).as("w2"))
+        val cxy = graft.Caches.persist(
+          bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11")))
+        val ca = cxy.groupBy(col("w1")).agg(sum(col("k11")).as("ca"))
+        val cb = cxy.groupBy(col("w2")).agg(sum(col("k11")).as("cb"))
+        val nn = cxy.agg(sum(col("k11")).as("nb"))
+        val cand = cxy.filter(col("k11") >= 5)
+          .join(ca, "w1").join(cb, "w2").crossJoin(broadcast(nn))
+        val tall = cand.select(col("w1"), col("w2"), col("k11"), col("nb"),
+            explode(array(
+              struct(lit(-1L).as("s"), col("k11").as("k")),
+              struct(lit(-1L).as("s"), (col("ca") - col("k11")).as("k")),
+              struct(lit(-1L).as("s"), (col("cb") - col("k11")).as("k")),
+              struct(lit(-1L).as("s"),
+                (col("nb") - col("ca") - col("cb") + col("k11")).as("k")),
+              struct(lit(1L).as("s"), col("ca").as("k")),
+              struct(lit(1L).as("s"), (col("nb") - col("ca")).as("k")),
+              struct(lit(1L).as("s"), col("cb").as("k")),
+              struct(lit(1L).as("s"), (col("nb") - col("cb")).as("k"))))
+              .as("e"))
+          .select(col("w1"), col("w2"), col("k11"), col("nb"),
+            col("e.s").as("sg"), col("e.k").as("k"))
+          .filter(col("k") >= 1)
+        var cur = tall
+          .withColumn("xe", length(bin(expr("nb div k"))) - 1)
+          .withColumn("m",
+            expr(s"(nb * ${M}L) div (k * shiftleft(1L, xe))"))
+          .withColumn("f", lit(0L))
+        for (_ <- 1 to 10) {
+          cur = cur
+            .withColumn("m2", expr(s"(m * m) div ${M}L"))
+            .withColumn("f",
+              expr(s"f * 2 + (CASE WHEN m2 >= ${Hb}L THEN 1 ELSE 0 END)"))
+            .withColumn("m",
+              expr(s"CASE WHEN m2 >= ${Hb}L THEN m2 div 2 ELSE m2 END"))
+        }
+        cur
+          .select(col("w1"), col("w2"), col("k11"),
+            (col("sg") * col("k") *
+              (col("xe").cast(LongType) * 1024 + col("f"))).as("t"))
+          .groupBy(col("w1"), col("w2"), col("k11"))
+          .agg((sum(col("t")) * 2).as("llr_q"))
+          .select(col("w1"), col("w2"), col("k11").as("cxy"), col("llr_q"),
+            (col("llr_q").cast(DoubleType) / 1024.0).as("llr_bits"))
+          .orderBy(col("llr_q").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some {
+        val M = 1L << 30
+        val Hb = 1L << 31
+        def step(j: Int): String = {
+          val prev = if (j == 1) "i0" else s"s${j - 1}"
+          s"""s$j AS (SELECT w1, w2, k11, sg, k, xe,
+             |    CASE WHEN (m*m)//$M >= $Hb THEN ((m*m)//$M)//2
+             |         ELSE (m*m)//$M END AS m,
+             |    f*2 + CASE WHEN (m*m)//$M >= $Hb THEN 1 ELSE 0 END AS f
+             |  FROM $prev)"""
+        }
+        s"""WITH dd AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |pj AS (SELECT unnest(list_transform(range(1, len(ws)),
+           |    i -> ws[i] || ' ' || ws[i+1])) AS p FROM dd WHERE len(ws) >= 2),
+           |bg AS (SELECT string_split(p, ' ')[1] AS w1,
+           |    string_split(p, ' ')[2] AS w2, CAST(COUNT(*) AS BIGINT) AS k11
+           |  FROM pj GROUP BY 1, 2),
+           |ca AS (SELECT w1, CAST(SUM(k11) AS BIGINT) AS ca FROM bg GROUP BY 1),
+           |cb AS (SELECT w2, CAST(SUM(k11) AS BIGINT) AS cb FROM bg GROUP BY 1),
+           |nn AS (SELECT CAST(SUM(k11) AS BIGINT) AS nb FROM bg),
+           |cand AS (SELECT bg.w1, bg.w2, bg.k11, ca.ca, cb.cb,
+           |    (SELECT nb FROM nn) AS nb
+           |  FROM bg JOIN ca ON ca.w1 = bg.w1 JOIN cb ON cb.w2 = bg.w2
+           |  WHERE bg.k11 >= 5),
+           |tall AS (SELECT w1, w2, k11, nb, e.s AS sg, e.k AS k FROM (
+           |    SELECT *, unnest([
+           |      {'s': -1, 'k': k11}, {'s': -1, 'k': ca - k11},
+           |      {'s': -1, 'k': cb - k11},
+           |      {'s': -1, 'k': nb - ca - cb + k11},
+           |      {'s': 1, 'k': ca}, {'s': 1, 'k': nb - ca},
+           |      {'s': 1, 'k': cb}, {'s': 1, 'k': nb - cb}]) AS e
+           |    FROM cand) WHERE e.k >= 1),
+           |i0 AS (SELECT w1, w2, k11, sg, k,
+           |    CAST(length(bin(nb // k)) - 1 AS BIGINT) AS xe,
+           |    (nb * $M) // (k * (1::BIGINT <<
+           |      CAST(length(bin(nb // k)) - 1 AS INTEGER))) AS m,
+           |    0::BIGINT AS f FROM tall),
+           |${(1 to 10).map(step).mkString(",\n")},
+           |q AS (SELECT w1, w2, k11,
+           |    CAST(SUM(sg * k * (xe * 1024 + f)) * 2 AS BIGINT) AS llr_q
+           |  FROM s10 GROUP BY 1, 2, 3)
+           |SELECT w1, w2, k11 AS cxy, llr_q,
+           |  CAST(llr_q AS DOUBLE) / 1024.0 AS llr_bits
+           |FROM q ORDER BY llr_q DESC, w1, w2 LIMIT 20""".stripMargin
+      }
     )
   )
 }

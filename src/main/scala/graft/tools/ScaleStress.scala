@@ -117,7 +117,8 @@ object ScaleStress {
     // (model-sized edge relation)
     "q_sample_balanced", "q_stats_ttest", "q_dq_funcdep",
     "q_graph_assortativity", "q_dq_entropy", "q_text_rake",
-    "q_funnel_windowed", "q_time_theilsen", "q_lm_coverage")
+    "q_funnel_windowed", "q_time_theilsen", "q_lm_coverage",
+    "q_time_rolling_median", "q_text_llr")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -684,6 +684,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_lm_coverage") === Seq(Seq("de", 7L, 4L, 4.0 / 7.0)))
   }
 
+  test("q_time_rolling_median: single-day types report their own count") {
+    // every fixture event falls on day 19723; each type's window is the
+    // one observation, purchase has two events that day
+    assert(rows("q_time_rolling_median") === Seq(
+      Seq("click", 19723L, 1L, 1L), Seq("error", 19723L, 1L, 1L),
+      Seq("purchase", 19723L, 2L, 2L), Seq("signup", 19723L, 1L, 1L),
+      Seq("view", 19723L, 1L, 1L)))
+  }
+
+  test("q_text_llr: no fixture bigram reaches the k11 >= 5 evidence floor") {
+    // max bigram count on MiniData is 2 (the duplicated doc pair) — the
+    // candidate filter keeps LLR off micro-evidence by design
+    assert(rows("q_text_llr") === Seq())
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

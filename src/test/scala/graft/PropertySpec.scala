@@ -1413,6 +1413,73 @@ class PropertySpec extends AnyFunSuite {
     assert(out.getDouble(3) === 10.0 - 2.0 * day0)
   }
 
+  test("q_time_rolling_median: a planted spike day cannot move the median") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("rmed-").toString
+    val day0 = 19723L
+    // constant-10 series with day1 = 20 (pins the lower-median even-window
+    // convention: sorted [10,20] picks position (2+1) div 2 = 1 -> 10) and
+    // day7 = 500 (the spike a trailing MEAN would smear over a week)
+    val counts = (0 until 15).map(i =>
+      (day0 + i, if (i == 7) 500L else if (i == 1) 20L else 10L))
+    val rows = counts.flatMap { case (d, c) =>
+      (0L until c).map(j => (d * 1000 + j, d * 86400L * 1000000000L + j,
+        0L, "view", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_time_rolling_median").run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(o => (o._1, o._2)).toSeq === counts,
+      "daily counts reproduce the plant")
+    assert(out.forall(_._3 === 10L),
+      "neither the spike nor the even-window tie moves the rolling median")
+  }
+
+  test("q_text_llr: engine output equals an integer replay at sf0.001") {
+    // recompute G2 from raw bigram counts with the identical dyadic
+    // recurrence outside Spark (the q_text_zipf replay discipline)
+    val d = "/root/testdata/sf0.001"
+    def log2q(nn: Long, c: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(nn / c)
+      var m = (nn * (1L << 30)) / (c * (1L << e))
+      var f = 0L
+      for (_ <- 1 to 10) {
+        val m2 = (m * m) / (1L << 30)
+        f = f * 2 + (if (m2 >= (1L << 31)) 1 else 0)
+        m = if (m2 >= (1L << 31)) m2 / 2 else m2
+      }
+      e * 1024L + f
+    }
+    val bgs = Tables.t(spark, d, "documents").collect()
+      .map(_.getAs[String]("text")).flatMap { t =>
+        val ws = t.split(" ")
+        if (ws.length < 2) Seq.empty
+        else ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      }
+    val cnt = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val caM = cnt.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val cbM = cnt.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nb = cnt.values.sum
+    def llrQ(w1: String, w2: String, k11: Long): Long = {
+      val (ca, cb) = (caM(w1), cbM(w2))
+      val entries = Seq(
+        (-1L, k11), (-1L, ca - k11), (-1L, cb - k11),
+        (-1L, nb - ca - cb + k11),
+        (1L, ca), (1L, nb - ca), (1L, cb), (1L, nb - cb))
+      2 * entries.collect { case (s, k) if k >= 1 => s * k * log2q(nb, k) }.sum
+    }
+    val expected = cnt.toSeq.collect { case ((w1, w2), k) if k >= 5 =>
+      (w1, w2, k, llrQ(w1, w2, k))
+    }.sortBy { case (w1, w2, _, q) => (-q, w1, w2) }.take(20)
+      .map { case (w1, w2, k, q) => (w1, w2, k, q, q.toDouble / 1024.0) }
+    val out = Registry.byName("q_text_llr").run(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out.nonEmpty, "sf0.001 must yield candidate collocations")
+    assert(out === expected)
+  }
+
   test("q_dq_entropy: engine output equals an integer replay at sf0.01") {
     // recompute each column's H_q = Σ c·log2q(N/c) from raw value counts
     // with the recurrence outside Spark; the 20-source uniform column must
