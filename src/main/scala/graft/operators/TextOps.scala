@@ -348,6 +348,57 @@ object TextOps {
              |WHERE g.st = 0
              |GROUP BY g.w
              |ORDER BY rake_score DESC, freq DESC, word LIMIT 20""".stripMargin)
+    ),
+    // Word burstiness (round 5) — Church & Gale 1995's variance-to-mean
+    // ratio over the docs CONTAINING each word: content words arrive in
+    // bursts (a doc about sorting says "sort" many times; VMR ≫ 1) while
+    // function words spread Poisson-like (VMR ≈ 1) — the
+    // distribution-shape signal beside q_text_rarity's plain df and
+    // q_text_tfidf's salience, and a topic-drift smell test (burstiness
+    // collapsing corpus-wide means documents stopped being ABOUT things).
+    // Per word: df (containing docs), cf (total count), and
+    // VMR = population-variance/mean = (df·Σc² − cf²)/(df·cf); top-20
+    // by VMR with a df ≥ 5 evidence floor.
+    //
+    // Determinism: all moments are exact BIGINTs; the numerator and
+    // denominator widen to DECIMAL(38,0)/HUGEINT BEFORE multiplying
+    // (R10 — cf² passes 2^63 past ~3·10⁹ occurrences), then ONE IEEE
+    // division (R7, non-negative); ties → word (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (doc, word) hash agg
+    // (map-side combine) → vocab-bounded word agg carrying three integer
+    // moments; the VMR tree and top-k run on the vocab relation.
+    GQ(
+      "q_text_burstiness",
+      (s, d) => {
+        val wide = DecimalType(38, 0)
+        val dc = Tables.t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        dc.groupBy(col("w").as("word"))
+          .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+            sum(col("c") * col("c")).as("c2"))
+          .filter(col("df") >= 5)
+          .select(col("word"), col("df"), col("cf"),
+            ((col("df").cast(wide) * col("c2") -
+              col("cf").cast(wide) * col("cf")).cast(DoubleType) /
+              (col("df").cast(wide) * col("cf")).cast(DoubleType))
+              .as("vmr"))
+          .orderBy(col("vmr").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH dc AS (SELECT doc_id, w, COUNT(*) AS c FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |    FROM documents) GROUP BY 1, 2),
+             |m AS (SELECT w AS word, COUNT(*) AS df,
+             |    CAST(SUM(c) AS BIGINT) AS cf,
+             |    CAST(SUM(c * c) AS BIGINT) AS c2
+             |  FROM dc GROUP BY 1 HAVING COUNT(*) >= 5)
+             |SELECT word, df, cf,
+             |  CAST(CAST(df AS HUGEINT) * c2 - CAST(cf AS HUGEINT) * cf
+             |      AS DOUBLE)
+             |    / CAST(CAST(df AS HUGEINT) * cf AS DOUBLE) AS vmr
+             |FROM m ORDER BY vmr DESC, word LIMIT 20""".stripMargin)
     )
   )
 }

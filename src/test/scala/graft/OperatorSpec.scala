@@ -699,6 +699,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_text_llr") === Seq())
   }
 
+  test("q_text_burstiness: no fixture word reaches the df >= 5 evidence floor") {
+    // max document frequency on MiniData is 2 (the duplicated doc pair) —
+    // VMR on micro-evidence is noise, the floor keeps it out by design
+    assert(rows("q_text_burstiness") === Seq())
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

@@ -1480,6 +1480,29 @@ class PropertySpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("q_text_burstiness: engine VMR equals an exact integer replay") {
+    val d = "/root/testdata/sf0.001"
+    val perDoc = Tables.t(spark, d, "documents").collect()
+      .map(_.getAs[String]("text"))
+      .flatMap(_.split(" ").groupBy(identity).map {
+        case (w, occ) => (w, occ.length.toLong)
+      })
+    val expected = perDoc.groupBy(_._1).collect {
+      case (w, occ) if occ.length >= 5 =>
+        val df = occ.length.toLong
+        val cf = occ.map(_._2).sum
+        val c2 = occ.map(o => o._2 * o._2).sum
+        (w, df, cf,
+          (BigInt(df) * c2 - BigInt(cf) * cf).toDouble /
+            (BigInt(df) * cf).toDouble)
+    }.toSeq.sortBy { case (w, _, _, v) => (-v, w) }.take(20)
+    val out = Registry.byName("q_text_burstiness").run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out.nonEmpty, "sf0.001 must yield words above the df floor")
+    assert(out === expected)
+  }
+
   test("q_dq_entropy: engine output equals an integer replay at sf0.01") {
     // recompute each column's H_q = Σ c·log2q(N/c) from raw value counts
     // with the recurrence outside Spark; the 20-source uniform column must
