@@ -70,6 +70,27 @@ object SetOps {
              |  SELECT s_nationkey AS nationkey FROM supplier)
              |GROUP BY nationkey ORDER BY nationkey""".stripMargin)
     ),
+    // Bag-semantics intersection (round 5): INTERSECT ALL keeps
+    // min(multiplicity) per key (a nationkey held by 40 customers and 2
+    // suppliers intersects 2 times) — completes the set-ops family's
+    // multiset column next to q_except_all; like EXCEPT ALL it is a
+    // count-propagating aggregate, not a dedup, and the min-of-counts
+    // semantics cannot be composed from the distinct variants.
+    GQ(
+      "q_intersect_all",
+      (s, d) =>
+        Tables.t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersectAll(
+            Tables.t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .groupBy(col("nationkey"))
+          .agg(count(lit(1)).as("matched"))
+          .orderBy(col("nationkey")),
+      Some("""SELECT nationkey, COUNT(*) AS matched FROM (
+             |  SELECT c_nationkey AS nationkey FROM customer
+             |  INTERSECT ALL
+             |  SELECT s_nationkey AS nationkey FROM supplier)
+             |GROUP BY nationkey ORDER BY nationkey""".stripMargin)
+    ),
     GQ(
       "q_sort_limit",
       (s, d) =>

@@ -26,6 +26,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_union_distinct") === Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
     assert(rows("q_intersect") === Seq(Seq(1), Seq(3)))
     assert(rows("q_except") === Seq(Seq(0), Seq(2)))
+    // bag intersection keeps min multiplicity: nations 1 and 3 each have
+    // one supplier against 1 customer -> matched once apiece
+    assert(rows("q_intersect_all") === Seq(Seq(1, 1L), Seq(3, 1L)))
   }
 
   test("join family: anti finds the orderless customer, semi the F-status ones") {
