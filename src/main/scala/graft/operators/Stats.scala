@@ -484,12 +484,85 @@ object Stats {
         s.sql(TheilSenSql("graft_events_ts", "ts DIV 86400000000000"))
       },
       Some(TheilSenSql("events", "epoch_ns(ts) // 86400000000000"))
+    ),
+    // Pearson correlation matrix over lineitem's numeric columns
+    // (round 5) — the one-pass profiling classic: all six pairwise
+    // correlations among {quantity, extendedprice, discount, tax} from a
+    // SINGLE scan carrying 14 exact decimal moments (4 sums, 4 squares,
+    // 6 cross-products). The q_stats_linreg scheme widened to a matrix:
+    // each r is the five-moment IEEE tree, the moments are
+    // order-independent decimal sums, and the column/pair lists are
+    // GENERATED from one Seq on both sides (CorrCols → the Spark aggs
+    // AND the oracle SQL — anti-drift).
+    //
+    // Determinism: R2 decimal moments → one cast each → ONE fixed IEEE
+    // tree per pair with correctly-rounded sqrt, roundz(6) + R8
+    // (r is signed); zero-variance columns yield NULL by contract.
+    // ORDER BY the (col_a, col_b) pair key (R1).
+    //
+    // Plan shape (100 TB): ONE scan → 1-row agg (map-side partials carry
+    // the 14 decimals); the 6 output rows are projections of that 1-row
+    // relation. Nothing else moves — linear at any corpus size.
+    GQ(
+      "q_stats_corrmat",
+      (s, d) => {
+        val li = Tables.t(s, d, "lineitem")
+        val aggs = count(lit(1)).as("n") +:
+          (CorrCols.map(c =>
+            sum(C.dec2(col(c))).cast(DoubleType).as(s"s_$c")) ++
+            (for (a <- CorrCols; b <- CorrCols if a <= b) yield
+              sum(C.dec2(col(a)) * C.dec2(col(b))).cast(DoubleType)
+                .as(s"s_${a}_$b")))
+        val m = li.agg(aggs.head, aggs.tail: _*)
+        val nD = col("n").cast(DoubleType)
+        val rows = for (a <- CorrCols; b <- CorrCols if a < b) yield {
+          val cov = nD * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+          val va = nD * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")
+          val vb = nD * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b")
+          m.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+            when(va > 0 && vb > 0,
+              graft.functions.vec.roundz(cov / sqrt(va * vb), 6))
+              .as("pearson_r"))
+        }
+        rows.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
+      },
+      Some(corrMatSql)
     )
   )
 
   /** One Theil–Sen SQL text for both engines (anti-drift): only the table
     * name and the epoch-day expression differ.
     */
+  // def, not val: it is referenced while `queries` initializes above, and
+  // a val declared below that point would still be null at that moment
+  private def CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+
+  /** One correlation-matrix SQL text — generated from [[CorrCols]] so the
+    * moment list and the pair list cannot drift from the Spark side.
+    */
+  private def corrMatSql: String = {
+    val moments = CorrCols.map(c =>
+      s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS s_$c") ++
+      (for (a <- CorrCols; b <- CorrCols if a <= b) yield
+        s"""CAST(SUM(CAST($a AS DECIMAL(18,2))
+           |      * CAST($b AS DECIMAL(18,2))) AS DOUBLE) AS s_${a}_$b""".stripMargin)
+    val pairs = for (a <- CorrCols; b <- CorrCols if a < b) yield
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+         |  CASE WHEN CAST(n AS DOUBLE) * s_${a}_$a - s_$a * s_$a > 0
+         |        AND CAST(n AS DOUBLE) * s_${b}_$b - s_$b * s_$b > 0
+         |    THEN (ROUND((CAST(n AS DOUBLE) * s_${a}_$b - s_$a * s_$b)
+         |      / sqrt((CAST(n AS DOUBLE) * s_${a}_$a - s_$a * s_$a)
+         |           * (CAST(n AS DOUBLE) * s_${b}_$b - s_$b * s_$b)), 6) + 0.0)
+         |  END AS pearson_r
+         |FROM m""".stripMargin
+    s"""WITH m AS (SELECT COUNT(*) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM lineitem)
+       |${pairs.mkString("\nUNION ALL\n")}
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   private def TheilSenSql(table: String, dayExpr: String): String =
     s"""WITH daily AS (SELECT $dayExpr AS day, COUNT(*) AS c
        |  FROM $table GROUP BY 1),

@@ -118,7 +118,8 @@ object ScaleStress {
     "q_sample_balanced", "q_stats_ttest", "q_dq_funcdep",
     "q_graph_assortativity", "q_dq_entropy", "q_text_rake",
     "q_funnel_windowed", "q_time_theilsen", "q_lm_coverage",
-    "q_time_rolling_median", "q_text_llr", "q_text_burstiness")
+    "q_time_rolling_median", "q_text_llr", "q_text_burstiness",
+    "q_intersect_all", "q_stats_corrmat")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -708,6 +708,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_text_burstiness") === Seq())
   }
 
+  test("q_stats_corrmat matches an exact-decimal moment replay on the fixture") {
+    // the 8 lineitem rows' (qty, price, discount, tax); moments replayed
+    // in BigDecimal (exact, like the engine's DECIMAL sums) then the same
+    // IEEE tree per pair
+    val fx = Seq(
+      (17.0, 1000.00, 0.05, 0.02), (36.0, 2000.00, 0.10, 0.03),
+      (40.0, 1500.00, 0.00, 0.05), (8.0, 800.00, 0.07, 0.01),
+      (31.0, 1200.00, 0.02, 0.04), (55.0, 950.00, 0.09, 0.06),
+      (3.0, 100.00, 0.01, 0.00), (29.0, 600.00, 0.06, 0.02))
+    val cols = Seq(
+      "l_discount" -> fx.map(_._3), "l_extendedprice" -> fx.map(_._2),
+      "l_quantity" -> fx.map(_._1), "l_tax" -> fx.map(_._4))
+      .map { case (n, vs) => n -> vs.map(BigDecimal(_).setScale(2)) }
+    def s(vs: Seq[BigDecimal]) = vs.sum.toDouble
+    def sp(a: Seq[BigDecimal], b: Seq[BigDecimal]) =
+      a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+    val n = fx.size.toDouble
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val expected = for {
+      (na, va) <- cols; (nb, vb) <- cols if na < nb
+    } yield {
+      val cov = n * sp(va, vb) - s(va) * s(vb)
+      val vA = n * sp(va, va) - s(va) * s(va)
+      val vB = n * sp(vb, vb) - s(vb) * s(vb)
+      Seq[Any](na, nb, fx.size.toLong, r6(cov / math.sqrt(vA * vB)))
+    }
+    assert(rows("q_stats_corrmat") === expected)
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
