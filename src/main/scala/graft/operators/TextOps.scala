@@ -399,6 +399,50 @@ object TextOps {
              |      AS DOUBLE)
              |    / CAST(CAST(df AS HUGEINT) * cf AS DOUBLE) AS vmr
              |FROM m ORDER BY vmr DESC, word LIMIT 20""".stripMargin)
+    ),
+    // Lexical-diversity profile per language (round 5) — the corpus-QA
+    // triple: type-token ratio (vocabulary richness), hapax-legomena
+    // rate (share of the vocabulary seen exactly once — organic text
+    // runs 40-60%, template/synthetic corpora collapse toward zero; this
+    // driver corpus reads ~0, the detector detecting), and the raw
+    // counts behind both. Baayen 2001's first-order productivity stats,
+    // the vocabulary-side complement of q_text_burstiness's
+    // distribution shape and q_dq_entropy's concentration.
+    //
+    // Determinism: tokens/types/hapax are exact BIGINTs; TTR and the
+    // hapax rate are each ONE IEEE division (R7, non-negative). ORDER BY
+    // lang (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (lang, word) hash agg
+    // (map-side combine; vocab-bounded output) → |langs|-row agg.
+    // Nothing after the first agg exceeds the vocabulary.
+    GQ(
+      "q_text_lexdiv",
+      (s, d) => {
+        Tables.t(s, d, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("lang"))
+          .agg(sum(col("c")).as("tokens"), count(lit(1)).as("types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+          .select(col("lang"), col("tokens"), col("types"), col("hapax"),
+            (col("types").cast(DoubleType) / col("tokens").cast(DoubleType))
+              .as("ttr"),
+            (col("hapax").cast(DoubleType) / col("types").cast(DoubleType))
+              .as("hapax_rate"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH lw AS (SELECT lang, w, COUNT(*) AS c FROM (
+             |    SELECT lang, unnest(string_split(text, ' ')) AS w
+             |    FROM documents) GROUP BY 1, 2)
+             |SELECT lang, CAST(SUM(c) AS BIGINT) AS tokens,
+             |  COUNT(*) AS types,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS hapax,
+             |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+             |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) AS hapax_rate
+             |FROM lw GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

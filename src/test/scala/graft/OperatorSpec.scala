@@ -738,6 +738,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_stats_corrmat") === expected)
   }
 
+  test("q_text_lexdiv: hand-tallied TTR and hapax rates per language") {
+    // en: 14 tokens / 8 types / 2 hapax (two, words); de: 14/9/4
+    // (der, hund, und, heute); es is one doc of 8 distinct words
+    assert(rows("q_text_lexdiv") === Seq(
+      Seq("de", 14L, 9L, 4L, 9.0 / 14.0, 4.0 / 9.0),
+      Seq("en", 14L, 8L, 2L, 8.0 / 14.0, 0.25),
+      Seq("es", 8L, 8L, 8L, 1.0, 1.0)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
