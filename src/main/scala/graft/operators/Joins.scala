@@ -172,6 +172,49 @@ object Joins {
              |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
              |ORDER BY event_id""".stripMargin)
     ),
+    // Null-safe equality join (round 5) — the `<=>` / IS NOT DISTINCT
+    // FROM join variant the equi family lacked: under plain `=` a NULL
+    // key matches NOTHING (three-valued logic silently drops the whole
+    // NULL group from an inner join); under null-safe equality NULL
+    // matches NULL exactly once. Every CDC/merge pipeline meets this the
+    // first time a nullable business key arrives. The NULL group is
+    // synthesized deterministically (NULLIF on the purchase type — the
+    // driver events carry no natural NULL keys) on BOTH halves of an
+    // even/odd event split, so the NULL⋈NULL row must appear — the
+    // fixture pins exactly the row a plain `=` join would lose.
+    //
+    // Determinism: exact BIGINT counts; ORDER BY the key ASC NULLS FIRST
+    // (R1 — spelled out because DuckDB defaults NULLS LAST).
+    //
+    // Plan shape (100 TB): two scans of the same corpus → two
+    // type-bounded aggs (≤ |event types| rows each) → one null-safe
+    // hash join over the tiny keyed relations. Spark plans `<=>` as a
+    // normal equi-join key (EqualNullSafe is a valid hash key), NOT a
+    // nested loop — the reason this variant deserves first-class use.
+    GQ(
+      "q_join_null_safe",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), nullif(col("event_type"), lit("purchase"))
+            .as("k"))
+        val a = ev.filter(col("event_id") % 2 === 0)
+          .groupBy(col("k").as("ka")).agg(count(lit(1)).as("cnt_even"))
+        val b = ev.filter(col("event_id") % 2 === 1)
+          .groupBy(col("k").as("kb")).agg(count(lit(1)).as("cnt_odd"))
+        a.join(b, col("ka") <=> col("kb"))
+          .select(col("ka").as("k"), col("cnt_even"), col("cnt_odd"))
+          .orderBy(col("k").asc_nulls_first)
+      },
+      Some("""WITH ev AS (SELECT event_id,
+             |    NULLIF(event_type, 'purchase') AS k FROM events),
+             |a AS (SELECT k AS ka, COUNT(*) AS cnt_even FROM ev
+             |  WHERE event_id % 2 = 0 GROUP BY 1),
+             |b AS (SELECT k AS kb, COUNT(*) AS cnt_odd FROM ev
+             |  WHERE event_id % 2 = 1 GROUP BY 1)
+             |SELECT a.ka AS k, a.cnt_even, b.cnt_odd
+             |FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb
+             |ORDER BY k ASC NULLS FIRST""".stripMargin)
+    ),
     GQ(
       "q_join_multiway",
       (s, d) =>

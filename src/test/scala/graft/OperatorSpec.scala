@@ -747,6 +747,13 @@ class OperatorSpec extends AnyFunSuite {
       Seq("es", 8L, 8L, 8L, 1.0, 1.0)))
   }
 
+  test("q_join_null_safe: the NULL group survives — the row plain = would drop") {
+    // purchases (ids 1 odd, 6 even) NULLIF to NULL on both halves; no
+    // other type appears on both sides, so the null-safe inner join's
+    // ONLY row is the NULL-matches-NULL one
+    assert(rows("q_join_null_safe") === Seq(Seq(null, 1L, 1L)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
