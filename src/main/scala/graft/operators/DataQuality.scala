@@ -501,6 +501,53 @@ object DataQuality {
            |  UNION ALL SELECT * FROM evh UNION ALL SELECT * FROM oph)
            |ORDER BY column_name""".stripMargin
       }
+    ),
+    // Feed-freshness audit (round 5) — the staleness check every ingest
+    // monitor runs: per event type, the last-seen time, its lag behind
+    // the NEWEST event anywhere in the corpus, and the volume in the
+    // trailing 24 h of corpus time. A type whose staleness grows while
+    // others stay current is a silently dead upstream — the operational
+    // twin of q_dq_checks' structural gates. The reference point is the
+    // corpus max (data-derived, NOT current_timestamp — R3), so the
+    // audit is replayable forever.
+    //
+    // Determinism: all times exact epoch-µs integers (R4/R5), counts
+    // BIGINT; ORDER BY event_type (R1).
+    //
+    // Plan shape (100 TB): the corpus max is ONE bounded 1-row driver
+    // fetch (the kcore/balanced pattern — a corpus-wide max() window on
+    // the raw events would be the banned single-partition shape), then
+    // ONE corpus scan → type-keyed agg carrying max(ts), the total, and
+    // the 24 h-window CONDITIONAL count gated by that literal. One pass,
+    // |types| rows out.
+    GQ(
+      "q_dq_freshness",
+      (s, d) => {
+        val DayNs = 86400L * 1000 * 1000 * 1000
+        // bounded driver fetch (1 row): the replayable reference point
+        val mx = Tables.events(s, d).agg(max(col("ts"))).head().getLong(0)
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(max(col("ts")).as("last_ns"), count(lit(1)).as("n_events"),
+            sum(when(col("ts") > mx - DayNs, 1L).otherwise(0L))
+              .as("last_day_events"))
+          .select(col("event_type"),
+            expr("last_ns DIV 1000").as("last_us"),
+            expr(s"(${mx}L - last_ns) DIV 1000").as("staleness_us"),
+            col("n_events"), col("last_day_events"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH m AS (SELECT MAX(epoch_ns(ts)) AS mx FROM events),
+             |t AS (SELECT event_type, MAX(epoch_ns(ts)) AS last_ns,
+             |    COUNT(*) AS n_events,
+             |    CAST(SUM(CASE WHEN epoch_ns(ts) >
+             |        (SELECT mx FROM m) - 86400000000000
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS last_day_events
+             |  FROM events GROUP BY 1)
+             |SELECT event_type, last_ns // 1000 AS last_us,
+             |  ((SELECT mx FROM m) - last_ns) // 1000 AS staleness_us,
+             |  n_events, last_day_events
+             |FROM t ORDER BY event_type""".stripMargin)
     )
   )
 }

@@ -527,6 +527,47 @@ object Stats {
         rows.reduce(_ unionByName _).orderBy(col("col_a"), col("col_b"))
       },
       Some(corrMatSql)
+    ),
+    // Day-of-week seasonality profile (round 5) — the calendar
+    // decomposition read before q_time_seasonal picks its lag: per
+    // (event type, weekday) the event count and its share of the type's
+    // total. A flat profile says the weekly lag is noise; a humped one
+    // says lag-7 forecasting (q_time_seasonal) has signal.
+    //
+    // Determinism: weekday = (epoch_day + 4) mod 7 in exact integer
+    // arithmetic (1970-01-01 was a Thursday; 0 = Sunday) — identical
+    // `%` on non-negative BIGINTs in both engines, R5 nanos basis; the
+    // share is ONE IEEE division (R7). ORDER BY (type, dow) (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (type, dow) hash agg
+    // (≤ 7·|types| rows out, map-side combine); the share joins the
+    // |types|-row totals back broadcast. Nothing else moves.
+    GQ(
+      "q_time_weekday_profile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDow = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("((ts DIV 86400000000000) + 4) % 7").as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("cnt"))
+        byDow
+          .withColumn("tot",
+            sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+          .select(col("event_type"), col("dow"), col("cnt"),
+            (col("cnt").cast(DoubleType) / col("tot").cast(DoubleType))
+              .as("share"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      Some("""WITH b AS (SELECT event_type,
+             |    ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+             |    COUNT(*) AS cnt
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, dow, cnt,
+             |  CAST(cnt AS DOUBLE)
+             |    / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+             |    AS share
+             |FROM b ORDER BY event_type, dow""".stripMargin)
     )
   )
 

@@ -754,6 +754,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_join_null_safe") === Seq(Seq(null, 1L, 1L)))
   }
 
+  test("q_time_weekday_profile: every fixture event lands on Monday (dow 1)") {
+    // 2024-01-01 is a Monday; (19723 + 4) % 7 = 1 under the 0=Sunday map
+    assert(rows("q_time_weekday_profile") === Seq(
+      Seq("click", 1L, 1L, 1.0), Seq("error", 1L, 1L, 1.0),
+      Seq("purchase", 1L, 2L, 1.0), Seq("signup", 1L, 1L, 1.0),
+      Seq("view", 1L, 1L, 1.0)))
+  }
+
+  test("q_dq_freshness: staleness vs the corpus max, exact to the microsecond") {
+    // corpus max = event 6 (purchase, h1+3ns); click/error last fired in
+    // h0 -> exactly 3600s stale after the sub-us nanos truncate; all six
+    // events sit inside the trailing 24h window
+    val h0us = 1704067200000000L
+    val h1us = h0us + 3600L * 1000000
+    assert(rows("q_dq_freshness") === Seq(
+      Seq("click", h0us, 3600000000L, 1L, 1L),
+      Seq("error", h0us, 3600000000L, 1L, 1L),
+      Seq("purchase", h1us, 0L, 2L, 2L),
+      Seq("signup", h1us, 0L, 1L, 1L),
+      Seq("view", h1us, 0L, 1L, 1L)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
