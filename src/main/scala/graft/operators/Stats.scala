@@ -568,6 +568,94 @@ object Stats {
              |    / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
              |    AS share
              |FROM b ORDER BY event_type, dow""".stripMargin)
+    ),
+    // Distribution-shape moments (round 5) — population skewness and
+    // excess kurtosis of l_extendedprice per returnflag, the two shape
+    // statistics q_agg_stats' mean/variance miss: skew flags asymmetric
+    // drift (a fatter right tail of prices), kurtosis flags outlier
+    // proneness — both standard feed-drift monitors next to q_dq_drift's
+    // categorical test.
+    //
+    // Determinism (R2/R7/R10): the value is converted ONCE to exact
+    // integer CENTS (via DECIMAL(18,2)·100 — never a double multiply),
+    // widened to DECIMAL(38,0)/HUGEINT, and the FOUR power sums
+    // accumulate as exact integers (cents⁴ ≈ 10²⁸ × 6·10⁵ rows ≈ 10³⁴ —
+    // inside both 128-bit ceilings; decimal-scale power sums are
+    // REJECTED because Spark's precision-loss rule trims the x⁴ product
+    // from scale 8 to 6 while DuckDB keeps scale 8 — a silent
+    // cross-engine divergence). Each sum casts once to DOUBLE and
+    // de-scales by the exact power of 100, then ONE fixed IEEE tree per
+    // statistic via the raw-moment identities m₂ = S₂/n − μ²,
+    // m₃ = S₃/n − 3μS₂/n + 2μ³, m₄ = S₄/n − 4μS₃/n + 6μ²S₂/n − 3μ⁴,
+    // skew = m₃/(m₂·sqrt(m₂)), kurt = m₄/m₂² − 3 — correctly-rounded
+    // sqrt, roundz(6) + R8 (both signed); zero variance → NULL. ORDER BY
+    // the group key (R1).
+    //
+    // Plan shape (100 TB): ONE scan → 3-row hash agg carrying four
+    // integer partials; the moment trees run on the 3-row relation.
+    GQ(
+      "q_stats_moments",
+      (s, d) => {
+        val wide = DecimalType(38, 0)
+        val cents = (C.dec2(col("l_extendedprice")) * 100)
+          .cast(LongType).cast(wide)
+        val m = Tables.t(s, d, "lineitem")
+          .select(col("l_returnflag"), cents.as("c"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            (sum(col("c")).cast(DoubleType) / 1e2).as("s1"),
+            (sum(col("c") * col("c")).cast(DoubleType) / 1e4).as("s2"),
+            (sum(col("c") * col("c") * col("c")).cast(DoubleType) / 1e6)
+              .as("s3"),
+            (sum(col("c") * col("c") * col("c") * col("c"))
+              .cast(DoubleType) / 1e8).as("s4"))
+        val nD = col("n").cast(DoubleType)
+        val mu = col("s1") / nD
+        val m2 = col("s2") / nD - mu * mu
+        val m3 = col("s3") / nD - lit(3.0) * mu * col("s2") / nD +
+          lit(2.0) * mu * mu * mu
+        val m4 = col("s4") / nD - lit(4.0) * mu * col("s3") / nD +
+          lit(6.0) * mu * mu * col("s2") / nD - lit(3.0) * mu * mu * mu * mu
+        m.select(col("l_returnflag"), col("n"),
+            graft.functions.vec.roundz(mu, 6).as("mean"),
+            when(m2 > 0, graft.functions.vec.roundz(m3 / (m2 * sqrt(m2)), 6))
+              .as("skewness"),
+            when(m2 > 0, graft.functions.vec.roundz(m4 / (m2 * m2) - 3.0, 6))
+              .as("kurtosis_excess"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH ce AS (SELECT l_returnflag,
+             |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             |      AS BIGINT) AS HUGEINT) AS c
+             |  FROM lineitem),
+             |m AS (SELECT l_returnflag, COUNT(*) AS n,
+             |    CAST(SUM(c) AS DOUBLE) / 1e2 AS s1,
+             |    CAST(SUM(c * c) AS DOUBLE) / 1e4 AS s2,
+             |    CAST(SUM(c * c * c) AS DOUBLE) / 1e6 AS s3,
+             |    CAST(SUM(c * c * c * c) AS DOUBLE) / 1e8 AS s4
+             |  FROM ce GROUP BY 1),
+             |c AS (SELECT l_returnflag, n,
+             |    s1 / CAST(n AS DOUBLE) AS mu,
+             |    s2 / CAST(n AS DOUBLE)
+             |      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2,
+             |    s3 / CAST(n AS DOUBLE)
+             |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * s2 / CAST(n AS DOUBLE)
+             |      + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |        * (s1 / CAST(n AS DOUBLE)) AS m3,
+             |    s4 / CAST(n AS DOUBLE)
+             |      - 4.0 * (s1 / CAST(n AS DOUBLE)) * s3 / CAST(n AS DOUBLE)
+             |      + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |        * s2 / CAST(n AS DOUBLE)
+             |      - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+             |        * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m4
+             |  FROM m)
+             |SELECT l_returnflag, n, (ROUND(mu, 6) + 0.0) AS mean,
+             |  CASE WHEN m2 > 0
+             |    THEN (ROUND(m3 / (m2 * sqrt(m2)), 6) + 0.0) END AS skewness,
+             |  CASE WHEN m2 > 0
+             |    THEN (ROUND(m4 / (m2 * m2) - 3.0, 6) + 0.0) END
+             |    AS kurtosis_excess
+             |FROM c ORDER BY l_returnflag""".stripMargin)
     )
   )
 

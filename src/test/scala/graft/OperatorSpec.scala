@@ -776,6 +776,33 @@ class OperatorSpec extends AnyFunSuite {
       Seq("view", h1us, 0L, 1L, 1L)))
   }
 
+  test("q_stats_moments matches an exact cents-integer replay on the fixture") {
+    // the engine's scheme replayed: exact integer cents power sums, one
+    // double cast + de-scale each, then the identical raw-moment trees
+    val fx = Map(
+      "A" -> Seq(2000.00, 950.00),
+      "N" -> Seq(1500.00, 100.00),
+      "R" -> Seq(1000.00, 800.00, 1200.00, 600.00))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val expected = fx.toSeq.sortBy(_._1).map { case (flag, prices) =>
+      val c = prices.map(p => BigInt((p * 100).round))
+      val n = c.size.toDouble
+      val s1 = c.sum.toDouble / 1e2
+      val s2 = c.map(v => v * v).sum.toDouble / 1e4
+      val s3 = c.map(v => v * v * v).sum.toDouble / 1e6
+      val s4 = c.map(v => v * v * v * v).sum.toDouble / 1e8
+      val mu = s1 / n
+      val m2 = s2 / n - mu * mu
+      val m3 = s3 / n - 3.0 * mu * s2 / n + 2.0 * mu * mu * mu
+      val m4 = s4 / n - 4.0 * mu * s3 / n + 6.0 * mu * mu * s2 / n -
+        3.0 * mu * mu * mu * mu
+      Seq[Any](flag, c.size.toLong, r6(mu),
+        r6(m3 / (m2 * math.sqrt(m2))), r6(m4 / (m2 * m2) - 3.0))
+    }
+    assert(rows("q_stats_moments") === expected)
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
