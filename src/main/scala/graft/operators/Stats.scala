@@ -656,6 +656,110 @@ object Stats {
              |    THEN (ROUND(m4 / (m2 * m2) - 3.0, 6) + 0.0) END
              |    AS kurtosis_excess
              |FROM c ORDER BY l_returnflag""".stripMargin)
+    ),
+    // Two-sample Kolmogorov–Smirnov drift test (round 5) — the
+    // distribution-FREE complement of the parametric screens: q_stats_chisq
+    // tests categorical independence, q_stats_ttest compares means,
+    // q_stats_moments summarizes shape; KS compares the WHOLE empirical
+    // CDF (sup-norm distance) of o_totalprice between every pair of order
+    // statuses, catching drift that leaves the mean untouched (variance
+    // swaps, bimodality, truncation). The caller reads the K-alpha table —
+    // no transcendental CDF in the contract (the q_dq_benford rule).
+    //
+    // Determinism: D's supremum is decided on EXACT INTEGERS — the value
+    // converts once to cents (the q_stats_moments conversion), per-pair
+    // pooled cumulative counts k1, k2 come from a window whose ORDER BY c
+    // is total (c is unique within the pair partition after the pooled
+    // agg — the R1 window rule), and the numerator |k1·n2 − k2·n1| widens
+    // to DECIMAL(38,0)/HUGEINT BEFORE the multiply (R10 — k·n passes 2^63
+    // once both pair members exceed ~3·10⁹ rows). The argmax location
+    // ks_at_cents is MIN(c) among maximizers — an exact-integer tie-break.
+    // Only the FINAL display value divides: ONE IEEE division of two
+    // correctly-rounded casts (R7), roundz(6) + R8.
+    //
+    // Plan shape (100 TB): ONE corpus scan → (status, cents) hash agg
+    // (map-side combine; output bounded by |statuses| × |price domain|,
+    // corpus-independent); the 3-row pair relation explodes to 6 member
+    // rows and broadcast-joins the domain-bounded counts; the cumulative
+    // window partitions by pair. The per-pair cumsum is the documented
+    // limit: one partition holds a pair's pooled domain (≤ 2·|domain|
+    // rows) — at a wider domain, range-partitioned two-pass prefix sums
+    // slot in without changing the contract.
+    GQ(
+      "q_stats_ks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wide = DecimalType(38, 0)
+        val cents = (C.dec2(col("o_totalprice")) * 100).cast(LongType)
+        // persisted: the domain-bounded counts feed n, members, and the
+        // pooled join — without it the corpus scans three times
+        val v = graft.Caches.persist(Tables.t(s, d, "orders")
+          .select(col("o_orderstatus").as("st"), cents.as("c"))
+          .groupBy(col("st"), col("c")).agg(count(lit(1)).as("cnt")))
+        val n = v.groupBy(col("st")).agg(sum(col("cnt")).as("n"))
+        val pairs = n.as("a").join(n.as("b"), col("a.st") < col("b.st"))
+          .select(col("a.st").as("st1"), col("b.st").as("st2"),
+            col("a.n").as("n1"), col("b.n").as("n2"))
+        val members = pairs.select(col("st1"), col("st2"), col("n1"),
+          col("n2"), explode(array(col("st1"), col("st2"))).as("st"))
+        val pooled = members.join(v, "st")
+          .groupBy(col("st1"), col("st2"), col("n1"), col("n2"), col("c"))
+          .agg(
+            sum(when(col("st") === col("st1"), col("cnt")).otherwise(0L))
+              .as("c1"),
+            sum(when(col("st") === col("st2"), col("cnt")).otherwise(0L))
+              .as("c2"))
+        val cumW = Window.partitionBy(col("st1"), col("st2"))
+          .orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = pooled.select(col("st1"), col("st2"), col("n1"),
+          col("n2"), col("c"),
+          abs(sum(col("c1")).over(cumW).cast(wide) * col("n2") -
+            sum(col("c2")).over(cumW).cast(wide) * col("n1")).as("dnum"))
+        val maxW = Window.partitionBy(col("st1"), col("st2"))
+        cum.withColumn("dmax", max(col("dnum")).over(maxW))
+          .filter(col("dnum") === col("dmax"))
+          .groupBy(col("st1"), col("st2"), col("n1"), col("n2"), col("dmax"))
+          .agg(min(col("c")).as("ks_at_cents"))
+          .select(col("st1"), col("st2"), col("n1"), col("n2"),
+            graft.functions.vec.roundz(
+              col("dmax").cast(DoubleType) /
+                (col("n1").cast(DoubleType) * col("n2").cast(DoubleType)),
+              6).as("d_stat"),
+            col("ks_at_cents"))
+          .orderBy(col("st1"), col("st2"))
+      },
+      Some("""WITH v AS (SELECT o_orderstatus AS st,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS c,
+             |    COUNT(*) AS cnt FROM orders GROUP BY 1, 2),
+             |n AS (SELECT st, CAST(SUM(cnt) AS BIGINT) AS n
+             |  FROM v GROUP BY 1),
+             |p AS (SELECT a.st AS st1, b.st AS st2, a.n AS n1, b.n AS n2
+             |  FROM n a JOIN n b ON a.st < b.st),
+             |pooled AS (SELECT p.st1, p.st2, p.n1, p.n2, v.c,
+             |    CAST(SUM(CASE WHEN v.st = p.st1 THEN v.cnt ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN v.st = p.st2 THEN v.cnt ELSE 0 END)
+             |      AS BIGINT) AS c2
+             |  FROM p JOIN v ON v.st = p.st1 OR v.st = p.st2
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |cum AS (SELECT st1, st2, n1, n2, c,
+             |    ABS(CAST(SUM(c1) OVER (PARTITION BY st1, st2 ORDER BY c
+             |        ROWS UNBOUNDED PRECEDING) AS HUGEINT) * n2
+             |      - CAST(SUM(c2) OVER (PARTITION BY st1, st2 ORDER BY c
+             |        ROWS UNBOUNDED PRECEDING) AS HUGEINT) * n1) AS dnum
+             |  FROM pooled),
+             |mx AS (SELECT st1, st2, n1, n2, c, dnum,
+             |    MAX(dnum) OVER (PARTITION BY st1, st2) AS dmax FROM cum)
+             |SELECT st1, st2, n1, n2,
+             |  (ROUND(CAST(dmax AS DOUBLE)
+             |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) + 0.0)
+             |    AS d_stat,
+             |  MIN(c) AS ks_at_cents
+             |FROM mx WHERE dnum = dmax
+             |GROUP BY st1, st2, n1, n2, dmax
+             |ORDER BY st1, st2""".stripMargin)
     )
   )
 

@@ -803,6 +803,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_stats_moments") === expected)
   }
 
+  test("q_stats_ks: hand-computed sup-norm distances on the order fixture") {
+    // cents per status — F: {100050, 150000} (n=2), O: {200025, 100050,
+    // 75075} (n=3), P: {30010} (n=1). Per pair, |k1·n2 − k2·n1| walked
+    // over the pooled sorted values by hand:
+    //   (F,O): 75075→2, 100050→1, 150000→2, 200025→0 ⇒ dmax 2 first at
+    //          75075, D = 2/6
+    //   (F,P): 30010→2, 100050→1, 150000→0 ⇒ D = 2/2 = 1.0 at 30010
+    //   (O,P): 30010→3, 75075→2, 100050→1, 200025→0 ⇒ D = 3/3 = 1.0
+    assert(rows("q_stats_ks") === Seq(
+      Seq("F", "O", 2L, 3L, 0.333333, 75075L),
+      Seq("F", "P", 2L, 1L, 1.0, 30010L),
+      Seq("O", "P", 3L, 1L, 1.0, 30010L)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
