@@ -760,6 +760,121 @@ object Stats {
              |FROM mx WHERE dnum = dmax
              |GROUP BY st1, st2, n1, n2, dmax
              |ORDER BY st1, st2""".stripMargin)
+    ),
+    // Mann–Whitney U / Wilcoxon rank-sum (round 5) — the RANK-based
+    // two-sample screen beside q_stats_ttest's mean comparison and
+    // q_stats_ks's sup-norm distance: U asks "how often does a random
+    // draw from one group exceed one from the other", so a single outlier
+    // order moves it by at most one rank where it drags the t statistic
+    // arbitrarily — the robust A/B test. Per status pair on o_totalprice:
+    // exact U₁ plus the tie-corrected normal approximation z; the caller
+    // reads the normal table (the q_dq_benford rule).
+    //
+    // Determinism: midranks stay EXACT INTEGERS by doubling — for a
+    // pooled value with group counts (c1, c2), t = c1+c2 and 2·avgrank =
+    // 2·cum_before + t + 1, so 2R₁ = Σ c1·(2·cb + t + 1) accumulates as
+    // exact integers, widened to DECIMAL(38,0)/HUGEINT BEFORE the
+    // multiply (R10 — c·cum is O(n²)); 2U₁ = 2R₁ − n1(n1+1); the tie
+    // term Σ(t³ − t) widens the same way (t³ passes 2^63 at t ≈ 2·10⁶).
+    // u1 = 2U₁/2 is a division by two — EXACT in IEEE, no rounding
+    // needed; z is ONE fixed mirrored tree over the exact casts with
+    // correctly-rounded sqrt — z = (U₁ − n1n2/2)/sqrt(n1n2·((N³−N) −
+    // Σ(t³−t))/(12·N·(N−1))) — roundz(6)+R8 (signed); all-tied pairs
+    // (variance 0) emit NULL z by contract. ORDER BY the pair key (R1).
+    //
+    // Plan shape (100 TB): the same scaffold as q_stats_ks — ONE corpus
+    // scan → (status, cents) hash agg persisted (domain-bounded), pair
+    // explode + broadcast join, per-pair cumulative window on the
+    // domain-bounded relation → 3-row pair agg carrying two wide-integer
+    // partials; the z tree runs on the 3-row relation.
+    GQ(
+      "q_stats_mannwhitney",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wide = DecimalType(38, 0)
+        val cents = (C.dec2(col("o_totalprice")) * 100).cast(LongType)
+        val v = graft.Caches.persist(Tables.t(s, d, "orders")
+          .select(col("o_orderstatus").as("st"), cents.as("c"))
+          .groupBy(col("st"), col("c")).agg(count(lit(1)).as("cnt")))
+        val n = v.groupBy(col("st")).agg(sum(col("cnt")).as("n"))
+        val pairs = n.as("a").join(n.as("b"), col("a.st") < col("b.st"))
+          .select(col("a.st").as("st1"), col("b.st").as("st2"),
+            col("a.n").as("n1"), col("b.n").as("n2"))
+        val members = pairs.select(col("st1"), col("st2"), col("n1"),
+          col("n2"), explode(array(col("st1"), col("st2"))).as("st"))
+        val pooled = members.join(v, "st")
+          .groupBy(col("st1"), col("st2"), col("n1"), col("n2"), col("c"))
+          .agg(
+            sum(when(col("st") === col("st1"), col("cnt")).otherwise(0L))
+              .as("c1"),
+            sum(when(col("st") === col("st2"), col("cnt")).otherwise(0L))
+              .as("c2"))
+        val cumW = Window.partitionBy(col("st1"), col("st2"))
+          .orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withCum = pooled
+          .withColumn("t", col("c1") + col("c2"))
+          .withColumn("cb", sum(col("t")).over(cumW) - col("t"))
+        val agg = withCum
+          .groupBy(col("st1"), col("st2"), col("n1"), col("n2"))
+          .agg(
+            sum(col("c1").cast(wide) *
+              (col("cb") * 2 + col("t") + 1).cast(wide)).as("r2x"),
+            sum(col("t").cast(wide) * col("t") * col("t") -
+              col("t").cast(wide)).as("tie"))
+        val u2x = (col("r2x") -
+          col("n1").cast(wide) * (col("n1") + 1)).cast(DoubleType)
+        val aD = (col("n1").cast(wide) * col("n2")).cast(DoubleType)
+        val nD = (col("n1") + col("n2")).cast(DoubleType)
+        val vr = aD * ((nD * nD * nD - nD) - col("tie").cast(DoubleType)) /
+          (lit(12.0) * nD * (nD - 1.0))
+        agg.select(col("st1"), col("st2"), col("n1"), col("n2"),
+            (u2x / 2.0).as("u1"),
+            when(vr > 0,
+              graft.functions.vec.roundz((u2x - aD) / 2.0 / sqrt(vr), 6))
+              .as("z"))
+          .orderBy(col("st1"), col("st2"))
+      },
+      Some("""WITH v AS (SELECT o_orderstatus AS st,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS c,
+             |    COUNT(*) AS cnt FROM orders GROUP BY 1, 2),
+             |n AS (SELECT st, CAST(SUM(cnt) AS BIGINT) AS n
+             |  FROM v GROUP BY 1),
+             |p AS (SELECT a.st AS st1, b.st AS st2, a.n AS n1, b.n AS n2
+             |  FROM n a JOIN n b ON a.st < b.st),
+             |pooled AS (SELECT p.st1, p.st2, p.n1, p.n2, v.c,
+             |    CAST(SUM(CASE WHEN v.st = p.st1 THEN v.cnt ELSE 0 END)
+             |      AS BIGINT) AS c1,
+             |    CAST(SUM(CASE WHEN v.st = p.st2 THEN v.cnt ELSE 0 END)
+             |      AS BIGINT) AS c2
+             |  FROM p JOIN v ON v.st = p.st1 OR v.st = p.st2
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |w AS (SELECT st1, st2, n1, n2, c, c1, c1 + c2 AS t,
+             |    SUM(c1 + c2) OVER (PARTITION BY st1, st2 ORDER BY c
+             |      ROWS UNBOUNDED PRECEDING) - (c1 + c2) AS cb
+             |  FROM pooled),
+             |a AS (SELECT st1, st2, n1, n2,
+             |    SUM(CAST(c1 AS HUGEINT) * CAST(cb * 2 + t + 1 AS HUGEINT))
+             |      AS r2x,
+             |    SUM(CAST(t AS HUGEINT) * t * t - CAST(t AS HUGEINT))
+             |      AS tie
+             |  FROM w GROUP BY 1, 2, 3, 4),
+             |f AS (SELECT st1, st2, n1, n2,
+             |    CAST(r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+             |      AS u2x,
+             |    CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS ad,
+             |    CAST(n1 + n2 AS DOUBLE) AS nd,
+             |    CAST(tie AS DOUBLE) AS tied
+             |  FROM a),
+             |g AS (SELECT st1, st2, n1, n2, u2x, ad,
+             |    ad * ((nd * nd * nd - nd) - tied) / (12.0 * nd * (nd - 1.0))
+             |      AS vr
+             |  FROM f)
+             |SELECT st1, st2, n1, n2, u2x / 2.0 AS u1,
+             |  CASE WHEN vr > 0
+             |    THEN (ROUND((u2x - ad) / 2.0 / sqrt(vr), 6) + 0.0) END AS z
+             |FROM g ORDER BY st1, st2""".stripMargin)
     )
   )
 

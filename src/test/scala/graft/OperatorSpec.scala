@@ -817,6 +817,26 @@ class OperatorSpec extends AnyFunSuite {
       Seq("O", "P", 3L, 1L, 1.0, 30010L)))
   }
 
+  test("q_stats_mannwhitney: hand-ranked U and tie-corrected z on the order fixture") {
+    // (F,O): pooled ranks 75075→1, 100050→2.5 (tie), 150000→4, 200025→5;
+    //   R1 = 2.5+4 = 6.5, U1 = 6.5 − 3 = 3.5; one tie of size 2 ⇒
+    //   z = 0.5 / sqrt(6·(120−6)/240) = 0.296174
+    // (F,P): R1 = 2+3 = 5, U1 = 2; z = 1/sqrt(2·24/72) = sqrt(3/2) = 1.224745
+    // (O,P): R1 = 2+3+4 = 9, U1 = 3; z = 1.5/sqrt(3·60/144) = 1.341641
+    val got = rows("q_stats_mannwhitney")
+    assert(got.map(_.take(5)) === Seq(
+      Seq("F", "O", 2L, 3L, 3.5),
+      Seq("F", "P", 2L, 1L, 2.0),
+      Seq("O", "P", 3L, 1L, 3.0)))
+    def z(u1: Double, a: Double, nn: Double, tie: Double) = {
+      val vr = a * ((nn * nn * nn - nn) - tie) / (12.0 * nn * (nn - 1.0))
+      BigDecimal((2 * u1 - a) / 2.0 / math.sqrt(vr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    }
+    assert(got.map(_(5)) === Seq(
+      z(3.5, 6.0, 5.0, 6.0), z(2.0, 2.0, 3.0, 0.0), z(3.0, 3.0, 4.0, 0.0)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
