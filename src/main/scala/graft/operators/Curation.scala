@@ -1181,6 +1181,122 @@ object Curation {
              |  MIN(h) AS h_first
              |FROM rk WHERE r <= (SELECT mn FROM mn)
              |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+    // Mergeable dyadic-histogram quantile tiles (round 5) — the
+    // DISTRIBUTED-PERCENTILE primitive beside q_sketch_rollup's HLL
+    // tiles: per (returnflag, ship-year) the lineitem price distribution
+    // reduces to ≤ ~30 dyadic buckets (bucket = ⌊log2(cents)⌋ via
+    // bitlen — exact integers, the shared dyadic basis), written once
+    // beside each calendar partition at ingest; ANY coarser quantile —
+    // here p50/p90/p99 per flag — comes from SUM-merging the tiles,
+    // never rescanning or globally sorting the corpus (the percentile
+    // problem that forces a sort everywhere else). The query emits the
+    // merged-tile bucket envelope [lo, hi) per quantile PLUS the exact
+    // percentile_disc element, and `contained` asserts envelope ∋ exact —
+    // true BY CONSTRUCTION (both sides walk the same cumulative counts
+    // under the same cume_dist ≥ p convention), the mergeability theorem
+    // made visible row by row.
+    //
+    // Determinism: cents via the one decimal conversion (q_stats_moments);
+    // bucket = length(bin(c)) − 1 — identical unpadded-bitlen semantics
+    // both engines (q_sample_weighted precedent); the quantile bucket is
+    // the MIN bucket with cum·100 ≥ p·N — all exact BIGINTs (cum·100
+    // holds to N ≈ 9·10¹⁶, headroom documented per R10); the exact
+    // element is percentile_disc, the pinned element-not-interpolation
+    // convention (R7) — zero floating point anywhere.
+    //
+    // Plan shape (100 TB): ONE corpus scan → (flag, year, bucket) hash
+    // agg (map-side combine; output calendar×30-bounded, corpus-
+    // independent); merge, cumsum, quantile selection, and the exact-
+    // check join all run on that model-sized relation. The percentile_disc
+    // column is validation-only — a production rollup reads tiles alone
+    // and never touches the corpus again.
+    GQ(
+      "q_sketch_quantile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = (graft.C.dec2(col("l_extendedprice")) * 100)
+          .cast(LongType)
+        val base = graft.Caches.persist(Tables.t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            year(col("l_shipdate")).as("yr"), cents.as("c")))
+        val tiles = base
+          .groupBy(col("flag"), col("yr"),
+            (length(bin(col("c"))) - 1).cast(LongType).as("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged = tiles.groupBy(col("flag"), col("bucket"))
+          .agg(sum(col("cnt")).as("cnt"))
+        val cumW = Window.partitionBy(col("flag")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totW = Window.partitionBy(col("flag"))
+        val cum = merged.select(col("flag"), col("bucket"),
+          sum(col("cnt")).over(cumW).as("cum"),
+          sum(col("cnt")).over(totW).as("n"))
+        val ps = cum.select(col("flag"), col("bucket"), col("cum"), col("n"),
+          explode(array(lit(50L), lit(90L), lit(99L))).as("p"))
+        val chosen = ps.filter(col("cum") * 100 >= col("p") * col("n"))
+          .groupBy(col("flag"), col("p")).agg(min(col("bucket")).as("bucket"))
+          .select(col("flag"), col("p"), col("bucket"),
+            expr("shiftleft(1L, CAST(bucket AS INT))").as("lo_cents"),
+            expr("shiftleft(1L, CAST(bucket AS INT) + 1) - 1").as("hi_cents"))
+        val exact = base.groupBy(col("flag"))
+          .agg(
+            expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY c)").as("e50"),
+            expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY c)").as("e90"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").as("e99"))
+          // Spark's percentile_disc surfaces DOUBLE; the element is an
+          // exact integer cents value, so the cast back is lossless
+          .select(col("flag"), explode(map(
+            lit(50L), col("e50").cast(LongType),
+            lit(90L), col("e90").cast(LongType),
+            lit(99L), col("e99").cast(LongType)))
+            .as(Seq("p", "exact_cents")))
+        chosen.join(exact, Seq("flag", "p"))
+          .select(col("flag"), col("p"), col("bucket"), col("lo_cents"),
+            col("hi_cents"), col("exact_cents"),
+            (col("exact_cents") >= col("lo_cents") &&
+              col("exact_cents") <= col("hi_cents")).as("contained"))
+          .orderBy(col("flag"), col("p"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag AS flag,
+             |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |      AS c
+             |  FROM lineitem),
+             |tiles AS (SELECT flag, yr,
+             |    CAST(length(bin(c)) - 1 AS BIGINT) AS bucket,
+             |    COUNT(*) AS cnt
+             |  FROM b GROUP BY 1, 2, 3),
+             |merged AS (SELECT flag, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+             |  FROM tiles GROUP BY 1, 2),
+             |cum AS (SELECT flag, bucket,
+             |    SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY flag) AS n
+             |  FROM merged),
+             |ps AS (SELECT flag, bucket, cum, n, p.p
+             |  FROM cum, (VALUES (50), (90), (99)) p(p)),
+             |chosen AS (SELECT flag, CAST(p AS BIGINT) AS p,
+             |    MIN(bucket) AS bucket
+             |  FROM ps WHERE cum * 100 >= p * n GROUP BY 1, 2),
+             |env AS (SELECT flag, p, bucket,
+             |    1::BIGINT << CAST(bucket AS INTEGER) AS lo_cents,
+             |    (1::BIGINT << CAST(bucket + 1 AS INTEGER)) - 1 AS hi_cents
+             |  FROM chosen),
+             |ex AS (SELECT flag, CAST(e.p AS BIGINT) AS p,
+             |    CASE e.p WHEN 50 THEN e50 WHEN 90 THEN e90 ELSE e99 END
+             |      AS exact_cents
+             |  FROM (SELECT flag,
+             |      percentile_disc(0.50) WITHIN GROUP (ORDER BY c) AS e50,
+             |      percentile_disc(0.90) WITHIN GROUP (ORDER BY c) AS e90,
+             |      percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS e99
+             |    FROM b GROUP BY flag) q, (VALUES (50), (90), (99)) e(p))
+             |SELECT env.flag, env.p, env.bucket, env.lo_cents, env.hi_cents,
+             |  ex.exact_cents,
+             |  ex.exact_cents >= env.lo_cents
+             |    AND ex.exact_cents <= env.hi_cents AS contained
+             |FROM env JOIN ex ON ex.flag = env.flag AND ex.p = env.p
+             |ORDER BY env.flag, env.p""".stripMargin)
     )
   )
 }

@@ -121,7 +121,8 @@ object ScaleStress {
     "q_time_rolling_median", "q_text_llr", "q_text_burstiness",
     "q_intersect_all", "q_stats_corrmat", "q_text_lexdiv",
     "q_join_null_safe", "q_time_weekday_profile", "q_dq_freshness",
-    "q_stats_moments", "q_stats_ks", "q_stats_mannwhitney")
+    "q_stats_moments", "q_stats_ks", "q_stats_mannwhitney",
+    "q_sketch_quantile")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -837,6 +837,23 @@ class OperatorSpec extends AnyFunSuite {
       z(3.5, 6.0, 5.0, 6.0), z(2.0, 2.0, 3.0, 0.0), z(3.0, 3.0, 4.0, 0.0)))
   }
 
+  test("q_sketch_quantile: hand-walked dyadic envelopes contain the exact elements") {
+    // cents per flag — A: {200000→b17, 95000→b16}, N: {150000→b17,
+    //   10000→b13}, R: {100000, 80000, 120000→b16, 60000→b15}; the
+    //   quantile bucket is the first with cum·100 ≥ p·n, the exact value
+    //   is the percentile_disc element — contained must hold everywhere
+    assert(rows("q_sketch_quantile") === Seq(
+      Seq("A", 50L, 16L, 65536L, 131071L, 95000L, true),
+      Seq("A", 90L, 17L, 131072L, 262143L, 200000L, true),
+      Seq("A", 99L, 17L, 131072L, 262143L, 200000L, true),
+      Seq("N", 50L, 13L, 8192L, 16383L, 10000L, true),
+      Seq("N", 90L, 17L, 131072L, 262143L, 150000L, true),
+      Seq("N", 99L, 17L, 131072L, 262143L, 150000L, true),
+      Seq("R", 50L, 16L, 65536L, 131071L, 80000L, true),
+      Seq("R", 90L, 16L, 65536L, 131071L, 120000L, true),
+      Seq("R", 99L, 16L, 65536L, 131071L, 120000L, true)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
