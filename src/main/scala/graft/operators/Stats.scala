@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{C, GQ, Tables}
+import graft.{C, GQ, Tables, XHash}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -875,6 +875,87 @@ object Stats {
              |  CASE WHEN vr > 0
              |    THEN (ROUND((u2x - ad) / 2.0 / sqrt(vr), 6) + 0.0) END AS z
              |FROM g ORDER BY st1, st2""".stripMargin)
+    ),
+    // Deterministic half-sample bootstrap CI for the mean (round 5) —
+    // the uncertainty quantification the point-estimate screens lack:
+    // every parallel-data system wants "mean ± what?" without a closed
+    // form, and rand()-seeded resampling is banned by the determinism
+    // contract. Scheme: 60 HALF-SAMPLE replicates indexed by the bits of
+    // h60('boot:' || orderkey) — replicate b keeps rows whose b-th hash
+    // bit is set, giving 60 pseudo-independent ~n/2 subsamples from ONE
+    // hash evaluation per row (Politis–Romano subsampling; the
+    // map-reduce-era Poisson-bootstrap idea with the randomness replaced
+    // by the same scan-side hash gate q_sample_stratified uses). The CI
+    // envelope is the 5th/95th percentile_disc ELEMENT of the replicate
+    // means — half-sample spread overstates the full-sample SE by ~√2,
+    // a constant the CALLER rescales by (no transcendental in the
+    // contract, the q_dq_benford rule).
+    //
+    // Determinism: per-replicate sums are exact decimals; each replicate
+    // mean is ONE IEEE division (R7) — bit-stable doubles — and the CI
+    // bounds are percentile_disc ELEMENTS of that 60-value multiset
+    // (cume_dist ≥ p convention, never interpolated), so the envelope is
+    // bit-stable end to end; roundz(6) + R8 for display. Empty
+    // replicates (possible only on toy inputs — P ≈ 2^-n per bit) are
+    // excluded by contract and n_reps reports the survivor count.
+    //
+    // Plan shape (100 TB): ONE corpus scan — the b = −1 pseudo-replicate
+    // carries the full-sample stats through the SAME explode, so the
+    // corpus is never touched twice; the 61-way explode inflates rows
+    // before the hash agg but map-side combine collapses to 61 partial
+    // groups per task (the q_agg_skew_salted shape); everything after
+    // the agg is a 61-row relation.
+    GQ(
+      "q_stats_bootstrap",
+      (s, d) => {
+        val h = graft.XHash.h60(
+          concat(lit("boot:"), col("o_orderkey").cast(StringType)))
+        val reps = Tables.t(s, d, "orders")
+          .select(C.dec2(col("o_totalprice")).as("v"), h.as("h"))
+          .select(col("v"), col("h"),
+            explode(sequence(lit(-1), lit(59))).as("b"))
+          .filter(col("b") === -1 ||
+            expr("(shiftright(h, b) & 1) = 1"))
+        val g = reps.groupBy(col("b"))
+          .agg(count(lit(1)).as("nb"),
+            sum(col("v")).cast(DoubleType).as("sb"))
+        val full = g.filter(col("b") === -1)
+          .select(col("nb").as("n"),
+            (col("sb") / col("nb").cast(DoubleType)).as("mean_full"))
+        val means = g.filter(col("b") >= 0 && col("nb") > 0)
+          .select((col("sb") / col("nb").cast(DoubleType)).as("mean_b"))
+        val ci = means.agg(count(lit(1)).as("n_reps"),
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_b)")
+            .as("lo"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_b)")
+            .as("hi"))
+        full.crossJoin(ci)
+          .select(col("n"),
+            graft.functions.vec.roundz(col("mean_full"), 6).as("mean_full"),
+            col("n_reps"),
+            graft.functions.vec.roundz(col("lo"), 6).as("ci_lo"),
+            graft.functions.vec.roundz(col("hi"), 6).as("ci_hi"))
+      },
+      Some(s"""WITH r AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             |    ${XHash.sqlH60("'boot:' || CAST(o_orderkey AS VARCHAR)")}
+             |      AS h
+             |  FROM orders),
+             |e AS (SELECT v, h, b.b FROM r, generate_series(-1, 59) b(b)
+             |  WHERE b.b = -1 OR ((h >> b.b) & 1) = 1),
+             |g AS (SELECT b, COUNT(*) AS nb, CAST(SUM(v) AS DOUBLE) AS sb
+             |  FROM e GROUP BY 1),
+             |f AS (SELECT nb AS n, sb / CAST(nb AS DOUBLE) AS mean_full
+             |  FROM g WHERE b = -1),
+             |m AS (SELECT sb / CAST(nb AS DOUBLE) AS mean_b
+             |  FROM g WHERE b >= 0 AND nb > 0),
+             |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+             |    percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_b) AS lo,
+             |    percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_b) AS hi
+             |  FROM m)
+             |SELECT f.n, (ROUND(f.mean_full, 6) + 0.0) AS mean_full,
+             |  s.n_reps, (ROUND(s.lo, 6) + 0.0) AS ci_lo,
+             |  (ROUND(s.hi, 6) + 0.0) AS ci_hi
+             |FROM f, s""".stripMargin)
     )
   )
 

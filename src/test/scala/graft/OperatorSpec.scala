@@ -854,6 +854,31 @@ class OperatorSpec extends AnyFunSuite {
       Seq("R", 99L, 16L, 65536L, 131071L, 120000L, true)))
   }
 
+  test("q_stats_bootstrap: sequential replay of the 60 hash-bit half-samples") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val prices = Map(100L -> "1000.50", 101L -> "2000.25", 102L -> "1500.00",
+      103L -> "300.10", 104L -> "1000.50", 105L -> "750.75")
+    def h(k: Long) =
+      graft.functions.CdcChunks.h60(UTF8String.fromString(s"boot:$k"))
+    // replicate b keeps orders whose b-th hash bit is set; empty
+    // replicates are excluded by contract
+    val means = (0 until 60).flatMap { b =>
+      val kept = prices.collect {
+        case (k, v) if ((h(k) >> b) & 1L) == 1L => BigDecimal(v)
+      }
+      if (kept.isEmpty) None
+      else Some(kept.sum.toDouble / kept.size.toDouble)
+    }
+    val sorted = means.sorted
+    // percentile_disc: first element with cume_dist >= p (1-based ceil)
+    def pd(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val full = prices.values.map(BigDecimal(_)).sum.toDouble / 6.0
+    assert(rows("q_stats_bootstrap") === Seq(Seq(
+      6L, r6(full), means.size.toLong, r6(pd(0.05)), r6(pd(0.95)))))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
