@@ -548,6 +548,75 @@ object DataQuality {
              |  ((SELECT mx FROM m) - last_ns) // 1000 AS staleness_us,
              |  n_events, last_day_events
              |FROM t ORDER BY event_type""".stripMargin)
+    ),
+    // Referential-integrity audit (round 5) — the cross-TABLE data-quality
+    // check the row-level family (q_dq_checks: nulls/ranges; q_dq_funcdep:
+    // in-table FDs) cannot express: for every foreign-key edge of the
+    // schema, how many child rows point at a parent that does not exist —
+    // THE first audit a warehouse runs after every load, and the one that
+    // catches partial/out-of-order ingestion (child partition landed, parent
+    // didn't). Emits per edge: child rows, NULL keys (three-valued logic
+    // keeps them out of the orphan count by contract), orphan rows,
+    // DISTINCT orphan keys (one bad producer vs many), and the orphan rate.
+    //
+    // The SIX edges are one Scala list generated into BOTH the Spark plan
+    // and the oracle SQL (the CorrCols anti-drift pattern). Determinism:
+    // everything is exact BIGINT counts; the rate is ONE IEEE division
+    // (R7), roundz(6) + R8; ORDER BY edge name (R1).
+    //
+    // Plan shape (100 TB): each edge is ONE child scan (key column only —
+    // pruned at the parquet footer) left-joined to the parent's DISTINCT
+    // keys; small dims broadcast, the two corpus-sized parents
+    // (orders/customer) shuffle once on the join key — the same exchange
+    // a production load-validation would pay, linear per edge; the six
+    // 1-row aggregates union driver-side for free.
+    GQ(
+      "q_dq_referential",
+      (s, d) => {
+        RefEdges.map { case (child, fk, parent, pk) =>
+          val c = Tables.t(s, d, child).select(col(fk).cast(LongType).as("fk"))
+          val p = Tables.t(s, d, parent)
+            .select(col(pk).cast(LongType).as("k")).distinct()
+            .withColumn("hit", lit(1))
+          val orphan = col("fk").isNotNull && col("hit").isNull
+          c.join(p, col("fk") === col("k"), "left")
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("fk").isNull, 1L).otherwise(0L)).as("n_nulls"),
+              sum(when(orphan, 1L).otherwise(0L)).as("n_orphans"),
+              countDistinct(when(orphan, col("fk"))).as("n_orphan_keys"))
+            .select(lit(s"$child.$fk->$parent").as("edge"), col("n_rows"),
+              col("n_nulls"), col("n_orphans"), col("n_orphan_keys"),
+              graft.functions.vec.roundz(col("n_orphans").cast(DoubleType) /
+                col("n_rows").cast(DoubleType), 6).as("orphan_rate"))
+        }.reduce(_.union(_)).orderBy(col("edge"))
+      },
+      Some(RefEdges.map { case (child, fk, parent, pk) =>
+        s"""SELECT '$child.$fk->$parent' AS edge,
+           |  COUNT(*) AS n_rows,
+           |  CAST(SUM(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(SUM(CASE WHEN c.fk IS NOT NULL AND p.k IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  COUNT(DISTINCT CASE WHEN c.fk IS NOT NULL AND p.k IS NULL
+           |    THEN c.fk END) AS n_orphan_keys,
+           |  (ROUND(CAST(SUM(CASE WHEN c.fk IS NOT NULL AND p.k IS NULL
+           |      THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE), 6) + 0.0) AS orphan_rate
+           |FROM (SELECT CAST($fk AS BIGINT) AS fk FROM $child) c
+           |LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k
+           |  FROM $parent) p ON p.k = c.fk""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY edge")
     )
   )
+
+  /** The schema's FK edges — ONE list feeding both the Spark plan and the
+    * generated oracle SQL (anti-drift, the CorrCols pattern).
+    */
+  private def RefEdges: Seq[(String, String, String, String)] = Seq(
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"))
 }

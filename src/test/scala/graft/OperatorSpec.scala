@@ -879,6 +879,16 @@ class OperatorSpec extends AnyFunSuite {
       6L, r6(full), means.size.toLong, r6(pd(0.05)), r6(pd(0.95)))))
   }
 
+  test("q_dq_referential: every fixture FK edge is orphan-free with exact counts") {
+    assert(rows("q_dq_referential") === Seq(
+      Seq("customer.c_nationkey->nation", 5L, 0L, 0L, 0L, 0.0),
+      Seq("lineitem.l_orderkey->orders", 8L, 0L, 0L, 0L, 0.0),
+      Seq("lineitem.l_partkey->part", 8L, 0L, 0L, 0L, 0.0),
+      Seq("lineitem.l_suppkey->supplier", 8L, 0L, 0L, 0L, 0.0),
+      Seq("nation.n_regionkey->region", 4L, 0L, 0L, 0L, 0.0),
+      Seq("orders.o_custkey->customer", 6L, 0L, 0L, 0L, 0.0)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

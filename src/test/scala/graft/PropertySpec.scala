@@ -1544,6 +1544,30 @@ class PropertySpec extends AnyFunSuite {
       "uniform 20-source column reads the quantized log2(20)")
   }
 
+  test("q_dq_referential: a planted missing parent surfaces as orphans with rate") {
+    // clone MiniData, then drop supplier 2 — lineitem's four suppkey-2 rows
+    // become orphans on exactly one distinct key; every other edge stays
+    // clean (the fixture and the driver corpora are referentially intact,
+    // so this probe is the only coverage of the orphan branch)
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("refprop-").toString
+    for (t <- Seq("region", "nation", "customer", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"${MiniData.dir}/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    spark.read.parquet(s"${MiniData.dir}/supplier.parquet")
+      .filter(col("s_suppkey") =!= 2L)
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val out = Registry.byName("q_dq_referential").run(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val bad = out.find(_._1 == "lineitem.l_suppkey->supplier").get
+    assert(bad === (("lineitem.l_suppkey->supplier", 8L, 0L, 4L, 1L, 0.5)))
+    assert(out.filterNot(_._1 == "lineitem.l_suppkey->supplier")
+      .forall(e => e._4 == 0L && e._6 == 0.0),
+      s"only the planted edge may report orphans: ${out.toSeq}")
+  }
+
   test("q_dq_funcdep: the unique-key dependency is exactly clean at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val nOrders = Tables.t(spark, d, "orders").count()
