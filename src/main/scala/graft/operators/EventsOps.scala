@@ -302,6 +302,116 @@ object EventsOps {
              |FROM r GROUP BY user_id, sid, event_type
              |ORDER BY user_id, sid, event_type""".stripMargin)
     ),
+    // Per-day PEAK session concurrency (round 5) — the sweep-line /
+    // interval-stabbing classic the interval family lacked: q_join_interval
+    // finds overlapping PAIRS, this finds how many sessions are open AT
+    // ONCE — the capacity-planning number (connection pools, licence
+    // seats, serving replicas are sized off exactly this). Standard
+    // sweep: each session emits +1 at its start and −1 at its end, the
+    // running sum is the live-session count, and the day's peak is its
+    // max with starts processed BEFORE ends at an equal microsecond
+    // (closed intervals: a session ending at t and one starting at t DO
+    // overlap).
+    //
+    // The global sweep is kept PARTITIONED: a session crossing midnight
+    // contributes a CARRY-IN (+1 at day start) to every later day it
+    // spans — explode(sequence(sday+1, eday)) — so each day's sweep is
+    // independent and the window never degenerates to the banned
+    // single-partition global sort. peak = carry + max(0, max cand)
+    // where cand(us) = cumsum(s−e) + e(us) is the count right after the
+    // starts at us; peak_at_us = first µs attaining it, NULL by contract
+    // when the peak is the midnight carry itself (probe-pinned).
+    //
+    // Determinism: exact epoch-µs integers end to end (R5), the sweep
+    // window orders by us — unique within a day after the (day, us) agg
+    // (the R1 window rule); the equal-µs start/end collapse makes the
+    // per-us cand permutation-invariant. ORDER BY day (R1).
+    //
+    // Plan shape (100 TB): the sessionize exchange (user-keyed) feeds a
+    // session-bounded relation; carry/event rows are ≤ 2 rows + spanned
+    // days per session; the sweep windows partition by DAY — calendar
+    // parallelism, no global sort; the full-outer day join runs on the
+    // |days|-sized relation.
+    GQ(
+      "q_events_concurrency",
+      (s, d) => {
+        val sess = sessionized(s, d).select(
+          expr("start_us DIV 86400000000").as("sday"),
+          expr("end_us DIV 86400000000").as("eday"),
+          col("start_us"), col("end_us"))
+        val carry = sess.filter(col("eday") > col("sday"))
+          .select(explode(sequence(col("sday") + 1, col("eday"))).as("day"))
+          .groupBy(col("day")).agg(count(lit(1)).as("n_carry"))
+        val ev = sess.select(col("sday").as("day"),
+            col("start_us").as("us"), lit(1L).as("s"), lit(0L).as("e"))
+          .union(sess.select(col("eday").as("day"),
+            col("end_us").as("us"), lit(0L).as("s"), lit(1L).as("e")))
+          .groupBy(col("day"), col("us"))
+          .agg(sum(col("s")).as("s"), sum(col("e")).as("e"))
+        val wCum = Window.partitionBy(col("day")).orderBy(col("us"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wDay = Window.partitionBy(col("day"))
+        val cand = ev
+          .withColumn("cand", sum(col("s") - col("e")).over(wCum) + col("e"))
+          .withColumn("m", max(col("cand")).over(wDay))
+          .withColumn("n_starts", sum(col("s")).over(wDay))
+        val evAgg = cand.filter(col("cand") === col("m"))
+          .groupBy(col("day"), col("m"), col("n_starts"))
+          .agg(min(col("us")).as("at"))
+        evAgg.join(carry, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("n_carry"), lit(0L)).as("n_carry"),
+            coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+            (coalesce(col("n_carry"), lit(0L)) +
+              greatest(coalesce(col("m"), lit(0L)), lit(0L))).as("peak"),
+            when(col("m") > 0, col("at")).as("peak_at_us"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, epoch_us(ts) AS us,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             |    THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, us,
+             |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+             |  FROM g),
+             |b AS (SELECT user_id, sid, MIN(us) AS start_us,
+             |    MAX(us) AS end_us
+             |  FROM s GROUP BY 1, 2),
+             |s2 AS (SELECT start_us // 86400000000 AS sday,
+             |    end_us // 86400000000 AS eday, start_us, end_us FROM b),
+             |cd AS (SELECT unnest(generate_series(sday + 1, eday)) AS day
+             |  FROM s2 WHERE eday > sday),
+             |carry AS (SELECT day, COUNT(*) AS n_carry FROM cd GROUP BY 1),
+             |ev AS (SELECT sday AS day, start_us AS us, 1 AS s, 0 AS e
+             |    FROM s2
+             |  UNION ALL
+             |  SELECT eday, end_us, 0, 1 FROM s2),
+             |ag AS (SELECT day, us, CAST(SUM(s) AS BIGINT) AS s,
+             |    CAST(SUM(e) AS BIGINT) AS e
+             |  FROM ev GROUP BY 1, 2),
+             |c AS (SELECT day, us, s, e,
+             |    SUM(s - e) OVER (PARTITION BY day ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) + e AS cand
+             |  FROM ag),
+             |w2 AS (SELECT day, us, s, cand,
+             |    MAX(cand) OVER (PARTITION BY day) AS m,
+             |    SUM(s) OVER (PARTITION BY day) AS n_starts
+             |  FROM c),
+             |ea AS (SELECT day, m, n_starts, MIN(us) AS at
+             |  FROM w2 WHERE cand = m GROUP BY 1, 2, 3)
+             |SELECT COALESCE(ea.day, carry.day) AS day,
+             |  CAST(COALESCE(carry.n_carry, 0) AS BIGINT) AS n_carry,
+             |  CAST(COALESCE(ea.n_starts, 0) AS BIGINT) AS n_starts,
+             |  CAST(COALESCE(carry.n_carry, 0)
+             |    + GREATEST(COALESCE(ea.m, 0), 0) AS BIGINT) AS peak,
+             |  CASE WHEN ea.m > 0 THEN ea.at END AS peak_at_us
+             |FROM ea FULL OUTER JOIN carry ON carry.day = ea.day
+             |ORDER BY day""".stripMargin)
+    ),
     // Ordered conversion funnel (signup → view → click → purchase): a user
     // completes stage k at the earliest stage-k event strictly AFTER their
     // stage-(k−1) completion — the event-sequence query every product/

@@ -889,6 +889,14 @@ class OperatorSpec extends AnyFunSuite {
       Seq("orders.o_custkey->customer", 6L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("q_events_concurrency: hand-swept peak on the two-bucket fixture") {
+    // all six fixture sessions are instantaneous and land on day 19723 at
+    // two microseconds: A (=h0, 2 starts+ends) and B (=h1, 3 starts+ends);
+    // cand(A) = 0+2, cand(B) = 0+3 ⇒ peak 3 at B, no carry
+    assert(rows("q_events_concurrency") === Seq(
+      Seq(19723L, 0L, 5L, 3L, 1704070800000000L)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

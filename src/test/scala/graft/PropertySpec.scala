@@ -1568,6 +1568,30 @@ class PropertySpec extends AnyFunSuite {
       s"only the planted edge may report orphans: ${out.toSeq}")
   }
 
+  test("q_events_concurrency: a midnight-crossing session carries into the next day") {
+    // user 1's 23:50 -> 00:10 events chain into ONE session spanning
+    // midnight (gap 20 min <= 30); user 2 fires an instant session at
+    // 00:05 while it is still open. Day 1 peak must be carry(1) +
+    // in-day(1) = 2; day 0's peak sits at the session start; a
+    // carry-level peak reports NULL peak_at_us by contract.
+    import java.nio.file.Files
+    val t1 = 1704153000L * 1000000000L // 2024-01-01 23:50:00 UTC
+    val t2 = 1704154200L * 1000000000L // 2024-01-02 00:10:00
+    val t3 = 1704153900L * 1000000000L // 2024-01-02 00:05:00
+    val dir = Files.createTempDirectory("concprop-").toString
+    Seq(
+      (1L, t1, 1L, "click", 0.0, """{"k": 1}"""),
+      (2L, t2, 1L, "click", 0.0, """{"k": 2}"""),
+      (3L, t3, 2L, "view", 0.0, """{"k": 3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Registry.byName("q_events_concurrency").run(spark, dir)
+      .collect().map(_.toSeq)
+    assert(out.toSeq === Seq(
+      Seq(19723L, 0L, 1L, 1L, t1 / 1000),
+      Seq(19724L, 1L, 1L, 2L, t3 / 1000)))
+  }
+
   test("q_dq_funcdep: the unique-key dependency is exactly clean at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val nOrders = Tables.t(spark, d, "orders").count()
