@@ -1297,6 +1297,98 @@ object Curation {
              |    AND ex.exact_cents <= env.hi_cents AS contained
              |FROM env JOIN ex ON ex.flag = env.flag AND ex.p = env.p
              |ORDER BY env.flag, env.p""".stripMargin)
+    ),
+    // Farthest-first coreset selection (round 5) — the DIVERSITY sampling
+    // verb the hash-lottery family can't express: stratified/weighted/
+    // balanced sampling all draw by metadata, but "pick k examples that
+    // COVER the embedding space" (Gonzalez 1985 k-center; sensor-placement
+    // / active-learning staple, the anti-near-dup seed set) needs the
+    // geometry. Greedy farthest-first in COSINE space: seed = vec_id 0
+    // (the q_sim_cosine query convention), then 7 rounds of "add the
+    // candidate whose MAX similarity to the selected set is SMALLEST" —
+    // the 2-approximation classic, here surfaced as (round, vec_id,
+    // max-sim-at-selection): a decreasing-coverage curve that IS the
+    // diversity audit.
+    //
+    // Determinism: every similarity is the native `cosine_sim` expression
+    // — bit-identical to DuckDB's list_cosine_similarity (the q_sim_cosine
+    // basis); MAX over doubles is order-free; the argmin breaks ties on
+    // vec_id (R1); the emitted score is roundz(6) + R8 display only — the
+    // selection compares the RAW doubles on both engines.
+    //
+    // Plan shape (100 TB): k bounded driver fetches of ONE (vec_id,
+    // embedding) row each (the Lloyd/PCA bounded-model pattern); each
+    // round is one corpus scan scoring greatest-of-k literal vectors (k·N
+    // codegen'd dot products, no shuffle) + TakeOrdered(1). The final
+    // 8-row relation is driver-built. k stays a constant (8) — coverage
+    // curves, not corpus-sized selections.
+    GQ(
+      "q_sample_coreset",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{call_function, typedLit}
+        graft.functions.vec.register(s)
+        val e = Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val seed = e.filter(col("vec_id") === 0L)
+          .select(col("vec_id"), col("embedding")).head()
+        var selected: Vector[(Long, Seq[Float])] =
+          Vector((seed.getLong(0), seed.getSeq[Float](1)))
+        val picks = scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Option[Double])]((0L, seed.getLong(0), None))
+        var r = 1L
+        var exhausted = false
+        while (r <= 7L && !exhausted) {
+          val score = selected
+            .map { case (_, v) =>
+              call_function("cosine_sim", col("embedding"),
+                typedLit(v))
+            }
+            .reduce((a, b) => greatest(a, b))
+          // bounded 1-row driver fetch (Lloyd pattern); empty on toy
+          // inputs with < 8 vectors — the oracle's empty p_k mirrors it
+          val pick = e
+            .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+            .select(col("vec_id"), col("embedding"), score.as("score"))
+            .orderBy(col("score").asc, col("vec_id"))
+            .limit(1).take(1)
+          if (pick.isEmpty) exhausted = true
+          else {
+            selected :+= ((pick(0).getLong(0), pick(0).getSeq[Float](1)))
+            picks += ((r, pick(0).getLong(0), Some(pick(0).getDouble(2))))
+            r += 1
+          }
+        }
+        import s.implicits._
+        picks.toSeq.toDF("round", "vec_id", "max_sim")
+          .select(col("round"), col("vec_id"),
+            graft.functions.vec.roundz(col("max_sim"), 6).as("max_sim"))
+          .orderBy(col("round"))
+      },
+      Some {
+        def round(k: Int): String = {
+          val prev = s"sel${k - 1}"
+          s"""r$k AS MATERIALIZED (SELECT c.vec_id, c.embedding,
+             |    MAX(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+             |      CAST(s.embedding AS DOUBLE[]))) AS score
+             |  FROM embeddings c, $prev s
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+             |  GROUP BY 1, 2),
+             |p$k AS MATERIALIZED (SELECT vec_id, embedding, score FROM r$k
+             |  ORDER BY score ASC, vec_id LIMIT 1),
+             |sel$k AS MATERIALIZED (SELECT vec_id, embedding FROM $prev
+             |  UNION ALL SELECT vec_id, embedding FROM p$k)""".stripMargin
+        }
+        s"""WITH sel0 AS MATERIALIZED (SELECT vec_id, embedding
+           |  FROM embeddings WHERE vec_id = 0),
+           |${(1 to 7).map(round).mkString(",\n")}
+           |SELECT * FROM (
+           |  SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS vec_id,
+           |    CAST(NULL AS DOUBLE) AS max_sim
+           |  ${(1 to 7).map(k =>
+               s"UNION ALL SELECT $k, vec_id, (ROUND(score, 6) + 0.0) FROM p$k")
+               .mkString("\n  ")}
+           |) ORDER BY round""".stripMargin
+      }
     )
   )
 }

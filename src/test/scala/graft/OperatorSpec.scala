@@ -897,6 +897,41 @@ class OperatorSpec extends AnyFunSuite {
       Seq(19723L, 0L, 5L, 3L, 1704070800000000L)))
   }
 
+  test("q_sample_coreset: greedy farthest-first replay on the 6-vector fixture") {
+    // replays the native cosine's exact op order (left-to-right double
+    // accumulation, sqrt(nx)*sqrt(ny) denominator) through the greedy
+    // argmin-of-max-sim selection; 6 vectors exhaust after 5 rounds
+    val vs: Map[Long, Array[Float]] = Map(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2L -> Array(0.5f, 0.5f, 0.0f, 0.0f),
+      3L -> Array(0.0f, 0.0f, 1.0f, 1.0f),
+      4L -> Array(0.2f, 0.1f, 0.9f, 0.0f),
+      5L -> Array(2.0f, 0.0f, 0.0f, 0.0f))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- a.indices) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    var sel = Vector(0L)
+    val expect = scala.collection.mutable.ArrayBuffer[Seq[Any]](
+      Seq(0L, 0L, null))
+    for (r <- 1L to 5L) {
+      val scored = vs.keys.filterNot(sel.contains).toSeq
+        .map(c => (c, sel.map(s0 => cos(vs(c), vs(s0))).max))
+      val (pick, sc) = scored.minBy { case (id, s) => (s, id) }
+      sel :+= pick
+      expect += Seq(r, pick,
+        BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble + 0.0)
+    }
+    assert(rows("q_sample_coreset") === expect.toSeq)
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
