@@ -606,6 +606,84 @@ object DataQuality {
            |LEFT JOIN (SELECT DISTINCT CAST($pk AS BIGINT) AS k
            |  FROM $parent) p ON p.k = c.fk""".stripMargin
       }.mkString("\nUNION ALL\n") + "\nORDER BY edge")
+    ),
+    // Header-vs-detail reconciliation audit (round 5) — the LEDGER check
+    // beside q_dq_referential's existence check: a child row can point at
+    // a real parent and still disagree with it in VALUE. Classic form:
+    // does o_totalprice equal Σ l_extendedprice·(1−l_discount)·(1+l_tax)
+    // over the order's lines (the TPC-H invariant)? Real warehouses run
+    // exactly this after every load (orders vs order_lines, invoices vs
+    // postings); the answer on drifted data is a distribution of gaps,
+    // so the audit emits the reconciliation profile: orders with lines,
+    // headers with NO lines (the dangling-header complement of orphans),
+    // exact matches, within-1% matches, and the worst/mean absolute gap.
+    //
+    // Determinism (R2): every product stays EXACT DECIMAL — price(18,2) ×
+    // (1−disc)(scale 2) × (1+tax)(scale 2) is scale-6 exact, the per-order
+    // sum and the header difference stay decimal, and the 1% tolerance
+    // compares |gap|·100 ≤ total IN DECIMAL — no FP anywhere until the two
+    // display casts (max/mean gap, one IEEE division, roundz(6) + R8).
+    //
+    // Plan shape (100 TB): ONE lineitem scan → order-keyed decimal agg
+    // (map-side partials), ONE equi join to orders on the same key —
+    // the exchange a header/detail reconciliation must pay — then a 1-row
+    // global agg. Linear, no windows, no skew sensitivity beyond the join.
+    GQ(
+      "q_dq_reconcile",
+      (s, d) => {
+        val rev = (C.dec2(col("l_extendedprice")) *
+          (lit(1).cast(C.Dec2) - C.dec2(col("l_discount"))) *
+          (lit(1).cast(C.Dec2) + C.dec2(col("l_tax"))))
+        val lines = Tables.t(s, d, "lineitem")
+          .groupBy(col("l_orderkey")).agg(sum(rev).as("line_total"))
+        val joined = Tables.t(s, d, "orders")
+          .select(col("o_orderkey"), C.dec2(col("o_totalprice")).as("hdr"))
+          .join(lines, col("o_orderkey") === col("l_orderkey"), "left")
+        val gap = col("hdr") - col("line_total")
+        val absGap = abs(gap)
+        joined.agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("line_total").isNotNull, 1L).otherwise(0L))
+              .as("n_with_lines"),
+            sum(when(col("line_total").isNull, 1L).otherwise(0L))
+              .as("n_no_lines"),
+            sum(when(gap === 0, 1L).otherwise(0L)).as("n_exact"),
+            sum(when(absGap * 100 <= col("hdr"), 1L).otherwise(0L))
+              .as("n_within_1pct"),
+            max(absGap).cast(DoubleType).as("max_abs_gap_raw"),
+            sum(absGap).cast(DoubleType).as("sum_abs_gap"))
+          .select(col("n_orders"), col("n_with_lines"), col("n_no_lines"),
+            col("n_exact"), col("n_within_1pct"),
+            graft.functions.vec.roundz(col("max_abs_gap_raw"), 6)
+              .as("max_abs_gap"),
+            graft.functions.vec.roundz(col("sum_abs_gap") /
+              col("n_with_lines").cast(DoubleType), 6).as("mean_abs_gap"))
+      },
+      Some("""WITH l AS (SELECT l_orderkey,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |      * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))))
+             |      AS line_total
+             |  FROM lineitem GROUP BY 1),
+             |j AS (SELECT CAST(o.o_totalprice AS DECIMAL(18,2)) AS hdr,
+             |    l.line_total,
+             |    CAST(o.o_totalprice AS DECIMAL(18,2)) - l.line_total AS gap
+             |  FROM orders o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+             |SELECT COUNT(*) AS n_orders,
+             |  CAST(SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_with_lines,
+             |  CAST(SUM(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_no_lines,
+             |  CAST(SUM(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_exact,
+             |  CAST(SUM(CASE WHEN ABS(gap) * 100 <= hdr THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_within_1pct,
+             |  (ROUND(CAST(MAX(ABS(gap)) AS DOUBLE), 6) + 0.0)
+             |    AS max_abs_gap,
+             |  (ROUND(CAST(SUM(ABS(gap)) AS DOUBLE)
+             |    / CAST(SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END)
+             |        AS DOUBLE), 6) + 0.0) AS mean_abs_gap
+             |FROM j""".stripMargin)
     )
   )
 

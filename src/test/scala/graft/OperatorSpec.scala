@@ -932,6 +932,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_sample_coreset") === expect.toSeq)
   }
 
+  test("q_dq_reconcile: hand-computed header-vs-line-sum gaps on the fixture") {
+    // per-order exact decimal line totals: 100→2823.00, 101→1575.00,
+    // 102→1974.48, 103→916.37, 104→99.00, 105→575.28; gaps vs headers:
+    // 1822.50, 425.25, 474.48, 616.27, 901.50, 175.47 — none exact, none
+    // within 1%; mean = 4415.47/6
+    assert(rows("q_dq_reconcile") === Seq(
+      Seq(6L, 6L, 0L, 0L, 0L, 1822.5, 735.911667)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
