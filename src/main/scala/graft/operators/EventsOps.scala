@@ -335,10 +335,13 @@ object EventsOps {
     GQ(
       "q_events_concurrency",
       (s, d) => {
-        val sess = sessionized(s, d).select(
+        // persisted: the session-bounded relation feeds the carry branch
+        // and both sweep-event branches — without it the corpus scans (and
+        // the sessionize window re-runs) three times
+        val sess = graft.Caches.persist(sessionized(s, d).select(
           expr("start_us DIV 86400000000").as("sday"),
           expr("end_us DIV 86400000000").as("eday"),
-          col("start_us"), col("end_us"))
+          col("start_us"), col("end_us")))
         val carry = sess.filter(col("eday") > col("sday"))
           .select(explode(sequence(col("sday") + 1, col("eday"))).as("day"))
           .groupBy(col("day")).agg(count(lit(1)).as("n_carry"))

@@ -916,9 +916,11 @@ object Stats {
             explode(sequence(lit(-1), lit(59))).as("b"))
           .filter(col("b") === -1 ||
             expr("(shiftright(h, b) & 1) = 1"))
-        val g = reps.groupBy(col("b"))
+        // persisted: the 61-row replicate relation feeds both the full
+        // pseudo-replicate and the CI agg — without it the corpus scans twice
+        val g = graft.Caches.persist(reps.groupBy(col("b"))
           .agg(count(lit(1)).as("nb"),
-            sum(col("v")).cast(DoubleType).as("sb"))
+            sum(col("v")).cast(DoubleType).as("sb")))
         val full = g.filter(col("b") === -1)
           .select(col("nb").as("n"),
             (col("sb") / col("nb").cast(DoubleType)).as("mean_full"))

@@ -444,4 +444,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1,
       s"RLE audit needs only the orderkey window exchange, got $exchanges:\n$p")
   }
+
+  test("q_stats_ks / q_stats_mannwhitney: the counts relation persists — one corpus scan") {
+    // the domain-bounded (status, cents) agg feeds n, members, and the
+    // pooled join; losing the persist re-scans orders three times
+    for (q <- Seq("q_stats_ks", "q_stats_mannwhitney")) {
+      val p = plan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q lost the counts persist:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must never single-partition the pooled window:\n$p")
+    }
+  }
+
+  test("q_events_concurrency: one persisted session relation, day-partitioned sweep") {
+    val p = plan("q_events_concurrency")
+    assert(p.contains("InMemoryTableScan"),
+      s"the session relation must persist (3 consumers):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"the sweep must stay day-partitioned, never a global sort:\n$p")
+  }
+
+  test("q_stats_bootstrap: replicate explode is scan-side; the 61-row agg persists") {
+    val p = plan("q_stats_bootstrap")
+    assert(p.contains("Generate explode"),
+      s"replicate fan-out must be a scan-side explode:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the 61-row replicate agg must persist (2 consumers):\n$p")
+  }
+
+  test("q_sketch_quantile: no value-buffering percentile aggregate") {
+    // the exact-check element comes from the cumulative counts relation;
+    // the built-in percentile_disc would buffer per-group value maps in
+    // an ObjectHashAggregate
+    val p = plan("q_sketch_quantile")
+    assert(!p.contains("ObjectHashAggregate"),
+      s"quantile exact-check regressed to a buffering percentile agg:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the cents base must persist (tiles + exact check):\n$p")
+  }
+
+  test("q_dq_reconcile: the header/detail join is the only wide exchange") {
+    val p = plan("q_dq_reconcile")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"reconciliation needs only the order-key agg/join exchanges, got $exchanges:\n$p")
+    assert(!p.contains("Window"), s"reconciliation must not window:\n$p")
+  }
 }
