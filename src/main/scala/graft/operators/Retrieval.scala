@@ -23,6 +23,92 @@ import org.apache.spark.sql.types._
   */
 object Retrieval {
 
+  /** Exact-integer BM25 scorer shared by q_retrieval_bm25 and
+    * q_retrieval_queryexp: scores the exploded corpus `words` (doc_id,
+    * word) against the term set `qterms` → (doc_id, n_terms, score_q).
+    * See q_retrieval_bm25's commentary for the determinism and overflow
+    * argument; extracting it lets the feedback round reuse the identical
+    * chain so the two rounds cannot drift.
+    */
+  private def bm25Rank(words: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val M = 1L << 30
+    val H = 1L << 31
+    val tf = words.join(broadcast(qterms), "word")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    var idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("word"), col("df"),
+        (col("n_docs") * 2 + lit(2L)).as("nn"),
+        (col("df") * 2 + lit(1L)).as("dd"))
+      .withColumn("e", length(bin(expr("nn div dd"))) - 1)
+      .withColumn("m", expr(s"(nn * ${M}L) div (dd * shiftleft(1L, e))"))
+      .withColumn("f", lit(0L))
+    for (_ <- 1 to 10) {
+      idf = idf
+        .withColumn("m2", expr(s"(m * m) div ${M}L"))
+        .withColumn("f",
+          expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
+        .withColumn("m",
+          expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
+    }
+    val sidf = idf.select(col("word"),
+      (col("e").cast(LongType) * 1024 + col("f")).as("idf_q"))
+    tf.join(broadcast(sidf), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("(idf_q * 22 * s_tok * tf) div " +
+          "(10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)").as("sq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("sq")).as("score_q"))
+  }
+
+  /** SQL fragments replaying [[bm25Rank]] over the query CTE `q`, all
+    * intermediate names prefixed `p` (two chains can coexist in one
+    * query); requires base CTEs `dl`, `st`, `w` in scope. Generated from
+    * one builder so the engine and the oracle — and the two feedback
+    * rounds — drift together or not at all.
+    */
+  private def bm25SqlChain(p: String, q: String): String = {
+    val M = 1L << 30
+    val H = 1L << 31
+    def step(j: Int): String = {
+      val prev = if (j == 1) s"${p}i0" else s"${p}s${j - 1}"
+      s"""${p}s$j AS (SELECT word,
+         |    CASE WHEN (m*m)//$M >= $H THEN ((m*m)//$M)//2
+         |         ELSE (m*m)//$M END AS m,
+         |    f*2 + CASE WHEN (m*m)//$M >= $H THEN 1 ELSE 0 END AS f,
+         |    e FROM $prev)"""
+    }
+    s"""${p}tf AS (SELECT w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM w JOIN $q ON w.word = $q.word GROUP BY 1, 2),
+       |${p}dfr AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM ${p}tf GROUP BY word),
+       |${p}d0 AS (SELECT word,
+       |    2 * (SELECT n_docs FROM st) + 2 AS nn, 2 * df + 1 AS dd
+       |  FROM ${p}dfr),
+       |${p}i0 AS (SELECT word,
+       |    CAST(length(bin(nn // dd)) - 1 AS BIGINT) AS e,
+       |    (nn * $M) // (dd * (1::BIGINT <<
+       |      CAST(length(bin(nn // dd)) - 1 AS INTEGER))) AS m,
+       |    0::BIGINT AS f FROM ${p}d0),
+       |${(1 to 10).map(step).mkString(",\n")},
+       |${p}sidf AS (SELECT word, e * 1024 + f AS idf_q FROM ${p}s10),
+       |${p}sc AS (SELECT tf.doc_id,
+       |    (sidf.idf_q * 22 * (SELECT s_tok FROM st) * tf.tf) //
+       |    (10 * (SELECT s_tok FROM st) * tf.tf
+       |     + 3 * (SELECT s_tok FROM st)
+       |     + 9 * dl.dl * (SELECT n_docs FROM st)) AS sq
+       |  FROM ${p}tf tf
+       |  JOIN ${p}sidf sidf ON sidf.word = tf.word
+       |  JOIN dl ON dl.doc_id = tf.doc_id)""".stripMargin
+  }
+
   val queries: Seq[GQ] = Seq(
     // Per-doc top-3 salient terms by tf/df — the rank-equivalent core of
     // TF-IDF (idf = ln(N/df) is monotone-decreasing in df and N is constant
@@ -397,65 +483,24 @@ object Retrieval {
     GQ(
       "q_retrieval_bm25",
       (s, d) => {
-        val M = 1L << 30
-        val H = 1L << 31
+        // the dyadic-log2 idf chain and tf saturation live in bm25Rank
+        // (shared with q_retrieval_queryexp's two rounds)
         val docs = Tables.t(s, d, "documents")
         val corpus = docs.filter(col("doc_id") =!= 0)
         val qterms = docs.filter(col("doc_id") === 0)
           .select(explode(split(col("text"), " ")).as("word")).distinct()
+        val words = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         val dl = corpus.select(col("doc_id"),
           size(split(col("text"), " ")).cast(LongType).as("dl"))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
-        val tf = corpus
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .join(broadcast(qterms), "word")
-          .groupBy(col("doc_id"), col("word"))
-          .agg(count(lit(1)).as("tf"))
-        // exact dyadic log2 of (2N+2)/(2df+1) — the q_text_perplexity
-        // chain (see there for the provability + overflow notes); runs on
-        // the query-term-bounded df relation only
-        var idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-          .crossJoin(broadcast(stats))
-          .select(col("word"), col("df"),
-            (col("n_docs") * 2 + lit(2L)).as("nn"),
-            (col("df") * 2 + lit(1L)).as("dd"))
-          .withColumn("e", length(bin(expr("nn div dd"))) - 1)
-          .withColumn("m", expr(s"(nn * ${M}L) div (dd * shiftleft(1L, e))"))
-          .withColumn("f", lit(0L))
-        for (_ <- 1 to 10) {
-          idf = idf
-            .withColumn("m2", expr(s"(m * m) div ${M}L"))
-            .withColumn("f",
-              expr(s"f * 2 + (CASE WHEN m2 >= ${H}L THEN 1 ELSE 0 END)"))
-            .withColumn("m",
-              expr(s"CASE WHEN m2 >= ${H}L THEN m2 div 2 ELSE m2 END"))
-        }
-        val sidf = idf.select(col("word"),
-          (col("e").cast(LongType) * 1024 + col("f")).as("idf_q"))
-        tf.join(broadcast(sidf), "word")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"),
-            expr("(idf_q * 22 * s_tok * tf) div " +
-              "(10 * s_tok * tf + 3 * s_tok + 9 * dl * n_docs)").as("sq"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_terms"), sum(col("sq")).as("score_q"))
+        bm25Rank(words, dl, stats, qterms)
           .select(col("doc_id"), col("n_terms"), col("score_q"),
             (col("score_q").cast(DoubleType) / lit(1024.0)).as("score_bits"))
           .orderBy(col("score_q").desc, col("doc_id"))
           .limit(20)
       },
       Some {
-        val M = 1L << 30
-        val H = 1L << 31
-        def step(j: Int): String = {
-          val prev = if (j == 1) "i0" else s"s${j - 1}"
-          s"""s$j AS (SELECT word,
-             |    CASE WHEN (m*m)//$M >= $H THEN ((m*m)//$M)//2
-             |         ELSE (m*m)//$M END AS m,
-             |    f*2 + CASE WHEN (m*m)//$M >= $H THEN 1 ELSE 0 END AS f,
-             |    e FROM $prev)"""
-        }
         s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws
            |  FROM documents WHERE doc_id <> 0),
            |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
@@ -464,33 +509,92 @@ object Retrieval {
            |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(SUM(dl) AS BIGINT) AS s_tok FROM dl),
            |w AS (SELECT doc_id, unnest(ws) AS word FROM corpus),
-           |tf AS (SELECT w.doc_id, w.word, CAST(COUNT(*) AS BIGINT) AS tf
-           |  FROM w JOIN q ON w.word = q.word GROUP BY 1, 2),
-           |dfr AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-           |  FROM tf GROUP BY word),
-           |d0 AS (SELECT word,
-           |    2 * (SELECT n_docs FROM st) + 2 AS nn, 2 * df + 1 AS dd
-           |  FROM dfr),
-           |i0 AS (SELECT word,
-           |    CAST(length(bin(nn // dd)) - 1 AS BIGINT) AS e,
-           |    (nn * $M) // (dd * (1::BIGINT <<
-           |      CAST(length(bin(nn // dd)) - 1 AS INTEGER))) AS m,
-           |    0::BIGINT AS f FROM d0),
-           |${(1 to 10).map(step).mkString(",\n")},
-           |sidf AS (SELECT word, e * 1024 + f AS idf_q FROM s10),
-           |sc AS (SELECT tf.doc_id,
-           |    (sidf.idf_q * 22 * (SELECT s_tok FROM st) * tf.tf) //
-           |    (10 * (SELECT s_tok FROM st) * tf.tf
-           |     + 3 * (SELECT s_tok FROM st)
-           |     + 9 * dl.dl * (SELECT n_docs FROM st)) AS sq
-           |  FROM tf
-           |  JOIN sidf ON sidf.word = tf.word
-           |  JOIN dl ON dl.doc_id = tf.doc_id)
+           |${bm25SqlChain("", "q")}
            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
            |  CAST(SUM(sq) AS BIGINT) AS score_q,
            |  CAST(SUM(sq) AS DOUBLE) / 1024.0 AS score_bits
            |FROM sc GROUP BY doc_id
            |ORDER BY score_q DESC, doc_id LIMIT 20""".stripMargin
+      }
+    ),
+    // Pseudo-relevance-feedback query expansion (round 5) — the two-pass
+    // retrieval composition (Rocchio 1971 / RM1 lineage) every production
+    // search stack layers over BM25: round 1 ranks with the raw query,
+    // the top-10 feedback docs VOTE on latent topic terms (a term counts
+    // once per feedback doc containing it), and terms appearing in ≥ 3
+    // feedback docs — capped at the top 5 by (feedback-df DESC, word) —
+    // join the query for round 2. Recall the raw query cannot reach:
+    // docs sharing only the LATENT vocabulary with the feedback set now
+    // score. Both rounds run the IDENTICAL exact-integer BM25 chain
+    // (shared bm25Rank / bm25SqlChain builders — engine, oracle, and the
+    // two rounds cannot drift).
+    //
+    // Determinism: the feedback vote is exact BIGINT df counting with a
+    // word tie-break (R1); both scoring rounds inherit q_retrieval_bm25's
+    // transcendental-free contract; display score ONE IEEE division (R7).
+    //
+    // Plan shape (100 TB): the round-1 top-10 and the ≤5 expansion terms
+    // are model-sized broadcasts; each round is the BM25 shape (postings
+    // semi-joined before any agg). The exploded corpus is read per pass
+    // (3 passes) — an index-backed deployment replaces the re-scans with
+    // q_index_postings lookups, same chain downstream.
+    GQ(
+      "q_retrieval_queryexp",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") =!= 0)
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(split(col("text"), " ")).as("word")).distinct()
+        val words = corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val dl = corpus.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
+        val fb = bm25Rank(words, dl, stats, qterms)
+          .orderBy(col("score_q").desc, col("doc_id")).limit(10)
+          .select(col("doc_id"))
+        val expansion = words.join(broadcast(fb), "doc_id")
+          .select(col("doc_id"), col("word")).distinct()
+          .join(qterms, Seq("word"), "left_anti")
+          .groupBy(col("word")).agg(count(lit(1)).as("fdf"))
+          .filter(col("fdf") >= 3)
+          .orderBy(col("fdf").desc, col("word")).limit(5)
+          .select(col("word"))
+        val q2 = qterms.union(expansion).distinct()
+        bm25Rank(words, dl, stats, q2)
+          .select(col("doc_id"), col("n_terms"), col("score_q"),
+            (col("score_q").cast(DoubleType) / lit(1024.0)).as("score_bits"))
+          .orderBy(col("score_q").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some {
+        s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents WHERE doc_id <> 0),
+           |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+           |  FROM documents WHERE doc_id = 0),
+           |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM corpus),
+           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(dl) AS BIGINT) AS s_tok FROM dl),
+           |w AS (SELECT doc_id, unnest(ws) AS word FROM corpus),
+           |${bm25SqlChain("x", "q")},
+           |r1 AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score
+           |  FROM xsc GROUP BY doc_id),
+           |fb AS MATERIALIZED (SELECT doc_id FROM r1
+           |  ORDER BY score DESC, doc_id LIMIT 10),
+           |fw AS (SELECT DISTINCT w.doc_id, w.word
+           |  FROM w JOIN fb ON fb.doc_id = w.doc_id),
+           |ft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS fdf FROM fw
+           |  WHERE word NOT IN (SELECT word FROM q) GROUP BY 1),
+           |ex AS (SELECT word FROM ft WHERE fdf >= 3
+           |  ORDER BY fdf DESC, word LIMIT 5),
+           |q2 AS MATERIALIZED (SELECT word FROM q
+           |  UNION SELECT word FROM ex),
+           |${bm25SqlChain("y", "q2")}
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           |  CAST(SUM(sq) AS BIGINT) AS score_q,
+           |  CAST(SUM(sq) AS DOUBLE) / 1024.0 AS score_bits
+           |FROM ysc GROUP BY doc_id
+           |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
       }
     ),
     // Boolean conjunctive retrieval with negation (round 5) — the

@@ -123,7 +123,8 @@ object ScaleStress {
     "q_join_null_safe", "q_time_weekday_profile", "q_dq_freshness",
     "q_stats_moments", "q_stats_ks", "q_stats_mannwhitney",
     "q_sketch_quantile", "q_stats_bootstrap", "q_dq_referential",
-    "q_events_concurrency", "q_sample_coreset", "q_dq_reconcile")
+    "q_events_concurrency", "q_sample_coreset", "q_dq_reconcile",
+    "q_retrieval_queryexp")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

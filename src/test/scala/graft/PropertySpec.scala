@@ -829,6 +829,47 @@ class PropertySpec extends AnyFunSuite {
     assert(out(1L) > out(4L), s"rarer term must outrank at equal tf/dl: $out")
   }
 
+  test("q_retrieval_queryexp: feedback terms recall latent-topic docs round 1 misses") {
+    // query = {rare}; the three rare docs all carry the latent term sig
+    // (feedback-df 3 ≥ the floor) with unique fillers (fdf 1, filtered);
+    // docs 10/11 share ONLY sig with the feedback set — invisible to
+    // round 1, they must score after expansion, and the rare docs must
+    // still outrank them (they match both terms)
+    val dir = plantDocs(Seq(
+      (0L, "rare", "en", "q"),
+      (1L, "rare sig f1 f2", "en", "c"),
+      (2L, "rare sig f3 f4", "en", "c"),
+      (3L, "rare sig f5 f6", "en", "c"),
+      (10L, "sig g1 g2 g3", "en", "c"),
+      (11L, "sig h1 h2 h3", "en", "c"),
+      (20L, "noise n1 n2 n3", "en", "c")))
+    val out = Registry.byName("q_retrieval_queryexp").run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val plain = Registry.byName("q_retrieval_bm25").run(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(!plain.contains(10L) && !plain.contains(11L),
+      s"round 1 must not see the sig-only docs: $plain")
+    assert(out.contains(10L) && out.contains(11L),
+      s"expansion must recall the latent-topic docs: $out")
+    assert(!out.contains(20L), s"unrelated docs stay absent: $out")
+    assert(Seq(1L, 2L, 3L).forall(d => out(d) > out(10L)),
+      s"two-term matches must outrank expansion-only matches: $out")
+  }
+
+  test("q_retrieval_queryexp: with no term reaching the feedback floor it IS bm25") {
+    // every non-query word is unique (feedback-df 1 < 3) so the expansion
+    // set is empty and round 2 must reproduce round 1 exactly
+    val dir = plantDocs(Seq(
+      (0L, "rare", "en", "q")) ++
+      (1L to 6L).map(i => (i, s"rare u${i}a u${i}b u${i}c", "en", "c")))
+    val exp = Registry.byName("q_retrieval_queryexp").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plain = Registry.byName("q_retrieval_bm25").run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exp.toSeq === plain.toSeq.take(10),
+      s"empty expansion must leave the ranking untouched:\n$exp\nvs\n$plain")
+  }
+
   test("q_sample_weighted: full BigInt replay of the A-ES keys picks the same 20") {
     // 30 docs with distinct lengths; the expected draw is recomputed here
     // from scratch (md5 → dyadic log2 → key) so the whole pipeline — hash
