@@ -221,6 +221,72 @@ object LinearAlgebra {
              |  CAST(SUM(CASE WHEN code IN (0, 255) THEN 1 ELSE 0 END)
              |    AS BIGINT) AS n_saturated
              |FROM c GROUP BY 1, 2 ORDER BY vec_id""".stripMargin)
+    ),
+    // Per-label vector centroid through the TYPED Aggregator API (round
+    // 5) — SURVEY §2.7's UDAF exemplar shipped as a declared query: the
+    // class-prototype computation every embedding pipeline runs (k-NN
+    // class centers, nearest-class-mean classifiers, cluster seeding),
+    // expressed as `groupByKey(...).agg(aggregator.toColumn)` over a
+    // custom `org.apache.spark.sql.expressions.Aggregator` — the blessed
+    // typed-UDAF surface beside the engine's catalyst-level
+    // TypedImperativeAggregates (HLL/CMS).
+    //
+    // Determinism: the aggregator buffers EXACT quantized integers
+    // (lane → ⌊x·2^20⌋; the double product is exact — float widens
+    // losslessly, 2^20 is a power of two — and floor has no half-case
+    // convention to diverge on), so reduce/merge order cannot move the
+    // state; qsum_total validates ALL lanes as one order-free BIGINT sum
+    // while c0..c3 display the first lanes — each ONE IEEE division
+    // (R7), roundz(6) + R8. ORDER BY label (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → label-keyed typed agg with
+    // map-side partial merge (the Aggregator contract); output is
+    // |labels| rows. The dim count is ONE bounded 1-row driver fetch
+    // (the Lloyd pattern) so the same query serves any embedding width.
+    GQ(
+      "q_embed_centroid",
+      (s, d) => {
+        import s.implicits._
+        val e = Tables.t(s, d, "embeddings")
+          .select(col("label"), col("embedding"))
+        // bounded driver fetch (1 row): the embedding width
+        val dims = e.select(size(col("embedding"))).head().getInt(0)
+        val agg = new graft.functions.CentroidAggregator(dims)
+        val state = e.as[(Int, Seq[Float])]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(agg.toColumn)
+          .toDF("label", "state")
+        def c(j: Int) = graft.functions.vec.roundz(
+          col("state").getItem(j + 1).cast(DoubleType) /
+            (col("state").getItem(0).cast(DoubleType) * 1048576.0), 6)
+        state.select(col("label"),
+            col("state").getItem(0).as("n_vecs"),
+            expr(s"aggregate(slice(state, 2, $dims), 0L, (acc, x) -> acc + x)")
+              .as("qsum_total"),
+            c(0).as("c0"), c(1).as("c1"), c(2).as("c2"), c(3).as("c3"))
+          .orderBy(col("label"))
+      },
+      Some {
+        def s(j: Int) =
+          s"""CAST(SUM(CAST(FLOOR(CAST(embedding[${j + 1}] AS DOUBLE)
+             |      * 1048576.0) AS BIGINT)) AS BIGINT) AS s$j""".stripMargin
+        def c(j: Int) =
+          s"""(ROUND(CAST(s$j AS DOUBLE)
+             |    / (CAST(n AS DOUBLE) * 1048576.0), 6) + 0.0) AS c$j""".stripMargin
+        s"""WITH u AS (SELECT label,
+           |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1048576.0)
+           |      AS BIGINT) AS qv
+           |  FROM embeddings),
+           |t AS (SELECT label, CAST(SUM(qv) AS BIGINT) AS qsum_total
+           |  FROM u GROUP BY 1),
+           |g AS (SELECT label, COUNT(*) AS n,
+           |  ${(0 to 3).map(s).mkString(",\n")}
+           |  FROM embeddings GROUP BY 1)
+           |SELECT g.label, g.n AS n_vecs, t.qsum_total,
+           |  ${(0 to 3).map(c).mkString(",\n")}
+           |FROM g JOIN t ON t.label = g.label
+           |ORDER BY g.label""".stripMargin
+      }
     )
   )
 }

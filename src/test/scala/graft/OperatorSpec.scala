@@ -941,6 +941,24 @@ class OperatorSpec extends AnyFunSuite {
       Seq(6L, 6L, 0L, 0L, 0L, 1822.5, 735.911667)))
   }
 
+  test("q_embed_centroid: typed-Aggregator state replays the floor-quantized sums") {
+    val vs: Map[Int, Array[Float]] = Map(
+      0 -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1 -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      2 -> Array(0.5f, 0.5f, 0.0f, 0.0f),
+      3 -> Array(0.0f, 0.0f, 1.0f, 1.0f),
+      4 -> Array(0.2f, 0.1f, 0.9f, 0.0f),
+      5 -> Array(2.0f, 0.0f, 0.0f, 0.0f))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val expected = vs.toSeq.sortBy(_._1).map { case (label, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1048576.0).toLong)
+      Seq[Any](label, 1L, q.sum) ++
+        (0 to 3).map(j => r6(q(j).toDouble / (1.0 * 1048576.0)))
+    }
+    assert(rows("q_embed_centroid") === expected)
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially
