@@ -12,6 +12,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * order varies run to run, and a centroid built that way can never be
   * hash-checked against an oracle).
   *
+  * Sibling of [[VectorCentroid]] (the Lloyd-refinement centroid used
+  * inside the IVF build): that one finishes to `Array[Float]` centroids
+  * for in-engine consumption and quantizes with round-half-up; THIS one
+  * exposes the RAW integer state (count + lane sums) and quantizes with
+  * floor — the two choices that make the result replayable in a DuckDB
+  * oracle (floor has one cross-engine convention; the state defers every
+  * division to the display layer). Declared as `q_embed_centroid`.
+  *
   * Quantization: lane value → ⌊x · 2^20⌋ as a Long. The double product is
   * EXACT (a float widens to double losslessly and 2^20 is a power of
   * two), floor is exact in both engines (unlike round, whose half-case
