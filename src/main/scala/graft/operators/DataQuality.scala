@@ -684,6 +684,63 @@ object DataQuality {
              |    / CAST(SUM(CASE WHEN line_total IS NOT NULL THEN 1 ELSE 0 END)
              |        AS DOUBLE), 6) + 0.0) AS mean_abs_gap
              |FROM j""".stripMargin)
+    ),
+    // ID-sequence continuity audit (round 5) — the ingestion-hole
+    // detector: a surrogate-key column that SHOULD be dense (orderkeys
+    // from a sequence, event ids from a log offset) develops gaps exactly
+    // when a loader drops a batch, and "how many holes, where does the
+    // first one start" is the page-one question. The textbook
+    // gaps-and-islands formulation (id − row_number() OVER (ORDER BY id))
+    // needs a GLOBAL-ORDER window — the banned single-partition sort — so
+    // this uses the shifted-key join form instead: an island STARTS at
+    // every id whose predecessor id−1 is absent, and the first gap starts
+    // at min(id+1) over ids whose successor is absent (excluding max) —
+    // both plain hash anti/semi joins, shuffle-partitioned on the key,
+    // sort-free at any scale. n_missing = (max − min + 1) − n_ids closes
+    // the account exactly.
+    //
+    // Determinism: exact BIGINTs end to end; the 1-row output needs no
+    // ORDER BY; distinct applied first so duplicated ids (audited
+    // separately by q_dq_checks) cannot double-count islands.
+    //
+    // Plan shape (100 TB): ONE pruned key-column scan → distinct (hash,
+    // map-side partial) → one self anti-join on id−1 (count + min only)
+    // + the 1-row min/max/count agg; every exchange keyed on the id hash.
+    GQ(
+      "q_dq_sequence",
+      (s, d) => {
+        val ids = Tables.t(s, d, "orders")
+          .select(col("o_orderkey").as("id")).distinct()
+        val bounds = ids.agg(count(lit(1)).as("n_ids"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        val present = ids.select((col("id") + 1).as("succ"))
+        // island starts: ids with no predecessor present
+        val starts = ids.join(present, col("id") === col("succ"), "left_anti")
+          .agg(count(lit(1)).as("n_islands"))
+        // first gap: the smallest absent successor below the max
+        val firstGap = ids.select((col("id") + 1).as("cand"))
+          .join(ids, col("cand") === col("id"), "left_anti")
+          .crossJoin(bounds.select(col("max_id").as("mx")))
+          .filter(col("cand") <= col("mx"))
+          .agg(min(col("cand")).as("first_gap_start"))
+        bounds.crossJoin(starts).crossJoin(firstGap)
+          .select(col("n_ids"), col("min_id"), col("max_id"),
+            (col("max_id") - col("min_id") + 1 - col("n_ids"))
+              .as("n_missing"),
+            col("n_islands"), col("first_gap_start"))
+      },
+      Some("""WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+             |b AS (SELECT COUNT(*) AS n_ids, MIN(id) AS min_id,
+             |    MAX(id) AS max_id FROM ids),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_islands
+             |  FROM ids WHERE id - 1 NOT IN (SELECT id FROM ids)),
+             |fg AS (SELECT MIN(id + 1) AS first_gap_start
+             |  FROM ids WHERE id + 1 NOT IN (SELECT id FROM ids)
+             |    AND id + 1 <= (SELECT max_id FROM b))
+             |SELECT b.n_ids, b.min_id, b.max_id,
+             |  b.max_id - b.min_id + 1 - b.n_ids AS n_missing,
+             |  st.n_islands, fg.first_gap_start
+             |FROM b, st, fg""".stripMargin)
     )
   )
 

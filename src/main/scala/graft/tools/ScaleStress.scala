@@ -124,7 +124,7 @@ object ScaleStress {
     "q_stats_moments", "q_stats_ks", "q_stats_mannwhitney",
     "q_sketch_quantile", "q_stats_bootstrap", "q_dq_referential",
     "q_events_concurrency", "q_sample_coreset", "q_dq_reconcile",
-    "q_retrieval_queryexp", "q_embed_centroid")
+    "q_retrieval_queryexp", "q_embed_centroid", "q_dq_sequence")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

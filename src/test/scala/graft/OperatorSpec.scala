@@ -959,6 +959,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows("q_embed_centroid") === expected)
   }
 
+  test("q_dq_sequence: the contiguous fixture keyspace is one island, no gaps") {
+    assert(rows("q_dq_sequence") === Seq(
+      Seq(6L, 100L, 105L, 0L, 1L, null)))
+  }
+
   test("q_graph_assortativity matches a sequential replay on the 7-edge fixture") {
     // same hand-derived edge set as the pagerank spec; expected replays
     // degree joins + the exact IEEE moment tree sequentially

@@ -1633,6 +1633,40 @@ class PropertySpec extends AnyFunSuite {
       Seq(19724L, 1L, 1L, 2L, t3 / 1000)))
   }
 
+  test("q_dq_sequence: planted holes surface as islands, missing count, first gap") {
+    // ids {1,2,3, 7,8, 10}: three islands, four missing (4,5,6,9), first
+    // gap starts at 4; a duplicated id (3 twice) must not double-count
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("seqprop-").toString
+    Seq(1L, 2L, 3L, 3L, 7L, 8L, 10L).zipWithIndex
+      .map { case (id, i) =>
+        (id, i.toLong, "O", 1.0, new java.sql.Timestamp(0L), "1-URGENT")
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Registry.byName("q_dq_sequence").run(spark, dir)
+      .collect().map(_.toSeq)
+    assert(out.toSeq === Seq(Seq(6L, 1L, 10L, 4L, 3L, 4L)))
+  }
+
+  test("q_stats_mannwhitney: an all-tied pair reports U = n1*n2/2 and NULL z") {
+    // statuses A {10.00, 10.00} vs B {10.00}: every observation ties, the
+    // variance term is exactly zero, and U collapses to its null-mean
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("mwprop-").toString
+    Seq((1L, 1L, "A", 10.00), (2L, 2L, "A", 10.00), (3L, 3L, "B", 10.00))
+      .map { case (ok, ck, st, p) =>
+        (ok, ck, st, p, new java.sql.Timestamp(0L), "1-URGENT")
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = Registry.byName("q_stats_mannwhitney").run(spark, dir)
+      .collect().map(_.toSeq)
+    assert(out.toSeq === Seq(Seq("A", "B", 2L, 1L, 1.0, null)))
+  }
+
   test("q_dq_funcdep: the unique-key dependency is exactly clean at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val nOrders = Tables.t(spark, d, "orders").count()
