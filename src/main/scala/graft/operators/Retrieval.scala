@@ -545,10 +545,14 @@ object Retrieval {
         val corpus = docs.filter(col("doc_id") =!= 0)
         val qterms = docs.filter(col("doc_id") === 0)
           .select(explode(split(col("text"), " ")).as("word")).distinct()
-        val words = corpus
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val dl = corpus.select(col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("dl"))
+        // persisted: words feeds r1-tf, the feedback vote, and r2-tf;
+        // dl feeds stats + both rounds' length joins — and persisting q2
+        // truncates the ENTIRE round-1 lineage out of round 2's plan
+        // (without these the printed plan carried 25 corpus scan sites)
+        val words = graft.Caches.persist(corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
+        val dl = graft.Caches.persist(corpus.select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("dl")))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
         val fb = bm25Rank(words, dl, stats, qterms)
           .orderBy(col("score_q").desc, col("doc_id")).limit(10)
@@ -560,7 +564,7 @@ object Retrieval {
           .filter(col("fdf") >= 3)
           .orderBy(col("fdf").desc, col("word")).limit(5)
           .select(col("word"))
-        val q2 = qterms.union(expansion).distinct()
+        val q2 = graft.Caches.persist(qterms.union(expansion).distinct())
         bm25Rank(words, dl, stats, q2)
           .select(col("doc_id"), col("n_terms"), col("score_q"),
             (col("score_q").cast(DoubleType) / lit(1024.0)).as("score_bits"))
