@@ -709,8 +709,10 @@ object DataQuality {
     GQ(
       "q_dq_sequence",
       (s, d) => {
-        val ids = Tables.t(s, d, "orders")
-          .select(col("o_orderkey").as("id")).distinct()
+        // persisted: the distinct id relation feeds bounds, both sides of
+        // the island anti-join, and both sides of the gap probe
+        val ids = graft.Caches.persist(Tables.t(s, d, "orders")
+          .select(col("o_orderkey").as("id")).distinct())
         val bounds = ids.agg(count(lit(1)).as("n_ids"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"))
         val present = ids.select((col("id") + 1).as("succ"))

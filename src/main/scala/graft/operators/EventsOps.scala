@@ -599,10 +599,13 @@ object EventsOps {
         val ev = Tables.events(s, d)
           .select(col("event_type"), expr(s"ts DIV $NanosPerHour").as("b"),
             C.dec2(col("value")).as("v"))
-        val agg = ev.groupBy(col("event_type"), col("b"))
-          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv"))
-        val bounds = ev.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
-        val grid = ev.select(col("event_type")).distinct()
+        // persisted: the calendar×type-bounded hour agg also yields the
+        // grid bounds and the type list, so the corpus is scanned ONCE
+        // instead of three times (ScanAudit catch)
+        val agg = graft.Caches.persist(ev.groupBy(col("event_type"), col("b"))
+          .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sv")))
+        val bounds = agg.agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+        val grid = agg.select(col("event_type")).distinct()
           .crossJoin(broadcast(bounds))
           .select(col("event_type"),
             explode(sequence(col("b0"), col("b1"))).as("b"))
@@ -1100,8 +1103,12 @@ object EventsOps {
     GQ(
       "q_events_assoc",
       (s, d) => {
-        val st = sessionEvents(s, d)
-          .select(col("user_id"), col("sid"), col("event_type")).distinct()
+        // persisted: the session-bounded item relation feeds five
+        // consumers (totals, both antecedent/consequent counts, both
+        // sides of the pair self-join) — each would otherwise re-run the
+        // sessionize window over the corpus (ScanAudit catch)
+        val st = graft.Caches.persist(sessionEvents(s, d)
+          .select(col("user_id"), col("sid"), col("event_type")).distinct())
         val tot = st.select(col("user_id"), col("sid")).distinct()
           .agg(count(lit(1)).as("s_total"))
         val na = st.groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -87,12 +87,16 @@ object GraphOps {
     GQ(
       "q_graph_triangles",
       (s, d) => {
-        val pj = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
-          .select(least(col("p")(0), col("p")(1)).as("a"),
-            greatest(col("p")(0), col("p")(1)).as("b"))
-          .distinct()
+        // persisted: the distinct edge relation (vocab²-bounded) feeds the
+        // degree agg and both withDeg joins — each consumer would re-run
+        // the corpus shingling AND the distinct shuffle (ScanAudit catch)
+        val pj = graft.Caches.persist(
+          Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
+            .select(split(col("item"), " ").as("p"))
+            .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
+            .select(least(col("p")(0), col("p")(1)).as("a"),
+              greatest(col("p")(0), col("p")(1)).as("b"))
+            .distinct())
         val deg = pj.select(col("a").as("word"))
           .union(pj.select(col("b").as("word")))
           .groupBy(col("word")).agg(count(lit(1)).as("deg"))

@@ -314,7 +314,11 @@ object Retrieval {
       (s, d) => {
         val words = Tables.t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
-        val uni = words.groupBy(col("word")).agg(count(lit(1)).as("cx"))
+        // persisted: the vocab-bounded unigram relation feeds the total
+        // and both sides of the bigram join — three corpus re-scans
+        // otherwise (ScanAudit catch)
+        val uni = graft.Caches.persist(
+          words.groupBy(col("word")).agg(count(lit(1)).as("cx")))
         val tot = uni.agg(sum(col("cx")).as("n"))
         val bg = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
           .select(split(col("item"), " ").as("p"))

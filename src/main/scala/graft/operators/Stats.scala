@@ -480,8 +480,15 @@ object Stats {
     GQ(
       "q_time_theilsen",
       (s, d) => {
-        Tables.events(s, d).createOrReplaceTempView("graft_events_ts")
-        s.sql(TheilSenSql("graft_events_ts", "ts DIV 86400000000000"))
+        // persist the calendar-bounded day agg and point the shared math
+        // at it as a view — the daily CTE's four references then read the
+        // cached relation instead of re-scanning the corpus four times
+        graft.Caches.persist(
+          Tables.events(s, d)
+            .select(expr("ts DIV 86400000000000").as("day"))
+            .groupBy(col("day")).agg(count(lit(1)).as("c")))
+          .createOrReplaceTempView("graft_theilsen_daily")
+        s.sql(TheilSenMath("graft_theilsen_daily"))
       },
       Some(TheilSenSql("events", "epoch_ns(ts) // 86400000000000"))
     ),
@@ -513,7 +520,10 @@ object Stats {
             (for (a <- CorrCols; b <- CorrCols if a <= b) yield
               sum(C.dec2(col(a)) * C.dec2(col(b))).cast(DoubleType)
                 .as(s"s_${a}_$b")))
-        val m = li.agg(aggs.head, aggs.tail: _*)
+        // persisted: the 1-row moment relation projects into all six pair
+        // rows — without it each union branch re-scans the corpus (the
+        // ScanAudit catch; runtime exchange reuse masked it at test scale)
+        val m = graft.Caches.persist(li.agg(aggs.head, aggs.tail: _*))
         val nD = col("n").cast(DoubleType)
         val rows = for (a <- CorrCols; b <- CorrCols if a < b) yield {
           val cov = nD * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")
@@ -995,8 +1005,19 @@ object Stats {
   }
 
   private def TheilSenSql(table: String, dayExpr: String): String =
-    s"""WITH daily AS (SELECT $dayExpr AS day, COUNT(*) AS c
-       |  FROM $table GROUP BY 1),
+    TheilSenMath(
+      s"""(SELECT $dayExpr AS day, COUNT(*) AS c
+         |  FROM $table GROUP BY 1) src""".stripMargin)
+
+  /** The shared Theil–Sen math over any daily (day, c) source — split out
+    * (round 5) so the Spark side can feed a PERSISTED day-agg view: the
+    * `daily` CTE is referenced four times (both pair sides, the residual
+    * median, the day count) and Spark inlines CTEs, so the single text
+    * re-scanned the corpus four times (ScanAudit catch). The math tokens
+    * stay one string for both engines (anti-drift).
+    */
+  private def TheilSenMath(dailySrc: String): String =
+    s"""WITH daily AS (SELECT day, c FROM $dailySrc),
        |pr AS (SELECT CAST(b.c - a.c AS DOUBLE)
        |      / CAST(b.day - a.day AS DOUBLE) AS sl
        |  FROM daily a JOIN daily b ON b.day > a.day),
