@@ -72,4 +72,42 @@ class RegistrySpec extends AnyFunSuite {
   test("entry flagship returns rows (t1 smoke shape)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // The lineage-recompute net (round 5, the ScanAudit catch): a relation
+  // consumed by several branches silently re-scans its source once per
+  // consumer unless persisted — at 100 TB that is N corpus passes hiding
+  // behind a green result. Every query may contribute at most TWO scan
+  // sites per source table in the formatted plan, except the documented
+  // allowlist below (each entry has an in-source rationale: a measured
+  // recompute-beats-cache A/B, a per-column audit design, or a
+  // validation-only extra pass).
+  private val scanAllowlist: Map[String, Int] = Map(
+    "q_merge_upsert" -> 3, // base/updates/inserts: three DIFFERENT filters of one feed
+    "q_dedup_minhash_pairs" -> 4, // round-4 A/B: scan-side KGrams recompute beats the cache barrier
+    "q_dedup_lsh_verify" -> 4, // same A/B (candidates + exact rescore share the shingle scan)
+    "q_dedup_containment" -> 4, // same A/B
+    "q_dedup_incremental" -> 4, // same A/B (new batch × index sides)
+    "q_dedup_jaccard_words" -> 16, // blockedJaccard: five consumers; dropping the persist measured ~70% faster (in-source note)
+    "q_dedup_jaccard_ngram" -> 16, // same
+    "q_sketch_rollup" -> 6, // tile build + direct estimate + validation-only exact count (documented)
+    "q_retrieval_bm25" -> 7, // stats + postings passes (documented two corpus passes) + tiny doc-0 query scans
+    "q_retrieval_queryexp" -> 6, // persisted corpus relations + per-round tiny doc-0 query scans
+    "q_dq_checks" -> 4, // independent per-check pruned scans by design
+    "q_dq_drift" -> 4, // the two compared halves × two audited columns
+    "q_dq_entropy" -> 4, // one pruned 1-column scan per audited column
+    "q_dq_referential" -> 3) // three lineitem FK columns = three edges by contract
+
+  test("no query re-scans a source table beyond its documented budget (sweep)") {
+    val loc = "Location: InMemoryFileIndex \\[[^\\]]*/(\\w+)\\.parquet".r
+    for (gq <- Registry.all) {
+      val p = gq.run(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val worst = loc.findAllMatchIn(p).map(_.group(1)).toSeq
+        .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+      val budget = scanAllowlist.getOrElse(gq.name, 2)
+      assert(worst <= budget,
+        s"${gq.name}: $worst scan sites for one table (budget $budget) — " +
+          "persist the multi-consumer relation or document the design here")
+    }
+  }
 }
