@@ -111,6 +111,60 @@ object Relational {
              |array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3
              |FROM documents ORDER BY doc_id""".stripMargin)
     ),
+    // Map-type scalar family (round 5) — the MapType third of the nested
+    // type system (§1.3): arrays (q_array_ops) and structs (the source
+    // shredding P1/P2) are covered; this exercises map CONSTRUCTION
+    // (map_from_entries), introspection (map_keys/map_values/size),
+    // point lookup (element_at with a missing-key default), a lambda
+    // fold over values (aggregate), and a lambda filter (map_filter) —
+    // the functions a feature-store or per-entity-stats pipeline uses
+    // when a group's sub-histogram travels as one column.
+    //
+    // Determinism: map entry order IS collect order, so the entries are
+    // sort_array'd BEFORE map_from_entries — every downstream function
+    // sees one canonical key order (map_keys emits it verbatim). All
+    // counts are exact BIGINTs; the output is scalar columns only (map
+    // values cross the oracle boundary as derived scalars, never as a
+    // serialized map — key order would be engine-defined there).
+    //
+    // Plan shape (100 TB): two hash aggs on one scan (status sub-counts,
+    // then per-flag maps over ≤ |statuses| entries); everything after
+    // the first agg is a |flags × statuses|-row model relation. The map
+    // column never shuffles wider than the grouped counts themselves.
+    GQ(
+      "q_map_ops",
+      (s, d) => {
+        val cnt = Tables.t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("c"))
+        cnt.groupBy(col("l_returnflag"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("l_linestatus"), col("c"))))).as("m"))
+          .withColumn("total",
+            aggregate(map_values(col("m")), lit(0L), (a, x) => a + x))
+          .select(col("l_returnflag"),
+            size(col("m")).cast(LongType).as("n_keys"),
+            concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+            coalesce(element_at(col("m"), lit("O")), lit(0L)).as("cnt_o"),
+            col("total"),
+            size(map_filter(col("m"), (_, v) => v * lit(3L) > col("total")))
+              .cast(LongType).as("n_major"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag, l_linestatus AS st,
+             |    COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+             |t AS (SELECT *, SUM(c) OVER (PARTITION BY l_returnflag)
+             |    AS tot FROM c)
+             |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |  string_agg(st, ',' ORDER BY st) AS keys_csv,
+             |  CAST(COALESCE(SUM(CASE WHEN st = 'O' THEN c END), 0)
+             |    AS BIGINT) AS cnt_o,
+             |  CAST(SUM(c) AS BIGINT) AS total,
+             |  CAST(SUM(CASE WHEN c * 3 > tot THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_major
+             |FROM t GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)
+    ),
     GQ(
       "q_cast_all_string",
       (s, d) =>

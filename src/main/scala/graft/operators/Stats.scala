@@ -968,8 +968,128 @@ object Stats {
              |  s.n_reps, (ROUND(s.lo, 6) + 0.0) AS ci_lo,
              |  (ROUND(s.hi, 6) + 0.0) AS ci_hi
              |FROM f, s""".stripMargin)
+    ),
+    // Poisson bootstrap CI (round 5) — the ONE-PASS bootstrap for data
+    // that cannot be resampled with replacement at scale (Chamandy et
+    // al. 2012, "Estimating Uncertainty for Massive Data Streams"):
+    // instead of drawing n rows WITH replacement per replicate (which
+    // needs global coordination), each row independently contributes
+    // k ~ Poisson(1) COPIES to each replicate — for large n the
+    // multinomial resample converges to this product measure, and the
+    // weights are computable scan-side with no shuffle. This is the
+    // full-sample-size sibling of q_stats_bootstrap's half-sample
+    // subsampling: same CI convention, but the replicate means estimate
+    // the TRUE bootstrap distribution (no √2 caller rescale).
+    //
+    // Determinism AND hash economy: md5 is the only cross-engine hash,
+    // and it is EXPENSIVE — a per-(row, replicate) digest measured 29 s
+    // at sf0.1 (the optimizer also inlines the digest into every
+    // threshold comparison). So, like q_stats_bootstrap derives 60
+    // replicates from the BITS of one digest, this derives 30 uniforms
+    // from ONE digest per row via a multiplicative universal family
+    // over GF(p), p = 2^31−1 (Carter–Wegman): hm = h60('pois:' || key)
+    // mod p, u_b = (a_b · hm) mod p with a_b = ((b+1)·2654435761) mod p
+    // — a_b ≠ 0 (product of nonzero residues mod a prime), each map
+    // hm → u_b is a bijection of [0, p), and all products stay < 2^62,
+    // exact BIGINT in both engines. k = inverse-CDF of Poisson(1) via
+    // SIX FIXED INTEGER THRESHOLDS (floor(F(i)·p), generated once in
+    // [[poisThresholds]] and printed into BOTH query texts; k capped at
+    // 6, P(K>6) < 1e-4 — shared by construction). Per-replicate Σk and
+    // Σk·v are exact integers/decimals; each replicate mean is ONE IEEE
+    // division (R7); the CI bounds are percentile_disc ELEMENTS
+    // (cume_dist ≥ p convention, never interpolated); roundz(6) + R8.
+    //
+    // Plan shape (100 TB): ONE corpus scan, ONE digest per row — the
+    // 31-way explode (30 replicates + the b = −1 full pseudo-replicate
+    // with k pinned to 1) inflates rows scan-side with integer-only
+    // per-replicate math, map-side combine collapses to 31 partial
+    // groups per task, and everything after the agg is a 31-row
+    // relation. No shuffle ever exceeds 31 groups; replicate count is a
+    // literal, so the shape is corpus-size-independent.
+    GQ(
+      "q_stats_poissonboot",
+      (s, d) => {
+        val p = (1L << 31) - 1
+        val a = ((col("b") + 1) * lit(2654435761L)) % p
+        val u = (a * col("hm")) % p
+        val k = when(col("b") === -1, lit(1L)).otherwise(
+          poisThresholds.map(t => when(col("u") >= t, 1L).otherwise(0L))
+            .reduce(_ + _))
+        val reps = Tables.t(s, d, "orders")
+          .select(C.dec2(col("o_totalprice")).as("v"),
+            (XHash.h60(concat(lit("pois:"),
+              col("o_orderkey").cast(StringType))) % p).as("hm"))
+          .select(col("v"), col("hm"),
+            explode(sequence(lit(-1), lit(29))).as("b"))
+          .withColumn("u", u)
+          .withColumn("k", k)
+          .filter(col("k") > 0)
+        val g = graft.Caches.persist(reps.groupBy(col("b"))
+          .agg(sum(col("k")).as("nb"),
+            sum(col("k") * col("v")).cast(DoubleType).as("sb")))
+        val full = g.filter(col("b") === -1)
+          .select(col("nb").as("n"),
+            (col("sb") / col("nb").cast(DoubleType)).as("mean_full"))
+        val means = g.filter(col("b") >= 0)
+          .select((col("sb") / col("nb").cast(DoubleType)).as("mean_b"))
+        val ci = means.agg(count(lit(1)).as("n_reps"),
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_b)")
+            .as("lo"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_b)")
+            .as("hi"))
+        full.crossJoin(ci)
+          .select(col("n"),
+            graft.functions.vec.roundz(col("mean_full"), 6).as("mean_full"),
+            col("n_reps"),
+            graft.functions.vec.roundz(col("lo"), 6).as("ci_lo"),
+            graft.functions.vec.roundz(col("hi"), 6).as("ci_hi"))
+      },
+      Some {
+        val p = (1L << 31) - 1
+        val kSql = poisThresholds
+          .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH r AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+           |    ${XHash.sqlH60("'pois:' || CAST(o_orderkey AS VARCHAR)")}
+           |      % $p AS hm
+           |  FROM orders),
+           |x AS (SELECT v, b.b,
+           |    ((((b.b + 1) * 2654435761) % $p) * hm) % $p AS u
+           |  FROM r, generate_series(-1, 29) b(b)),
+           |w AS (SELECT v, b, CASE WHEN b = -1 THEN 1
+           |    ELSE $kSql END AS k FROM x),
+           |g AS (SELECT b, CAST(SUM(k) AS BIGINT) AS nb,
+           |    CAST(SUM(k * v) AS DOUBLE) AS sb
+           |  FROM w WHERE k > 0 GROUP BY 1),
+           |f AS (SELECT nb AS n, sb / CAST(nb AS DOUBLE) AS mean_full
+           |  FROM g WHERE b = -1),
+           |m AS (SELECT sb / CAST(nb AS DOUBLE) AS mean_b
+           |  FROM g WHERE b >= 0),
+           |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+           |    percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_b) AS lo,
+           |    percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_b) AS hi
+           |  FROM m)
+           |SELECT f.n, (ROUND(f.mean_full, 6) + 0.0) AS mean_full,
+           |  s.n_reps, (ROUND(s.lo, 6) + 0.0) AS ci_lo,
+           |  (ROUND(s.hi, 6) + 0.0) AS ci_hi
+           |FROM f, s""".stripMargin
+      }
     )
   )
+
+  /** Cumulative Poisson(1) CDF at scale p = 2^31−1, k = 0..5:
+    * floor(F(k)·p), computed once so both engines compare the SAME
+    * integer literals. k(u) = #{i : u ≥ T_i} ∈ {0..6}.
+    */
+  // lazy: referenced while `queries` initializes above (the Theil–Sen
+  // comment's init-order trap — a plain val would still be null there)
+  private[graft] lazy val poisThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    Iterator.iterate((e1, 0.0, 0)) { case (p, f, k) => (p / (k + 1), f + p, k + 1) }
+      .drop(1).take(6)
+      .map { case (_, f, _) => math.floor(f * ((1L << 31) - 1)).toLong }
+      .toSeq
+  }
 
   /** One Theil–Sen SQL text for both engines (anti-drift): only the table
     * name and the epoch-day expression differ.

@@ -124,7 +124,12 @@ object ScaleStress {
     "q_stats_moments", "q_stats_ks", "q_stats_mannwhitney",
     "q_sketch_quantile", "q_stats_bootstrap", "q_dq_referential",
     "q_events_concurrency", "q_sample_coreset", "q_dq_reconcile",
-    "q_retrieval_queryexp", "q_embed_centroid", "q_dq_sequence")
+    "q_retrieval_queryexp", "q_embed_centroid", "q_dq_sequence",
+    // round 5, fifth batch: map ops (two chained aggs, model-sized map
+    // relation), label-prop community (|E|-bounded rounds on the persisted
+    // vocab² edges), Poisson bootstrap (31-way scan-side explode, 31-group
+    // agg — same shape as q_stats_bootstrap's 61)
+    "q_map_ops", "q_graph_community", "q_stats_poissonboot")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -987,4 +987,59 @@ class OperatorSpec extends AnyFunSuite {
       .toDouble + 0.0
     assert(rows("q_graph_assortativity") === Seq(Seq(9L, 14L, r6)))
   }
+
+  test("q_map_ops: per-flag status maps derived by hand from the 8-row lineitem") {
+    // (flag, status) counts: A-F:1, A-O:1, N-O:2, R-F:3, R-O:1 (the
+    // q_agg_hash groups); n_major counts statuses with c*3 > total
+    assert(rows("q_map_ops") === Seq(
+      Seq("A", 2L, "F,O", 1L, 2L, 2L),
+      Seq("N", 1L, "O", 2L, 2L, 1L),
+      Seq("R", 2L, "F,O", 1L, 4L, 1L)))
+  }
+
+  test("q_graph_community: 4 synchronous LPA rounds hand-walked on the two fixture paths") {
+    // Both fixture components are PATHS with uniform weight 2 (pagerank
+    // spec's edge set), so every multi-neighbor argmax ties and the min
+    // label wins; synchronous updates then oscillate 2-colorings — the
+    // behavior the query documents as the fixed-round contract. Walked by
+    // hand: round 4 lands T,K,S->"key order" / F,O->"fast key" on the
+    // 5-path and D,I->"die katze" / Kz,N->"katze ist" on the 4-path.
+    assert(rows("q_graph_community") === Seq(
+      Seq("key order", 3L),
+      Seq("die katze", 2L),
+      Seq("fast key", 2L),
+      Seq("katze ist", 2L)))
+  }
+
+  test("q_stats_poissonboot: sequential replay of the 30 Poisson-weight replicates") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val prices = Map(100L -> "1000.50", 101L -> "2000.25", 102L -> "1500.00",
+      103L -> "300.10", 104L -> "1000.50", 105L -> "750.75")
+    val ts = graft.operators.Stats.poisThresholds
+    val p = (1L << 31) - 1
+    // one digest per order; replicate b's uniform is the multiplicative
+    // universal hash u_b = (a_b * hm) mod p over GF(2^31-1)
+    def k(key: Long, b: Int): Long = {
+      val hm = graft.functions.CdcChunks.h60(
+        UTF8String.fromString(s"pois:$key")) % p
+      val a = ((b + 1) * 2654435761L) % p
+      val u = (a * hm) % p
+      ts.count(u >= _).toLong
+    }
+    // replicate b weighs each order by its Poisson(1) inverse-CDF copy
+    // count; all-zero replicates drop out (nb = 0 -> no group)
+    val means = (0 until 30).flatMap { b =>
+      val w = prices.toSeq.map { case (key, v) => (k(key, b), BigDecimal(v)) }
+      val nb = w.map(_._1).sum
+      if (nb == 0L) None
+      else Some(w.map { case (c, v) => v * c }.sum.toDouble / nb.toDouble)
+    }
+    val sorted = means.sorted
+    def pd(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val full = prices.values.map(BigDecimal(_)).sum.toDouble / 6.0
+    assert(rows("q_stats_poissonboot") === Seq(Seq(
+      6L, r6(full), means.size.toLong, r6(pd(0.05)), r6(pd(0.95)))))
+  }
 }

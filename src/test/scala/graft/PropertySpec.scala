@@ -1667,6 +1667,64 @@ class PropertySpec extends AnyFunSuite {
     assert(out.toSeq === Seq(Seq("A", "B", 2L, 1L, 1.0, null)))
   }
 
+  test("q_map_ops: map-derived scalars reconcile against direct aggregation at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val nLines = Tables.t(spark, d, "lineitem").count()
+    val out = Registry.byName("q_map_ops").run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the per-flag map totals partition the corpus exactly
+    assert(out.map(_._5).sum === nLines)
+    for ((_, nKeys, csv, cntO, total, nMajor) <- out) {
+      assert(csv.split(",").length.toLong === nKeys, csv)
+      assert(cntO >= 0L && cntO <= total)
+      assert(nMajor >= 0L && nMajor <= nKeys)
+    }
+  }
+
+  test("q_stats_poissonboot: the CI envelope brackets the full mean at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    val nOrders = Tables.t(spark, d, "orders").count()
+    val Seq(Seq(n: Long, mean: Double, nReps: Long, lo: Double, hi: Double)) =
+      Registry.byName("q_stats_poissonboot").run(spark, d).collect()
+        .map(_.toSeq).toSeq
+    // the b = -1 pseudo-replicate has weight 1 per row -> n is the corpus size
+    assert(n === nOrders)
+    // no replicate degenerates to zero mass on a 1500-row corpus
+    assert(nReps === 30L)
+    // replicate means concentrate around the full mean; the 5th/95th
+    // percentile elements bracket it (deterministic fact of this corpus)
+    assert(lo <= mean && mean <= hi, s"$lo <= $mean <= $hi")
+  }
+
+  test("q_graph_community: member counts are bounded by the bigram node universe at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    // replicate the graph prep: distinct bigram nodes incident to a
+    // co-occurrence >= 2 edge (the query's vertex set)
+    val tg = graft.operators.Grams.kgramRows(
+        Tables.t(spark, d, "documents"), 3, Seq())
+      .select(split(col("item"), " ").as("p"))
+      .filter(size(col("p")) === 3)
+      .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
+        concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
+      .filter(col("g1") =!= col("g2"))
+    val edges = tg.select(least(col("g1"), col("g2")).as("a"),
+        greatest(col("g1"), col("g2")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+    val nNodes = edges.select(explode(array(col("a"), col("b"))).as("m"))
+      .distinct().count()
+    val out = Registry.byName("q_graph_community").run(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // top-20 by members desc (community asc on ties), all positive, and
+    // the community ids are themselves nodes of the graph
+    assert(out.map(_._2).sum <= nNodes)
+    assert(out.forall(_._2 > 0L))
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    val nodeSet = edges.select(explode(array(col("a"), col("b"))).as("m"))
+      .distinct().as[String].collect().toSet
+    assert(out.forall { case (c, _) => nodeSet.contains(c) })
+  }
+
   test("q_dq_funcdep: the unique-key dependency is exactly clean at sf0.01") {
     val d = "/root/testdata/sf0.01"
     val nOrders = Tables.t(spark, d, "orders").count()
