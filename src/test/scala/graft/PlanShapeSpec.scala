@@ -491,4 +491,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"reconciliation needs only the order-key agg/join exchanges, got $exchanges:\n$p")
     assert(!p.contains("Window"), s"reconciliation must not window:\n$p")
   }
+
+  test("q_stats_poissonboot: exactly ONE digest per row survives optimization") {
+    // the optimizer inlines a withColumn'd hash into every consumer — the
+    // per-(row,replicate) form carried SEVEN md5 calls and ran 29 s at
+    // sf0.1; the universal-family form must keep a single digest
+    val p = plan("q_stats_poissonboot")
+    // the persisted replicate agg prints its cached subtree once per
+    // consumer (full mean + CI), so ONE physical digest site shows as
+    // exactly two occurrences; the regressed per-(row,replicate) form
+    // printed 7 per subtree
+    val digests = "md5".r.findAllIn(p).size
+    assert(digests <= 2, s"expected <=2 md5 prints in the plan, found $digests:\n$p")
+    assert(p.contains("Generate explode"),
+      s"replicate fan-out must be a scan-side explode:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the 31-row replicate agg must persist (2 consumers):\n$p")
+  }
+
+  test("q_map_ops: no per-row window; the map lives on the post-agg relation") {
+    val p = plan("q_map_ops")
+    assert(!p.contains("Window"),
+      s"map scalars must come from aggregation, not a window:\n$p")
+    // the executedPlan string shows the consumers (map_keys / map_filter);
+    // construction sits inside the aggregate's result projection
+    assert(p.contains("map_keys") && p.contains("map_filter"),
+      s"map consumers must survive into the physical plan:\n$p")
+  }
+
+  test("q_graph_community: the corpus feeds one persisted edge relation") {
+    val p = plan("q_graph_community")
+    assert(p.contains("InMemoryTableScan"),
+      s"the weighted symmetric edges must persist (5 consumers):\n$p")
+    // per-node argmax windows partition by node — never a global window
+    assert(!p.contains("SinglePartition"),
+      s"a label round fell into a single-partition exchange:\n$p")
+  }
 }
