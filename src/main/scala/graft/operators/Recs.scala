@@ -40,10 +40,17 @@ object Recs {
       (s, d) => {
         // li feeds the self-join twice plus the margins; pairs feeds both
         // union directions — persist each so the corpus distinct and the
-        // basket self-join run once (the q_graph_linkpred pattern)
+        // basket self-join run once (the q_graph_linkpred pattern).
+        // ONE exchange serves both the dedup and the self-join: hash(o)
+        // co-locates every (o, p) of an order, so dropDuplicates(o, p)
+        // runs partition-local (ClusteredDistribution(o, p) is satisfied
+        // by the o-partitioning) and the order-keyed self-join reuses the
+        // SAME partitioning — a plain distinct() would shuffle by (o, p)
+        // and force a second corpus-wide exchange for the join
         val li = graft.Caches.persist(Tables.t(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct())
+          .repartition(col("o"))
+          .dropDuplicates("o", "p"))
         val pairs = graft.Caches.persist(li.as("x")
           .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
           .groupBy(col("x.p").as("a"), col("y.p").as("b"))
