@@ -1080,6 +1080,67 @@ object EventsOps {
            |FROM l ORDER BY event_type, day""".stripMargin
       }
     ),
+    // Brown's double exponential smoothing forecast (round 5) — the
+    // LEVEL+TREND forecaster the family lacks: q_time_ewma smooths but
+    // lags any trend, q_time_seasonal backtests a seasonal-naive copy,
+    // q_time_theilsen fits ONE global line; Brown (1959) tracks a LOCAL
+    // linear trend with exponential memory. With α = 1/2 the one-step
+    // forecast has a closed convolution form: f_t = 3·S1 − 2·S2 over
+    // the lagged series = Σ_j (2−j)/2^(j+1) · y_{t−1−j} (S2's weights
+    // are (j+1)/2^(j+2); substitute and collect) — truncated at 24 lags
+    // with zero-init, the q_time_ewma horizon convention, which both
+    // engines share verbatim. Emitted per (type, day) with the one-step
+    // absolute backtest error |y_t − f_t| — the rolling forecast-quality
+    // audit.
+    //
+    // Determinism: every term is y·(2−j)/2^(j+1) — an exact dyadic (y
+    // integer, division by a power of two), so each partial sum is
+    // EXACT in IEEE double (magnitudes ≪ 2^53) and term order cannot
+    // matter; roundz(6)+R8 for display (weights go negative at j ≥ 3,
+    // so a decaying series can legitimately forecast < 0 — the raw
+    // linear-trend extrapolation, reported as-is, not clamped); ORDER
+    // BY (type, day) is total (R1).
+    //
+    // Plan shape (100 TB): ONE corpus scan → (type, day) hash agg
+    // (calendar-bounded output) → one type-keyed window over the
+    // model-sized daily series carrying 24 lags. Identical to the
+    // q_time_ewma/rolling-median shape.
+    GQ(
+      "q_time_holt",
+      (s, d) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        val fc = (0 until 24).foldLeft(lit(0.0)) { (acc, j) =>
+          acc + coalesce(lag(col("c"), j + 1).over(w).cast(DoubleType),
+            lit(0.0)) * lit((2 - j).toDouble) /
+            lit((1L << (j + 1)).toDouble)
+        }
+        Tables.events(s, d)
+          .groupBy(col("event_type"), expr(s"ts DIV $NanosPerDay").as("day"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("fc", fc)
+          .select(col("event_type"), col("day"), col("c"),
+            graft.functions.vec.roundz(col("fc"), 6).as("forecast"),
+            graft.functions.vec.roundz(
+              abs(col("c").cast(DoubleType) - col("fc")), 6).as("abs_err"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some {
+        val terms = (0 until 24)
+          .map(j =>
+            s"COALESCE(lag(c, ${j + 1}) OVER w, 0) * ${2 - j} / ${1L << (j + 1)}.0")
+          .mkString("\n             |    + ")
+        s"""WITH daily AS (SELECT event_type,
+           |    epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS c
+           |  FROM events GROUP BY 1, 2),
+           |f AS (SELECT event_type, day, c,
+           |    $terms AS fc
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+           |SELECT event_type, day, c, (ROUND(fc, 6) + 0.0) AS forecast,
+           |  (ROUND(abs(c - fc), 6) + 0.0) AS abs_err
+           |FROM f ORDER BY event_type, day""".stripMargin
+      }
+    ),
     // Association rules over sessions (round 4, batch 12) — market-basket
     // mining with the 30-min session as the basket: which event types
     // co-occur in one session beyond chance? support = P(a,b),

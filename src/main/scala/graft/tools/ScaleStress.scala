@@ -129,7 +129,9 @@ object ScaleStress {
     // relation), label-prop community (|E|-bounded rounds on the persisted
     // vocab² edges), Poisson bootstrap (31-way scan-side explode, 31-group
     // agg — same shape as q_stats_bootstrap's 61)
-    "q_map_ops", "q_graph_community", "q_stats_poissonboot")
+    "q_map_ops", "q_graph_community", "q_stats_poissonboot",
+    // Brown forecast: calendar-bounded series window, must stay scan-bound
+    "q_time_holt")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

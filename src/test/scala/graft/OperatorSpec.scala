@@ -1011,6 +1011,17 @@ class OperatorSpec extends AnyFunSuite {
       Seq("katze ist", 2L)))
   }
 
+  test("q_time_holt: single-day fixture has no lag history -> zero forecast") {
+    // every type has one day (19723), all 24 lags NULL->0, so the Brown
+    // forecast is 0.0 and the backtest error is the count itself
+    assert(rows("q_time_holt") === Seq(
+      Seq("click", 19723L, 1L, 0.0, 1.0),
+      Seq("error", 19723L, 1L, 0.0, 1.0),
+      Seq("purchase", 19723L, 2L, 0.0, 2.0),
+      Seq("signup", 19723L, 1L, 0.0, 1.0),
+      Seq("view", 19723L, 1L, 0.0, 1.0)))
+  }
+
   test("q_stats_poissonboot: sequential replay of the 30 Poisson-weight replicates") {
     import org.apache.spark.unsafe.types.UTF8String
     val prices = Map(100L -> "1000.50", 101L -> "2000.25", 102L -> "1500.00",

@@ -1667,6 +1667,52 @@ class PropertySpec extends AnyFunSuite {
     assert(out.toSeq === Seq(Seq("A", "B", 2L, 1L, 1.0, null)))
   }
 
+  test("q_time_holt: Brown recurrence replay equals the closed convolution form") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("holtprop-").toString
+    // a 30-day trending series with a level shift: y = 10 + 2t (+100 from
+    // day 20) — long enough that the 24-lag truncation is exercised
+    val ns = 86400L * 1000000000L
+    val series = (0 until 30).map(t => 10L + 2 * t + (if (t >= 20) 100L else 0L))
+    val rows930 = series.zipWithIndex.flatMap { case (c, t) =>
+      (0L until c).map(i => (t * 1000 + i, t * ns + i, 1L, "view", 1.0, "{}"))
+    }
+    rows930.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // sequential replay of S1/S2 with alpha=1/2, zero-init, 24-lag memory:
+    // the closed form f_t = sum_j (2-j)/2^(j+1) y_{t-1-j} must agree
+    def closed(t: Int): Double =
+      (0 until 24).map { j =>
+        val idx = t - 1 - j
+        val y = if (idx >= 0) series(idx).toDouble else 0.0
+        y * (2 - j).toDouble / (1L << (j + 1)).toDouble
+      }.sum
+    val out = Registry.byName("q_time_holt").run(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    for (t <- 0 until 30) {
+      val exp = BigDecimal(closed(t))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(out(t.toLong) === exp, s"day $t")
+    }
+    // independent check: the TRUE Brown recurrence (S1/S2 with alpha=1/2,
+    // zero-init, f = 3*S1 - 2*S2 one step back) must agree with the
+    // 24-lag truncation up to the documented tail (< ~1e-3 here)
+    var s1 = 0.0; var s2 = 0.0
+    for (t <- 0 until 30) {
+      val rec = 3.0 * s1 - 2.0 * s2
+      assert(math.abs(out(t.toLong) - rec) < 1e-3,
+        s"day $t: truncated ${out(t.toLong)} vs recurrence $rec")
+      s1 = series(t) / 2.0 + s1 / 2.0
+      s2 = s1 / 2.0 + s2 / 2.0
+    }
+    // trend tracking: in the steady +2/day stretch before the shift the
+    // one-step forecast must sit within 1 of the actual (EWMA alone lags
+    // by the full trend; Brown's closes that gap)
+    for (t <- 15 until 20)
+      assert(math.abs(out(t.toLong) - series(t)) <= 1.0,
+        s"day $t: forecast ${out(t.toLong)} vs actual ${series(t)}")
+  }
+
   test("q_map_ops: map-derived scalars reconcile against direct aggregation at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val nLines = Tables.t(spark, d, "lineitem").count()
