@@ -13,6 +13,10 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // NOTE: Spark 4 runs with spark.sql.ansi.enabled=true by default and
+    // the builder inherits it deliberately — every Verify sweep is ALSO a
+    // strict-overflow probe (a silent Long wrap or lossy cast fails loudly
+    // instead of surfacing as a value diff)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -497,12 +497,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // per-(row,replicate) form carried SEVEN md5 calls and ran 29 s at
     // sf0.1; the universal-family form must keep a single digest
     val p = plan("q_stats_poissonboot")
-    // the persisted replicate agg prints its cached subtree once per
-    // consumer (full mean + CI), so ONE physical digest site shows as
-    // exactly two occurrences; the regressed per-(row,replicate) form
-    // printed 7 per subtree
-    val digests = "md5".r.findAllIn(p).size
-    assert(digests <= 2, s"expected <=2 md5 prints in the plan, found $digests:\n$p")
+    // the persisted subtree prints once per consumer (and once more per
+    // cache materialization state), so the TOTAL md5 count is
+    // print-context-dependent — but the regression signature is stable:
+    // the per-(row,replicate) form put SEVEN digests into one projection
+    // (and six into the k filter). Pin per-LINE multiplicity instead.
+    val worstLine = p.linesIterator
+      .map(l => "md5".r.findAllIn(l).size).maxOption.getOrElse(0)
+    assert(worstLine <= 1,
+      s"a plan node evaluates md5 $worstLine times per row:\n$p")
+    assert("md5".r.findAllIn(p).nonEmpty, s"digest vanished from the plan:\n$p")
     assert(p.contains("Generate explode"),
       s"replicate fan-out must be a scan-side explode:\n$p")
     assert(p.contains("InMemoryTableScan"),
