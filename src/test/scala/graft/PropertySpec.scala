@@ -1757,17 +1757,15 @@ class PropertySpec extends AnyFunSuite {
     val edges = tg.select(least(col("g1"), col("g2")).as("a"),
         greatest(col("g1"), col("g2")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-    val nNodes = edges.select(explode(array(col("a"), col("b"))).as("m"))
-      .distinct().count()
+    val nodeSet = edges.select(explode(array(col("a"), col("b"))).as("m"))
+      .distinct().as[String].collect().toSet
     val out = Registry.byName("q_graph_community").run(spark, d).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     // top-20 by members desc (community asc on ties), all positive, and
     // the community ids are themselves nodes of the graph
-    assert(out.map(_._2).sum <= nNodes)
+    assert(out.map(_._2).sum <= nodeSet.size.toLong)
     assert(out.forall(_._2 > 0L))
     assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
-    val nodeSet = edges.select(explode(array(col("a"), col("b"))).as("m"))
-      .distinct().as[String].collect().toSet
     assert(out.forall { case (c, _) => nodeSet.contains(c) })
   }
 

@@ -101,8 +101,10 @@ class RegistrySpec extends AnyFunSuite {
   // registry — a declared query with no SURVEY row is invisible coverage,
   // so landing one without documentation must fail loudly here.
   test("every declared query has a SURVEY.md mention") {
+    // relative to the sbt project base (test cwd) — an absolute path would
+    // read the MAIN checkout's copy from inside a worktree or other clone
     val survey = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/root/repo/SURVEY.md")), "UTF-8")
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
     val documented = "q_[a-z0-9_]+".r.findAllIn(survey).toSet
     val missing = Registry.all.map(_.name).filterNot(documented)
     assert(missing.isEmpty,
@@ -111,11 +113,17 @@ class RegistrySpec extends AnyFunSuite {
 
   test("no query re-scans a source table beyond its documented budget (sweep)") {
     val loc = "Location: InMemoryFileIndex \\[[^\\]]*/(\\w+)\\.parquet".r
+    // GQ.apply (the scoped entry point CachesSpec pins) — bare gq.run
+    // would leak every operator-internal persist of all 212 queries into
+    // the shared session, coupling later queries' plans (and measured
+    // scan counts) to suite execution order
     for (gq <- Registry.all) {
-      val p = gq.run(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      val worst = loc.findAllMatchIn(p).map(_.group(1)).toSeq
-        .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+      val worst = gq(spark, dir) { df =>
+        val p = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        loc.findAllMatchIn(p).map(_.group(1)).toSeq
+          .groupBy(identity).values.map(_.size).maxOption.getOrElse(0)
+      }
       val budget = scanAllowlist.getOrElse(gq.name, 2)
       assert(worst <= budget,
         s"${gq.name}: $worst scan sites for one table (budget $budget) — " +
