@@ -224,4 +224,30 @@ object C {
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
   def sqlSumDec2(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** 1-based rank over a BOUNDED (top-k / model-sized) relation via a
+    * strict-predecessor-count self-join — the window-free replacement for
+    * `row_number() OVER (ORDER BY ...)` with no PARTITION BY, which moves
+    * its whole input to one partition (round 6: the registry-wide plan pin
+    * bans unpartitioned windows outright). `order` lists (column,
+    * descending?) lexicographically; the composite order MUST be total
+    * (append a unique key), so the result is bit-identical to the global
+    * row_number. Cost is |df|² pairs — only ever call this on a relation
+    * already bounded by a LIMIT or a fixed domain. Persist `df` first if
+    * its lineage is corpus-sized (both join sides consume it).
+    */
+  def rankBounded(df: DataFrame, rankName: String,
+      order: (String, Boolean)*): DataFrame = {
+    def before(ix: Int): Column = {
+      val (c, desc) = order(ix)
+      val strict =
+        if (desc) col(s"y.$c") > col(s"x.$c") else col(s"y.$c") < col(s"x.$c")
+      if (ix == order.size - 1) strict
+      else strict || (col(s"y.$c") === col(s"x.$c") && before(ix + 1))
+    }
+    df.as("x").join(df.as("y"), before(0), "left_outer")
+      .groupBy(df.columns.toSeq.map(c => col(s"x.$c")): _*)
+      .agg((count(col(s"y.${order.last._1}")) + 1)
+        .cast(LongType).as(rankName))
+  }
 }

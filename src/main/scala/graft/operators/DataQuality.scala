@@ -254,21 +254,25 @@ object DataQuality {
     // to the first NONZERO digit).
     //
     // Plan shape (100 TB): scan-side digit projection → 9-group hash agg
-    // → window over 9 rows for the total. One corpus exchange of 9
-    // partial rows per task — nothing else moves.
+    // → the total is a 1-row agg over the 9-row relation, broadcast back
+    // (round 6: even a 9-row global window trips the unpartitioned-
+    // WindowExec ban — the cross-join total is the same cost and keeps
+    // the plan window-free). One corpus exchange of 9 partial rows per
+    // task — nothing else moves.
     GQ(
       "q_dq_benford",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val digits = Tables.t(s, d, "orders")
+        val digits = graft.Caches.persist(Tables.t(s, d, "orders")
           .select(regexp_extract(col("o_totalprice").cast(StringType),
             "[1-9]", 0).as("digit"))
           .filter(col("digit") =!= "")
           .groupBy(col("digit").cast(IntegerType).as("digit"))
-          .agg(count(lit(1)).as("cnt"))
-        digits
-          .withColumn("frac", col("cnt").cast(DoubleType) /
-            sum(col("cnt")).over(Window.partitionBy()).cast(DoubleType))
+          .agg(count(lit(1)).as("cnt")))
+        val tot = digits.agg(sum(col("cnt")).as("tot"))
+        digits.crossJoin(broadcast(tot))
+          .withColumn("frac",
+            col("cnt").cast(DoubleType) / col("tot").cast(DoubleType))
+          .select(col("digit"), col("cnt"), col("frac"))
           .orderBy(col("digit"))
       },
       Some("""WITH dg AS (SELECT CAST(regexp_extract(

@@ -361,20 +361,52 @@ object Lm {
     // freq < 2^33 — the q_text_perplexity bound; beyond, pre-shift.
     //
     // Plan shape (100 TB): ONE corpus scan → vocab-keyed hash agg
-    // (map-side combine); ranking is a window over the VOCAB-bounded
-    // frequency relation (corpus-size-independent, the q_text_rarity
-    // precedent); the log2 chain and the 1-row moment agg run on that
-    // same model-sized relation. Linear in corpus, forever.
+    // (map-side combine). Ranking NEVER sorts the vocabulary globally
+    // (round 6 — the old row_number() over an unpartitioned window moved
+    // the whole vocab to one partition, the exact WindowExec warning the
+    // plan pins ban): the OLS only needs the rank MULTISET, and every
+    // word of frequency c occupies the contiguous block
+    // [base(c)+1, base(c)+k(c)] where base(c) = #{words with higher c}.
+    // So rank generation runs on the DISTINCT-FREQUENCY relation (D rows;
+    // distinct positive integers summing ≤ corpus tokens T force
+    // D ≤ √(2T) — ~4.5 M rows at 10¹³ tokens): base(c) is a
+    // bitlen-BUCKETED exclusive cumsum (window PARTITIONED by bitlen(c);
+    // a bucket holds ≤ min(2^(b−1), T/2^(b−1)) ≤ √T values) plus a
+    // ≤64×64 bucket-total self-join (bucket count fixed at 64 at any
+    // corpus size), and the blocks explode back to V rank rows in
+    // 4096-sized chunks (two bounded `sequence` generates with a chunk
+    // repartition between them, so the hapax block — half the vocab —
+    // spreads across the cluster instead of one task). The log2 chain
+    // and the 1-row moment agg run on the generated rows: BIGINT sums
+    // are order-free, so the output is bit-identical to the old global
+    // rank. Linear in corpus, forever — and no single-partition anything.
     GQ(
       "q_text_zipf",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val chunk = 4096L
         val wf = Tables.t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val rk = wf.select(col("c"),
-          row_number().over(Window.orderBy(col("c").desc, col("w")))
-            .cast(LongType).as("r"))
+        val fc = wf.groupBy(col("c")).agg(count(lit(1)).as("k"))
+          .withColumn("b", (length(bin(col("c"))) - 1).cast(LongType))
+        val bt = fc.groupBy(col("b")).agg(sum(col("k")).as("kb"))
+        val bb = bt.as("a")
+          .join(bt.as("h"), col("h.b") > col("a.b"), "left_outer")
+          .groupBy(col("a.b"))
+          .agg(coalesce(sum(col("h.kb")), lit(0L)).as("bbase"))
+        val wcum = Window.partitionBy(col("b")).orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val based = fc.join(bb, "b")
+          .withColumn("base",
+            col("bbase") + coalesce(sum(col("k")).over(wcum), lit(0L)))
+        val rk = based
+          .select(col("c"), col("k"), col("base"),
+            expr(s"explode(sequence(0L, (k - 1) div $chunk))").as("ch"))
+          .repartition(col("c"), col("ch"))
+          .select(col("c"),
+            expr(s"explode(sequence(base + ch * $chunk + 1," +
+              s" base + least((ch + 1) * $chunk, k)))").as("r"))
         var cur = rk
           .withColumn("xe", (length(bin(col("r"))) - 1).cast(LongType))
           .withColumn("xm", expr(s"(r * ${M}L) div shiftleft(1L, CAST(xe AS INT))"))
@@ -428,9 +460,25 @@ object Lm {
         s"""WITH wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
            |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
            |  GROUP BY w),
+           |fc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k,
+           |    CAST(length(bin(c)) - 1 AS BIGINT) AS b FROM wf GROUP BY c),
+           |bt AS (SELECT b, CAST(SUM(k) AS BIGINT) AS kb FROM fc GROUP BY b),
+           |bb AS (SELECT a.b AS b,
+           |    COALESCE(CAST(SUM(h.kb) AS BIGINT), 0) AS bbase
+           |  FROM bt a LEFT JOIN bt h ON h.b > a.b GROUP BY a.b),
+           |based AS (SELECT fc.c, fc.k,
+           |    bb.bbase + COALESCE(CAST(SUM(fc.k) OVER (PARTITION BY fc.b
+           |      ORDER BY fc.c DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |      AS BIGINT), 0) AS base
+           |  FROM fc JOIN bb ON fc.b = bb.b),
+           |ck AS (SELECT c, k, base,
+           |    unnest(generate_series(0::BIGINT, (k - 1) // 4096)) AS ch
+           |  FROM based),
            |rk AS (SELECT c,
-           |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
-           |  FROM wf),
+           |    unnest(generate_series(base + ch * 4096 + 1,
+           |      base + least((ch + 1) * 4096, k))) AS r
+           |  FROM ck),
            |z0 AS (SELECT
            |    CAST(length(bin(r)) - 1 AS BIGINT) AS xe,
            |    (r * $M) // (1::BIGINT <<

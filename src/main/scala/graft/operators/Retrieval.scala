@@ -250,9 +250,13 @@ object Retrieval {
             .agg(sum(expr("(pr * w) div wt")).as("s"))
             .select(col("word"), (lit(base) + expr("(85 * s) div 100")).as("pr"))
         }
-        pr.orderBy(col("pr").desc, col("word")).limit(20)
-          .withColumn("rn", row_number().over(
-            Window.orderBy(col("pr").desc, col("word"))).cast(LongType))
+        // rank the 20-row top via the predecessor-count self-join (total
+        // order pr desc, word — bit-identical to the old global
+        // row_number, without the banned unpartitioned window); persisted:
+        // both join sides would otherwise replay the 5-round PageRank
+        val top = graft.Caches.persist(
+          pr.orderBy(col("pr").desc, col("word")).limit(20))
+        graft.C.rankBounded(top, "rn", ("pr", true), ("word", false))
           .select(col("rn"), col("word"), col("pr"))
           .orderBy(col("rn"))
       },
@@ -388,27 +392,28 @@ object Retrieval {
         val grams = Grams.kgramRows(docs, 3, Seq()).select(col("doc_id"), col("item"))
           .distinct()
         val qset = grams.filter(col("doc_id") === 0).select(col("item"))
-        val ov = grams.filter(col("doc_id") =!= 0)
+        // both tops rank via the bounded predecessor-count self-join
+        // (round 6 — no unpartitioned windows; total orders make the
+        // ranks bit-identical to the old global row_number)
+        val ov = graft.Caches.persist(grams.filter(col("doc_id") =!= 0)
           .join(broadcast(qset), "item")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("ov"))
           .orderBy(col("ov").desc, col("doc_id"))
-          .limit(100)
-        val kw = ov.withColumn("rk_kw",
-          row_number().over(Window.orderBy(col("ov").desc, col("doc_id")))
-            .cast(LongType))
+          .limit(100))
+        val kw = graft.C.rankBounded(ov, "rk_kw",
+          ("ov", true), ("doc_id", false))
         val e = Tables.t(s, d, "embeddings")
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_embedding"))
-        val vc = e.filter(col("vec_id") =!= 0)
+        val vc = graft.Caches.persist(e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(qv))
           .select(col("vec_id"),
             vec.roundz(vec.cosine(s, "embedding", "q_embedding"), 3).as("cos"))
           .orderBy(col("cos").desc, col("vec_id"))
-          .limit(100)
-        val dn = vc.withColumn("rk_vec",
-          row_number().over(Window.orderBy(col("cos").desc, col("vec_id")))
-            .cast(LongType))
+          .limit(100))
+        val dn = graft.C.rankBounded(vc, "rk_vec",
+          ("cos", true), ("vec_id", false))
         kw.join(dn, col("doc_id") === col("vec_id"), "full_outer")
           .select(
             coalesce(col("doc_id"), col("vec_id")).as("doc_id"),

@@ -142,27 +142,33 @@ object Stats {
     // ORDER BY the unique day (R1).
     //
     // Plan shape (100 TB): ONE corpus scan → day-keyed hash agg; the
-    // cumulative window and the max-abs window both run on the
-    // |days|-sized series (single-partition window over a model-sized
-    // relation — the bounded-driver-pattern analog for windows), with
-    // the (N, S) totals broadcast from a 1-row agg.
+    // cumulative sum is a prefix theta-join on the |days|-sized series
+    // (round 6 — the old unpartitioned cumulative window is banned; the
+    // broadcast nested-loop prefix join costs |days|² pairs, calendar-
+    // bounded forever: a century is 36.5k days ≈ 1.3 G distributed
+    // pairs; at a finer grain the two-level month-bucket prefix sum —
+    // the q_text_zipf decomposition — slots in), with the (N, S) totals
+    // and the max-|cusum| both broadcast from 1-row aggs.
     GQ(
       "q_time_cusum",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val NanosPerDay = 86400L * 1000 * 1000 * 1000
-        val daily = Tables.events(s, d)
+        val daily = graft.Caches.persist(Tables.events(s, d)
           .withColumn("day", expr(s"ts DIV $NanosPerDay"))
-          .groupBy(col("day")).agg(count(lit(1)).as("actual"))
+          .groupBy(col("day")).agg(count(lit(1)).as("actual")))
         val tot = daily.agg(count(lit(1)).as("nd"), sum(col("actual")).as("st"))
-        val cum = Window.orderBy(col("day"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        daily.crossJoin(broadcast(tot))
-          .withColumn("cusum",
-            sum(col("actual") * col("nd") - col("st")).over(cum))
-          .withColumn("is_change",
-            abs(col("cusum")) === max(abs(col("cusum"))).over(
-              Window.partitionBy()))
+        // prefix sums: Σ_{d'≤d} actual and #{d'≤d}, so
+        // cusum(d) = Σ_{d'≤d}(actual'·nd − st) = pa·nd − pc·st exactly
+        val pre = daily.as("x")
+          .join(daily.as("y"), col("y.day") <= col("x.day"))
+          .groupBy(col("x.day").as("day"), col("x.actual").as("actual"))
+          .agg(sum(col("y.actual")).as("pa"), count(lit(1)).as("pc"))
+        val cs = graft.Caches.persist(pre.crossJoin(broadcast(tot))
+          .select(col("day"), col("actual"),
+            (col("pa") * col("nd") - col("pc") * col("st")).as("cusum")))
+        val mx = cs.agg(max(abs(col("cusum"))).as("mx"))
+        cs.crossJoin(broadcast(mx))
+          .withColumn("is_change", abs(col("cusum")) === col("mx"))
           .select(col("day"), col("actual"), col("cusum"), col("is_change"))
           .orderBy(col("day"))
       },
@@ -366,14 +372,17 @@ object Stats {
       "q_stats_chisq",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val cells = Tables.t(s, d, "orders")
+        // persisted: the cell relation feeds the margins AND the 1-row
+        // grand total (the total was a global window — banned round 6)
+        val cells = graft.Caches.persist(Tables.t(s, d, "orders")
           .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
-          .agg(count(lit(1)).as("o"))
+          .agg(count(lit(1)).as("o")))
         val wide = DecimalType(38, 0)
+        val tot = cells.agg(sum(col("o")).as("nn"))
         val m = cells
           .withColumn("rp", sum(col("o")).over(Window.partitionBy(col("p"))))
           .withColumn("cs", sum(col("o")).over(Window.partitionBy(col("st"))))
-          .withColumn("nn", sum(col("o")).over(Window.partitionBy()))
+          .crossJoin(broadcast(tot))
         val diff = col("o").cast(wide) * col("nn") -
           col("rp").cast(wide) * col("cs")
         val denom = col("rp").cast(wide) * col("cs") * col("nn")

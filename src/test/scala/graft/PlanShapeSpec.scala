@@ -531,4 +531,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       s"a label round fell into a single-partition exchange:\n$p")
   }
+
+  test("registry sweep: no declared query plans an UNPARTITIONED window") {
+    // round 6 — the q_text_zipf regression class: row_number() over
+    // Window.orderBy(...) with no partitionBy moves the ENTIRE input to
+    // one partition ("WindowExec: No Partition Defined" at runtime), the
+    // single scale-killer this engine bans. Sweep every declared query's
+    // ANALYZED plan (pre-cache-substitution, so windows inside persisted
+    // subtrees can't hide behind InMemoryRelation) including subqueries,
+    // and flag any Window node with an empty partitionSpec. Streaming
+    // queries return their replayed batch result; their window shapes are
+    // pinned by the streaming specs.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Registry.all.flatMap { gq =>
+      val analyzed = gq.run(spark, sf).queryExecution.analyzed
+      val bad = analyzed.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      graft.Caches.release(spark)
+      if (bad.nonEmpty) Some(s"${gq.name} (${bad.size} global window(s))")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a global (unpartitioned) window:\n" +
+        offenders.mkString("\n"))
+  }
 }
