@@ -16,12 +16,37 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is reported in `failed` and excluded from every
   * total instead of silently distorting it.
+  *
+  * Round-6 quiet-box guard (VERDICT r5 item 8): round 4's official bench
+  * ran on an externally loaded box and posted a 2047 s artifact that cost
+  * a whole round of perf signal — nothing in the JSON said so. The line
+  * now self-describes contention: 1-minute load average sampled before
+  * and after the timed passes, the count of OTHER live JVMs on the box,
+  * and a derived `"contended"` verdict (pre-load > half the cores, or any
+  * foreign JVM). A contended record is still printed — the driver keeps
+  * its artifact — but carries its own disqualification evidence instead
+  * of masquerading as a regression.
   */
 object Bench {
+
+  /** 1-minute system load average (-1.0 where the JVM can't read it). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Live java processes on the box OTHER than this one. */
+  private def otherJvms(): Long =
+    ProcessHandle.allProcesses()
+      .filter(p => p.pid() != ProcessHandle.current().pid() &&
+        p.info().command().map[Boolean](_.contains("java")).orElse(false))
+      .count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    val loadPre = loadAvg()
+    val jvmsPre = otherJvms()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -65,13 +90,21 @@ object Bench {
       .toSeq.sortBy(-_._2).take(10)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = Runtime.getRuntime
+    val loadPost = loadAvg()
+    // sbt's own JVM always accompanies this fork; more than one foreign
+    // JVM, or a pre-existing load beyond half the cores, means some other
+    // workload shared the box with the timed passes
+    val contended = loadPre > cpus.toDouble / 2 || jvmsPre > 1
+    val guardJson =
+      s""""load_pre":$loadPre,"load_post":$loadPost,""" +
+        s""""other_jvms":$jvmsPre,"contended":$contended"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL_latest.json")
     val full =
       s"""{"sf":"$sfDir","cpus":$cpus,""" +
         s""""total_min":${totalOf(minPass)},"total1":${totalOf(pass1)},""" +
         s""""total2":${totalOf(pass2)},"failed":$failedJson,""" +
-        s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},""" +
+        s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},$guardJson,""" +
         s""""queries_min":${fmt(minPass)},""" +
         s""""queries1":${fmt(pass1)},"queries2":${fmt(pass2)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
@@ -82,7 +115,7 @@ object Bench {
         s""""total1":${totalOf(pass1)},"total2":${totalOf(pass2)},""" +
         s""""queries":${fmt(worst10)},""" +
         s""""failed":$failedJson,"cpus":$cpus,""" +
-        s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},""" +
+        s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},$guardJson,""" +
         s""""full":"$fullPath"}""")
     spark.stop()
   }

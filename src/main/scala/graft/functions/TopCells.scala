@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -16,7 +18,22 @@ import org.apache.spark.sql.types._
   * it within-cell pair volume is N²/k, measured 204 s for the ×10 k-NN
   * join), k in the hundreds would hit the wide-tree planning trap
   * [[PqEncode]] documents. One expression node holds the centroid matrix
-  * as a reference object and loops.
+  * and loops.
+  *
+  * HOW THE MATRIX TRAVELS (round 6): as a BROADCAST variable, not a
+  * serialized expression constant. The round-4 form embedded the flattened
+  * matrix in the case class, so every task binary carried k·dim doubles
+  * and the plan size grew linearly with k = N/125 — the one unbounded
+  * driver-artifact path in the engine. Now the expression holds only the
+  * Broadcast handle (O(1) plan size at any k); executors fetch the matrix
+  * once per JVM over the torrent protocol, and codegen dereferences
+  * `.value()` ONCE per operator instance into a mutable-state `double[]`
+  * (never per row). Build via [[TopCells.broadcastOf]]. The driver still
+  * materializes the k-row codebook to create the broadcast — that is the
+  * codebook itself (k·dim·8 B ≈ 4 GB at k = 8M·64d, the standard
+  * host-trained coarse-quantizer shape); past that, a two-level IMI
+  * quantizer (√k top cells, per-cell sub-codebooks) replaces the flat
+  * scan — the documented next rung, same expression contract per level.
   *
   * MATH CONTRACT (bit-compatible with the [[CosineSimilarity]] +
   * `array_max`-over-structs path it replaces, which the DuckDB oracles
@@ -35,18 +52,18 @@ import org.apache.spark.sql.types._
   */
 case class TopCells(
     child: Expression,
-    centroids: Vector[Vector[Float]],
+    centroids: Broadcast[Array[Double]],
+    k: Int,
+    dim: Int,
     topN: Int,
     quantScale: Double)
     extends UnaryExpression with ExpectsInputTypes {
 
-  private val k = centroids.size
-  private val dim = centroids.head.size
   private val n = math.min(topN, k)
 
-  /** cid-major flattened double centroid matrix, shared by both paths. */
-  @transient private lazy val flat: Array[Double] =
-    centroids.flatten.map(_.toDouble).toArray
+  /** cid-major flattened double centroid matrix (interpreted path; the
+    * codegen path dereferences the broadcast in its own init). */
+  @transient private lazy val flat: Array[Double] = centroids.value
 
   override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -56,6 +73,7 @@ case class TopCells(
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     if (x.numElements() != dim) return null
+    val cm = flat
     var nx = 0.0
     var i = 0
     while (i < dim) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
@@ -67,7 +85,7 @@ case class TopCells(
       var j = 0
       while (j < dim) {
         val xv = x.getFloat(j).toDouble
-        val yv = flat(cid * dim + j)
+        val yv = cm(cid * dim + j)
         dot += xv * yv; ny += yv * yv
         j += 1
       }
@@ -87,9 +105,14 @@ case class TopCells(
     new GenericArrayData(bestC)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the broadcast handle is the only plan reference; the matrix itself is
+    // fetched once per generated-class instance into mutable state
+    val bcCls = "org.apache.spark.broadcast.Broadcast"
+    val bcRef = ctx.addReferenceObj("cellCentroidsBc", centroids, bcCls)
+    val cm = ctx.addMutableState("double[]", "cellCm",
+      v => s"$v = (double[]) (($bcCls) $bcRef).value();")
     nullSafeCodeGen(ctx, ev, a => {
-      val cm = ctx.addReferenceObj("cellCentroids", flat, "double[]")
       val nx = ctx.freshName("nx")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -140,7 +163,25 @@ case class TopCells(
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): TopCells =
     copy(child = newChild)
+}
+
+object TopCells {
+  /** Broadcast the centroid matrix ONCE and return the expression factory —
+    * the only sanctioned way to build [[TopCells]]: every consumer of one
+    * codebook shares one broadcast, and the plan carries a handle, not the
+    * matrix. */
+  def broadcastOf(
+      spark: SparkSession,
+      cents: Vector[Vector[Float]],
+      topN: Int,
+      quantScale: Double): Expression => TopCells = {
+    val dim = cents.head.size
+    val bc = spark.sparkContext.broadcast(
+      cents.flatten.map(_.toDouble).toArray)
+    child => TopCells(child, bc, cents.size, dim, topN, quantScale)
+  }
 }

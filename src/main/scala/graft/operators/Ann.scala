@@ -18,19 +18,23 @@ import org.apache.spark.sql.functions._
   * scan-side, and a query probes its best [[NumProbe]] cells (the recall
   * knob; round 3).
   *
-  * Plan shape at scale (round-2 rewrite, round-4 hardening): the
-  * centroids/hyperplanes are driver-side constants (k rows collected once,
-  * resp. a fixed seed walk) carried into the scan by the native
-  * [[graft.functions.TopCells]] expression. Assignment is therefore a
-  * SINGLE PROJECTION — one reference-object loop per row — with ZERO
-  * exchanges before the cell-id shuffle. The round-1 shape
+  * Plan shape at scale (round-2 rewrite, round-4 hardening, round-6
+  * broadcast codebook): the codebook is collected once on the driver (it
+  * IS the trained model — k·dim·4 B, the standard host-trained
+  * coarse-quantizer artifact) and then travels as ONE BROADCAST RELATION
+  * consumed by the native [[graft.functions.TopCells]] expression — the
+  * plan holds a broadcast handle (O(1) size at any k = N/125), executors
+  * fetch the matrix once per JVM, and assignment stays a SINGLE
+  * PROJECTION — one in-memory argmax loop per row — with ZERO exchanges
+  * before the cell-id shuffle. The round-1 shape
   * (`crossJoin(broadcast(centroids))` + a `row_number` window keyed on
   * vec_id) amplified the scan k× and shuffled the amplified rows *carrying
   * the embeddings* just to keep rank 1; at 100 TB that shuffle is the
   * bottleneck, and it is entirely avoidable because the argmax is a pure
-  * per-row function of broadcast constants. (At k beyond a few thousand the
-  * collected-constants form gives way to sample-trained hierarchical
-  * quantizers — the loop structure is unchanged.)
+  * per-row function of broadcast state. (Past a few million centroids the
+  * flat scan's O(k) per-row cost gives way to a two-level IMI quantizer —
+  * √k top cells then per-cell sub-codebooks, each level this same
+  * broadcast+TopCells contract.)
   *
   * Determinism: centroid refinement accumulates quantized longs
   * ([[VectorCentroid]]), so the refined centroids are bit-stable under any
@@ -176,7 +180,12 @@ object Ann {
     require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       "centroid ids must be contiguous from 0 (cid == position)")
     val m = cents.map(_._2.toVector).toVector
-    pq.register(s, name, exprs => TopCells(exprs.head, m, topN, CosQuantScale))
+    // round 6: the codebook travels as ONE broadcast relation — the plan
+    // holds a handle (O(1) size at any k = N/125), executors fetch the
+    // matrix once per JVM, and the k·dim doubles are never serialized into
+    // task binaries or plan constants again
+    val factory = TopCells.broadcastOf(s, m, topN, CosQuantScale)
+    pq.register(s, name, exprs => factory(exprs.head))
     call_function(name, col("embedding"))
   }
 

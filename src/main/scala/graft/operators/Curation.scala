@@ -334,14 +334,15 @@ object Curation {
     // Exact-duplicate cluster report: one row per duplicate group (same
     // text), with the canonical survivor (min doc_id) and the group size —
     // the accounting view a dedup pass emits alongside the retained corpus
-    // (q_dedup_exact is the retained-ids side of the same groupBy). One hash
-    // aggregation keyed on the text (at 100 TB: on q_text_fingerprint's
-    // 16-byte digest instead — same plan, narrow key).
+    // (q_dedup_exact is the retained-ids side of the same groupBy). Round 6:
+    // the exchange clusters on the 8-byte xxhash64 digest with in-partition
+    // (h, text) equality confirm — bit-identical output, no megabyte
+    // exchange keys (Dedup.digestClustered).
     GQ(
       "q_dedup_cluster",
       (s, d) =>
-        Tables.t(s, d, "documents")
-          .groupBy(col("text"))
+        Dedup.digestClustered(Tables.t(s, d, "documents"))
+          .groupBy(col("h"), col("text"))
           .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_members"))
           .filter(col("n_members") >= 2)
           .select(col("canonical_id"), col("n_members"))
@@ -1152,9 +1153,12 @@ object Curation {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, d, "documents")
-        // bounded driver fetch (1 row over the |langs|-sized agg)
-        val mn = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-          .agg(min(col("n"))).head().getLong(0)
+        // bounded driver fetch (1 row over the |langs|-sized agg). An
+        // EMPTY corpus makes min() NULL (round-6 ADVICE): the 0 sentinel
+        // is output-neutral — no langs means no window rows to filter.
+        val mnRow = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n"))).head()
+        val mn = if (mnRow.isNullAt(0)) 0L else mnRow.getLong(0)
         val h = XHash.h60(concat(lit("bal:"), col("doc_id").cast(StringType)))
         docs
           .select(col("lang"), col("doc_id"), col("n_chars"), h.as("h"))
@@ -1338,36 +1342,42 @@ object Curation {
         graft.functions.vec.register(s)
         val e = Tables.t(s, d, "embeddings")
           .select(col("vec_id"), col("embedding"))
-        val seed = e.filter(col("vec_id") === 0L)
-          .select(col("vec_id"), col("embedding")).head()
-        var selected: Vector[(Long, Seq[Float])] =
-          Vector((seed.getLong(0), seed.getSeq[Float](1)))
+        // a corpus without the vec_id-0 seed (e.g. empty table) yields an
+        // empty coreset report, not a NoSuchElementException (round-6
+        // ADVICE — library-surface hardening; driver corpora always seed)
+        val seedOpt = e.filter(col("vec_id") === 0L)
+          .select(col("vec_id"), col("embedding")).take(1).headOption
+        import s.implicits._
         val picks = scala.collection.mutable.ArrayBuffer[
-          (Long, Long, Option[Double])]((0L, seed.getLong(0), None))
-        var r = 1L
-        var exhausted = false
-        while (r <= 7L && !exhausted) {
-          val score = selected
-            .map { case (_, v) =>
-              call_function("cosine_sim", col("embedding"),
-                typedLit(v))
+          (Long, Long, Option[Double])]()
+        seedOpt.foreach { seed =>
+          var selected: Vector[(Long, Seq[Float])] =
+            Vector((seed.getLong(0), seed.getSeq[Float](1)))
+          picks += ((0L, seed.getLong(0), None))
+          var r = 1L
+          var exhausted = false
+          while (r <= 7L && !exhausted) {
+            val score = selected
+              .map { case (_, v) =>
+                call_function("cosine_sim", col("embedding"),
+                  typedLit(v))
+              }
+              .reduce((a, b) => greatest(a, b))
+            // bounded 1-row driver fetch (Lloyd pattern); empty on toy
+            // inputs with < 8 vectors — the oracle's empty p_k mirrors it
+            val pick = e
+              .filter(!col("vec_id").isInCollection(selected.map(_._1)))
+              .select(col("vec_id"), col("embedding"), score.as("score"))
+              .orderBy(col("score").asc, col("vec_id"))
+              .limit(1).take(1)
+            if (pick.isEmpty) exhausted = true
+            else {
+              selected :+= ((pick(0).getLong(0), pick(0).getSeq[Float](1)))
+              picks += ((r, pick(0).getLong(0), Some(pick(0).getDouble(2))))
+              r += 1
             }
-            .reduce((a, b) => greatest(a, b))
-          // bounded 1-row driver fetch (Lloyd pattern); empty on toy
-          // inputs with < 8 vectors — the oracle's empty p_k mirrors it
-          val pick = e
-            .filter(!col("vec_id").isInCollection(selected.map(_._1)))
-            .select(col("vec_id"), col("embedding"), score.as("score"))
-            .orderBy(col("score").asc, col("vec_id"))
-            .limit(1).take(1)
-          if (pick.isEmpty) exhausted = true
-          else {
-            selected :+= ((pick(0).getLong(0), pick(0).getSeq[Float](1)))
-            picks += ((r, pick(0).getLong(0), Some(pick(0).getDouble(2))))
-            r += 1
           }
         }
-        import s.implicits._
         picks.toSeq.toDF("round", "vec_id", "max_sim")
           .select(col("round"), col("vec_id"),
             graft.functions.vec.roundz(col("max_sim"), 6).as("max_sim"))

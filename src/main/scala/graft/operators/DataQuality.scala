@@ -418,9 +418,13 @@ object DataQuality {
     // characteristic from integer floor-division bit length, 10
     // mantissa-squaring fractional bits, all BIGINT); H_q = Σ c·q sums
     // order-free in BIGINT, and the bits figure is ONE IEEE division
-    // H_q/(N·1024) (R7, non-negative). Overflow budget (R10): Σ c·q ≤
-    // N·64·1024 < 2^63 needs N < 1.4·10¹⁴ rows per column — beyond,
-    // widen the sum to DECIMAL. ORDER BY column name (R1).
+    // H_q/(N·1024) (R7, non-negative). Overflow budget (R10): the BINDING
+    // limit is the mantissa seed n·2^30 of the log2 chain, which needs
+    // n = N div c < 2^33 (≈8.6·10⁹ — the q_text_perplexity bound; ANSI
+    // mode fails loudly past it); the Σ c·q ≤ N·64·1024 < 2^63 sum bound
+    // only binds at N < 1.4·10¹⁴. Beyond 2^33, pre-shift n and d together
+    // (deterministic, ≤2^-10-bit error) as the perplexity/zipf comments
+    // prescribe. ORDER BY column name (R1).
     //
     // Plan shape (100 TB): each column is ONE pruned 1-column scan →
     // value-keyed hash agg (map-side combine; output value-domain-
@@ -528,8 +532,12 @@ object DataQuality {
       "q_dq_freshness",
       (s, d) => {
         val DayNs = 86400L * 1000 * 1000 * 1000
-        // bounded driver fetch (1 row): the replayable reference point
-        val mx = Tables.events(s, d).agg(max(col("ts"))).head().getLong(0)
+        // bounded driver fetch (1 row): the replayable reference point.
+        // An EMPTY events table makes max() NULL (round-6 ADVICE): any
+        // sentinel is output-neutral — the type-keyed groupBy below has
+        // zero groups, so the audit is empty either way, never an NPE.
+        val mxRow = Tables.events(s, d).agg(max(col("ts"))).head()
+        val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
         Tables.events(s, d)
           .groupBy(col("event_type"))
           .agg(max(col("ts")).as("last_ns"), count(lit(1)).as("n_events"),

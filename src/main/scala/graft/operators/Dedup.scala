@@ -38,6 +38,18 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Digest-clustered exact-grouping scaffold (round 6): cluster the
+    * exchange on `xxhash64(text)` — an 8-byte key — then let the in-
+    * partition hash aggregate on (h, text) confirm TRUE equality, never
+    * trusting the digest alone. Grouping by (h, text) is grouping by text
+    * (h is a function of text), so any downstream agg is bit-identical to
+    * `groupBy(text)` while the exchange hashes/compares 8 bytes instead of
+    * megabyte documents. The explicit repartition makes the aggregate's
+    * required ClusteredDistribution(h, text) already-satisfied, so no
+    * text-keyed exchange is ever planned (PlanShapeSpec pins it). */
+  private[operators] def digestClustered(df: DataFrame): DataFrame =
+    df.withColumn("h", xxhash64(col("text"))).repartition(col("h"))
+
   /** Mersenne prime 2^31-1: (a*x+b) mod P stays well inside Long even under
     * ANSI overflow checking (a,x < 2^31 so a*x < 2^62). */
   private val P = 2147483647L
@@ -61,31 +73,42 @@ object Dedup {
     * the document scan at any scale.
     */
   private def shingleItems(s: SparkSession, d: String): DataFrame =
-    Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq("lang", "source"))
-      .drop("pos")
+    shingleItemsOf(Tables.t(s, d, "documents"), Seq("lang", "source"))
+
+  /** [[shingleItems]] over an arbitrary documents-shaped relation (round 6:
+    * q_llm_pipeline runs the near-dup stage over its exact-dedup SURVIVORS,
+    * not the raw table). Same scan-side KGrams projection, same <3-word
+    * whole-text convention. */
+  private[graft] def shingleItemsOf(
+      docs: DataFrame, carry: Seq[String] = Seq()): DataFrame =
+    Grams.kgramRows(docs, 3, carry).drop("pos")
 
   /** doc_id + K min-hash signature columns (sig0..sigK-1). One explode + one
     * grouped multi-min aggregation: the shuffle carries K longs per doc.
     * `private[graft]` so the stress probes can measure candidate volume over
     * the exact production signatures. */
-  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signaturesOf(shingleItems(s, d))
+
+  /** [[minhashSignatures]] from an already-built shingle-item relation. */
+  private[graft] def signaturesOf(items: DataFrame): DataFrame = {
     val base = pmod(XHash.h60(col("item")), lit(P))
     val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(base * a + b, lit(P))).as(s"sig$j")
     }
-    shingleItems(s, d)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+    items.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** DuckDB twin of [[shingleItems]]+[[minhashSignatures]]: CTEs ending in a
     * relation `s(doc_id, sig0..sigK-1)` — generated from the same `coefs`,
-    * so Spark and oracle can only drift if the shared constants do. */
-  private def sqlSignatureCte: String = {
+    * so Spark and oracle can only drift if the shared constants do.
+    * `src` is the documents-shaped source relation (round 6: the pipeline
+    * oracle feeds its own survivor CTE through the same generator). */
+  private[graft] def sqlSignatureCtes(src: String): String = {
     val sigs = coefs.zipWithIndex.map { case ((a, b), j) =>
       s"MIN((base * $a + $b) % $P) AS sig$j"
     }.mkString(", ")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws, text FROM $src),
        |it AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
        |  THEN list_transform(range(1, len(ws) - 1),
        |       i -> array_to_string(ws[i:i+2], ' '))
@@ -93,6 +116,8 @@ object Dedup {
        |h AS (SELECT doc_id, ${XHash.sqlH60("item")} % $P AS base FROM it),
        |s AS (SELECT doc_id, $sigs FROM h GROUP BY doc_id)""".stripMargin
   }
+
+  private def sqlSignatureCte: String = "WITH " + sqlSignatureCtes("documents")
 
   /** One (doc_id, bpos, bkey) row per LSH band: r=4, b=4 banding over the K
     * signature rows, band key = h60 of the comma-joined band signatures
@@ -118,7 +143,36 @@ object Dedup {
     * Measured at every SF the top-20 scores ≥ 0.93, so the emitted rows are
     * unchanged; the floor is what licenses prefix-filter candidate
     * generation. Shared verbatim with the oracle SQL. */
-  private val Tau = 0.5
+  private[graft] val Tau = 0.5
+
+  /** DuckDB twin of [[verifiedPairsFrom]] filtered at [[Tau]]: CTE chain
+    * `d,it,h,s,bl,cand,sets,$out` over the documents-shaped relation `src`,
+    * ending in `$out(a_id, b_id)` = band candidates whose EXACT shingle
+    * Jaccard ≥ Tau. Shared by the q_dedup_components oracle
+    * (src=documents) and the q_llm_pipeline near-dup stage (src=its
+    * exact-dedup survivor CTE) — one generator, zero drift. */
+  private[graft] def sqlVerifiedEdgesCtes(src: String, out: String): String = {
+    val bandCase = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"sig${b * 4 + r}")
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"WHEN ${b} THEN ${XHash.sqlH60(cat)}"
+    }.mkString(" ")
+    s"""${sqlSignatureCtes(src)},
+       |bl AS (SELECT doc_id, r.b AS bpos,
+       |  CASE r.b $bandCase END AS bkey FROM s, range(4) r(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bl a JOIN bl b
+       |  ON a.bpos = b.bpos AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+       |  THEN list_transform(range(1, len(ws) - 1),
+       |       i -> array_to_string(ws[i:i+2], ' '))
+       |  ELSE [text] END) AS sh FROM d),
+       |$out AS (SELECT c.a_id, c.b_id FROM cand c
+       |  JOIN sets x ON x.doc_id = c.a_id
+       |  JOIN sets y ON y.doc_id = c.b_id
+       |  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= $Tau)""".stripMargin
+  }
 
   /** The ONE BFS depth bound shared by [[bfsHops]]' Spark-side `require`
     * and the q_graph_bfs oracle's recursive-CTE walk (round-4 ADVICE): the
@@ -266,8 +320,15 @@ object Dedup {
     * without the candidate-×-item explode in the middle.
     * Zero-intersection candidates keep jaccard 0.0 (the oracle's inner
     * set join has a row for every doc, same as the old left+coalesce). */
-  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSignatures(s, d)
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    verifiedPairsFrom(shingleItems(s, d))
+
+  /** [[verifiedPairs]] from an already-built shingle-item relation (round 6:
+    * the q_llm_pipeline near-dup stage feeds its exact-dedup survivors —
+    * candidates and exact rescoring both derive from the one item relation,
+    * exactly as the (s, d) form). */
+  private[graft] def verifiedPairsFrom(items: DataFrame): DataFrame = {
+    val sigs = signaturesOf(items)
     val bl = bandRows(sigs)
     val cand = bl.as("a")
       .join(bl.as("b"),
@@ -275,7 +336,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val sets = shingleItems(s, d)
+    val sets = items
       .groupBy(col("doc_id")).agg(collect_set(col("item")).as("sh"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
     cand

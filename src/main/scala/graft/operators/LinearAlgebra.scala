@@ -249,8 +249,11 @@ object LinearAlgebra {
         import s.implicits._
         val e = Tables.t(s, d, "embeddings")
           .select(col("label"), col("embedding"))
-        // bounded driver fetch (1 row): the embedding width
-        val dims = e.select(size(col("embedding"))).head().getInt(0)
+        // bounded driver fetch (1 row): the embedding width. An EMPTY
+        // table yields no row (round-6 ADVICE): the width-1 sentinel is
+        // output-neutral — zero groups reach the aggregator either way.
+        val dims = e.select(size(col("embedding"))).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(1)
         val agg = new graft.functions.CentroidAggregator(dims)
         val state = e.as[(Int, Seq[Float])]
           .groupByKey(_._1).mapValues(_._2)

@@ -388,8 +388,12 @@ object Lm {
         val wf = Tables.t(s, d, "documents")
           .select(explode(split(col("text"), " ")).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        val fc = wf.groupBy(col("c")).agg(count(lit(1)).as("k"))
-          .withColumn("b", (length(bin(col("c"))) - 1).cast(LongType))
+        // persisted: the D-row distinct-frequency relation feeds the bucket
+        // totals (self-joined) AND the base join — unpersisted, every
+        // consumer replays the corpus scan + vocab agg
+        val fc = graft.Caches.persist(
+          wf.groupBy(col("c")).agg(count(lit(1)).as("k"))
+            .withColumn("b", (length(bin(col("c"))) - 1).cast(LongType)))
         val bt = fc.groupBy(col("b")).agg(sum(col("k")).as("kb"))
         val bb = bt.as("a")
           .join(bt.as("h"), col("h.b") > col("a.b"), "left_outer")

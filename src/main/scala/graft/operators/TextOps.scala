@@ -10,11 +10,18 @@ import org.apache.spark.sql.types._
   * (its closest text op is the array→string flatten at
   * /root/reference/spotify-etl.py:199).
   *
-  * Scale posture: `q_dedup_exact` is a hash shuffle keyed on the full text —
-  * at 100 TB you'd key on a content digest instead (same plan shape, 16-byte
-  * keys); `q_dedup_fingerprint` below is exactly that digest. `q_text_tokens`
-  * is explode → partial hash agg, so the shuffle carries (word, partial
-  * count), bounded by vocabulary size, not corpus size.
+  * Scale posture (round 6): `q_dedup_exact` / `q_dedup_cluster` cluster the
+  * exchange on `xxhash64(text)` — an 8-byte shuffle key — and confirm true
+  * text equality in-partition by aggregating on (digest, text): grouping by
+  * (h, text) IS grouping by text (h is a function of text), so the result
+  * is bit-identical to the naive form while the exchange never hashes,
+  * compares, or sorts megabyte keys (see [[graft.operators.Dedup.digested]]).
+  * Text bytes still travel once as aggregation PAYLOAD — exact dedup cannot
+  * confirm equality without the bytes meeting; a pipeline willing to trust
+  * a 128-bit digest keys on `q_text_fingerprint`'s md5 instead and moves no
+  * text at all. `q_text_tokens` is explode → partial hash agg, so the
+  * shuffle carries (word, partial count), bounded by vocabulary size, not
+  * corpus size.
   */
 object TextOps {
 
@@ -31,8 +38,8 @@ object TextOps {
     GQ(
       "q_dedup_exact",
       (s, d) =>
-        Tables.t(s, d, "documents")
-          .groupBy(col("text"))
+        Dedup.digestClustered(Tables.t(s, d, "documents"))
+          .groupBy(col("h"), col("text"))
           .agg(min(col("doc_id")).as("doc_id"))
           .select(col("doc_id"))
           .orderBy(col("doc_id")),

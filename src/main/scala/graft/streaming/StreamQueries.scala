@@ -82,7 +82,17 @@ object StreamQueries {
     * surface's slowest query (5.7 s at sf0.1; the state itself is a few
     * thousand rows). A real deployment sizes state partitions to state
     * cardinality, not core count — exactly this knob. Batch stages around
-    * the stream (the final ORDER BY) run after restore, at full width. */
+    * the stream (the final ORDER BY) run after restore, at full width.
+    *
+    * CONCURRENCY CONTRACT: this temporarily mutates the SHARED session's
+    * shuffle-partition conf, relying on the harness's strictly sequential
+    * query execution (Verify/Bench/tests all run one query at a time —
+    * the graft-wide execution model). Two declared queries must never run
+    * concurrently on one session: a batch stage Spark happens to plan
+    * inside `body` would run at width `n`, and a concurrent query could
+    * observe the narrowed setting. A parallel runner needs a
+    * session-level lock around this block (or per-query cloned
+    * sessions). */
   private def withStatePartitions[A](
       s: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"

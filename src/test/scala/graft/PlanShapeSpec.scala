@@ -532,6 +532,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a label round fell into a single-partition exchange:\n$p")
   }
 
+  test("exact dedups: no exchange is ever keyed on the document text") {
+    // round 6 — q_dedup_exact/cluster cluster their exchange on the 8-byte
+    // xxhash64 digest and confirm equality in-partition; a text-keyed
+    // hashpartitioning would move full corpus bytes as shuffle KEYS again
+    for (q <- Seq("q_dedup_exact", "q_dedup_cluster")) {
+      val p = plan(q)
+      val partLines = p.linesIterator.filter(_.contains("partitioning")).toSeq
+      assert(partLines.exists(_.contains("hashpartitioning(h#")),
+        s"$q lost the digest-clustered exchange:\n$p")
+      assert(!partLines.exists(_.contains("text#")),
+        s"$q keys an exchange on raw text:\n${partLines.mkString("\n")}")
+    }
+  }
+
   test("registry sweep: no declared query plans an UNPARTITIONED window") {
     // round 6 — the q_text_zipf regression class: row_number() over
     // Window.orderBy(...) with no partitionBy moves the ENTIRE input to
