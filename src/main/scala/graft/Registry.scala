@@ -30,6 +30,7 @@ object Registry {
       Recs.queries ++
       LinearAlgebra.queries ++
       Lm.queries ++
+      LlmPipeline.queries ++
       graft.streaming.StreamQueries.queries
 
   lazy val byName: Map[String, GQ] = all.map(q => q.name -> q).toMap

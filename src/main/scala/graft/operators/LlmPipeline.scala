@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{Caches, GQ, Tables, XHash}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The declared END-TO-END LLM training-data run (round 6, VERDICT r5
+  * item 5): the artifact a real 100 TB curation job ships is not any one
+  * operator's output but the STAGED LEDGER — how many documents and tokens
+  * entered, what each gate removed, and a content fingerprint of every
+  * hand-off — because that ledger is what lets a team audit, reproduce,
+  * and bisect a data release. `q_llm_pipeline` composes the engine's
+  * existing verbs in their production order:
+  *
+  *   s0 corpus    — documents with doc_id ≥ 4 (doc_id < 4 is the held-out
+  *                  benchmark slice, q_contamination's convention)
+  *   s1 quality   — q_quality_filter's exact gates (20–80 words, stopword
+  *                  ratio ≤ 0.3)
+  *   s2 exact     — q_dedup_exact's min-id-per-text, digest-clustered
+  *                  (xxhash64 exchange key + in-partition text confirm)
+  *   s3 neardup   — q_dedup_lsh_verify's machinery over the s2 SURVIVORS:
+  *                  r=4/b=4 MinHash band candidates, exact shingle Jaccard
+  *                  ≥ Tau verify, drop the larger id of each verified pair
+  *                  (greedy keep-min — the pairwise approximation of
+  *                  q_dedup_components' cluster rule, chosen here because
+  *                  it is closed-form in both engines)
+  *   s4 decontam  — q_contamination's rule: drop survivors sharing ANY
+  *                  3-gram with the benchmark slice
+  *   s5 mix       — q_mix_weights' uniform-per-language token budget,
+  *                  REALIZED (not just reported) by a deterministic hash
+  *                  gate: keep iff h60("mix:"+id) mod 10^6 < floor(rate·10^6)
+  *   s6 split     — q_split_assign's 80/10/10 hash split of the final corpus
+  *
+  * One output row per stage (and per final split): survivor docs, exact
+  * token sum, the 512-token packed-chunk capacity ceil(tokens/512) —
+  * q_pack_chunks' cap as a capacity column — and an order-independent
+  * bit_xor fingerprint of h60(doc_id + ":" + text), which pins MEMBERSHIP
+  * AND BYTE CONTENT of every hand-off, not just counts.
+  *
+  * Determinism: every gate is exact integer/hash math on the shared h60
+  * basis (R3 — no rand(), reproducible across engines, reruns, and cluster
+  * sizes); the one IEEE expression is the mix rate division tree, mirrored
+  * verbatim in the oracle and consumed only through floor(rate·10^6) (R7).
+  * Conservation laws (PropertySpec): n_docs/n_tokens non-increasing s0→s5,
+  * and the three split rows partition s5 exactly — counts and token sums
+  * add up, fingerprints XOR to the s5 fingerprint.
+  *
+  * Plan shape (100 TB): ONE documents corpus scan feeds the whole funnel
+  * (persisted staged hand-offs, exactly where a production run would
+  * checkpoint to parquet between stages); the benchmark slice is a second,
+  * pruned scan whose distinct 3-gram set BROADCASTS (an eval set is model-
+  * sized, never corpus-sized). Stage exchanges: the 8-byte-digest-keyed
+  * exact-dedup agg, the band-bucketed candidate join + shingle-set rescore
+  * over ALREADY-DEDUPED survivors (band buckets bound pair volume — never
+  * all-pairs), and per-stage map-side-combined ledger aggs. The mix/split
+  * gates are scan-side hash predicates joined against a |langs|-row
+  * broadcast of thresholds. Nothing driver-side but 1-row totals.
+  *
+  * Reference scope: the reference (/root/reference/spotify-etl.py) has no
+  * curation pipeline; this is north-star surface per SURVEY §2.6.
+  */
+object LlmPipeline {
+
+  private val MixDenom = 1000000L
+
+  /** Quality gate shared verbatim with q_quality_filter / q_curation_pipeline. */
+  private def qualityGate: Column = {
+    val words = split(col("text"), " ")
+    val stops = filter(words, w => w.isInCollection(TextOps.Stopwords))
+    size(words).between(20, 80) &&
+      (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
+  }
+
+  /** Exact per-doc token count and content fingerprint — the two ledger
+    * measures, recomputed identically at every stage that changes rows. */
+  private def measured(df: DataFrame): DataFrame =
+    df.withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("fp", XHash.h60(
+        concat(col("doc_id").cast(StringType), lit(":"), col("text"))))
+
+  /** One ledger row: survivor count, token sum, 512-cap chunk capacity,
+    * order-independent membership+content fingerprint. Empty stages
+    * coalesce to zeros. */
+  private def ledgerRow(stage: String, df: DataFrame): DataFrame =
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("n_tokens"),
+        coalesce(bit_xor(col("fp")), lit(0L)).as("membership_fp"))
+      .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
+        col("membership_fp"))
+
+  val queries: Seq[GQ] = Seq(
+    GQ(
+      "q_llm_pipeline",
+      (s, d) => {
+        // s0/s1 — ONE corpus scan, persisted: the funnel head is the only
+        // stage that sees rejects, so everything downstream filters this
+        // in-memory relation instead of re-reading parquet
+        val base = Caches.persist(
+          measured(Tables.t(s, d, "documents").filter(col("doc_id") >= 4))
+            .withColumn("q", qualityGate))
+        val s1 = base.filter(col("q"))
+          .select(col("doc_id"), col("lang"), col("text"), col("n_tok"), col("fp"))
+
+        // s2 — exact dedup, digest-clustered (8-byte exchange key, round 6):
+        // group on (xxhash64(text), text); min_by keeps the survivor's lang
+        // deterministically (doc_id is unique). n_tok/fp recomputed from the
+        // surviving (doc_id, text).
+        val s2 = Caches.persist(measured(
+          Dedup.digestClustered(s1)
+            .groupBy(col("h"), col("text"))
+            .agg(min(col("doc_id")).as("doc_id"),
+              min_by(col("lang"), col("doc_id")).as("lang"))
+            .select(col("doc_id"), col("lang"), col("text"))))
+
+        // s3 — LSH near-dup over the s2 survivors: band candidates + exact
+        // shingle-Jaccard ≥ Tau verify (the q_dedup_lsh_verify machinery),
+        // drop every doc that is the LARGER id of a verified pair
+        val items2 = Dedup.shingleItemsOf(s2)
+        val drops = Dedup.verifiedPairsFrom(items2)
+          .filter(col("jaccard") >= Dedup.Tau)
+          .select(col("b_id").as("doc_id")).distinct()
+        val s3 = Caches.persist(s2.join(drops, Seq("doc_id"), "left_anti"))
+
+        // s4 — decontamination: the benchmark slice's distinct 3-gram set is
+        // model-sized and BROADCASTS; survivors sharing any gram drop
+        val bench = Grams.kgramRows(
+            Tables.t(s, d, "documents").filter(col("doc_id") < 4), 3, Seq())
+          .select(col("item").as("gram")).distinct()
+        val contaminated = Dedup.shingleItemsOf(s3)
+          .select(col("doc_id"), col("item").as("gram")).distinct()
+          .join(broadcast(bench), "gram")
+          .select(col("doc_id")).distinct()
+        val s4 = Caches.persist(s3.join(contaminated, Seq("doc_id"), "left_anti"))
+
+        // s5 — mix realization: per-lang keep threshold from q_mix_weights'
+        // rate (ONE mirrored IEEE tree, consumed through floor·10^6), then a
+        // deterministic hash gate; thresholds are a |langs|-row broadcast
+        val perLang = s4.groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
+        val totals = perLang.agg(
+          sum(col("toks")).as("total_toks"), count(lit(1)).as("n_langs"))
+        val thresholds = perLang.crossJoin(broadcast(totals))
+          .select(col("lang"),
+            floor(least(lit(1.0),
+              (col("total_toks").cast(DoubleType) / col("n_langs").cast(DoubleType))
+                / col("toks").cast(DoubleType)) * MixDenom)
+              .cast(LongType).as("thr"))
+        val s5 = Caches.persist(
+          s4.join(broadcast(thresholds), "lang")
+            .filter(pmod(XHash.h60(
+              concat(lit("mix:"), col("doc_id").cast(StringType))),
+              lit(MixDenom)) < col("thr"))
+            .select(col("doc_id"), col("lang"), col("text"), col("n_tok"), col("fp")))
+
+        // s6 — final 80/10/10 hash split of the released corpus
+        val gate = pmod(XHash.h60(
+          concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
+        val splitRows = s5
+          .withColumn("split",
+            when(gate < 80, "train").when(gate < 90, "val").otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+            bit_xor(col("fp")).as("membership_fp"))
+          .select(concat(lit("s6_"), col("split")).as("stage"),
+            col("n_docs"), col("n_tokens"), col("membership_fp"))
+
+        Seq(
+          ledgerRow("s0_corpus", base),
+          ledgerRow("s1_quality", s1),
+          ledgerRow("s2_exact", s2),
+          ledgerRow("s3_neardup", s3),
+          ledgerRow("s4_decontam", s4),
+          ledgerRow("s5_mix", s5))
+          .reduce(_.unionAll(_))
+          .unionAll(splitRows)
+          .select(col("stage"), col("n_docs"), col("n_tokens"),
+            expr("(n_tokens + 511) DIV 512").as("n_chunks"),
+            col("membership_fp"))
+          .orderBy(col("stage"))
+      },
+      Some {
+        val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+        val fpOf = XHash.sqlH60("CAST(doc_id AS VARCHAR) || ':' || text")
+        val gramList =
+          """CASE WHEN len(string_split(text, ' ')) >= 3
+            |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+            |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+            |    ELSE [text] END""".stripMargin
+        val row = (stage: String, rel: String) =>
+          s"""SELECT '$stage' AS stage, COUNT(*) AS n_docs,
+             |  COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens,
+             |  COALESCE(bit_xor(fp), 0) AS membership_fp FROM $rel""".stripMargin
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp,
+           |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+           |     AND CAST(len(list_filter(string_split(text, ' '),
+           |           w -> w IN ($stops))) AS DOUBLE)
+           |         / len(string_split(text, ' ')) <= 0.3
+           |    THEN 1 ELSE 0 END AS q
+           |  FROM documents WHERE doc_id >= 4),
+           |s1 AS (SELECT * FROM base WHERE q = 1),
+           |s2g AS (SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+           |    text FROM s1 GROUP BY text),
+           |s2 AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp FROM s2g),
+           |${Dedup.sqlVerifiedEdgesCtes("s2", "ver")},
+           |s3 AS (SELECT * FROM s2
+           |  WHERE doc_id NOT IN (SELECT b_id FROM ver)),
+           |bg AS (SELECT DISTINCT unnest($gramList) AS gram
+           |  FROM documents WHERE doc_id < 4),
+           |cg AS (SELECT doc_id, unnest($gramList) AS gram FROM s3),
+           |cont AS (SELECT DISTINCT cg.doc_id AS doc_id FROM cg
+           |  JOIN bg USING (gram)),
+           |s4 AS (SELECT * FROM s3
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |pl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS toks
+           |  FROM s4 GROUP BY lang),
+           |tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks,
+           |    COUNT(*) AS n_langs FROM pl),
+           |th AS (SELECT lang, CAST(floor(least(1.0,
+           |    (CAST(total_toks AS DOUBLE) / CAST(n_langs AS DOUBLE))
+           |      / CAST(toks AS DOUBLE)) * $MixDenom) AS BIGINT) AS thr
+           |  FROM pl, tt),
+           |s5 AS (SELECT s4.* FROM s4 JOIN th USING (lang)
+           |  WHERE ${XHash.sqlH60("'mix:' || CAST(doc_id AS VARCHAR)")}
+           |    % $MixDenom < thr),
+           |s6 AS (SELECT 's6_' ||
+           |    CASE WHEN ${XHash.sqlH60("'split:' || CAST(doc_id AS VARCHAR)")}
+           |        % 100 < 80 THEN 'train'
+           |      WHEN ${XHash.sqlH60("'split:' || CAST(doc_id AS VARCHAR)")}
+           |        % 100 < 90 THEN 'val' ELSE 'test' END AS stage,
+           |    n_tok, fp FROM s5),
+           |led AS (${row("s0_corpus", "base")}
+           |  UNION ALL ${row("s1_quality", "s1")}
+           |  UNION ALL ${row("s2_exact", "s2")}
+           |  UNION ALL ${row("s3_neardup", "s3")}
+           |  UNION ALL ${row("s4_decontam", "s4")}
+           |  UNION ALL ${row("s5_mix", "s5")}
+           |  UNION ALL SELECT stage, COUNT(*) AS n_docs,
+           |    COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens,
+           |    COALESCE(bit_xor(fp), 0) AS membership_fp FROM s6 GROUP BY stage)
+           |SELECT stage, n_docs, n_tokens,
+           |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+           |  membership_fp
+           |FROM led ORDER BY stage""".stripMargin
+      }
+    )
+  )
+}
