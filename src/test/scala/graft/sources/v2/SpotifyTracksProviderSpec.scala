@@ -50,4 +50,31 @@ class SpotifyTracksProviderSpec extends AnyFunSuite {
     assert(load(chunk = 1).rdd.getNumPartitions === 3)
     assert(load(chunk = 3).rdd.getNumPartitions === 1)
   }
+
+  test("pushed LIMIT stops the HTTP fetches (V2 path, round 6)") {
+    // one partition over p1,p2,p3; p1 alone has two pages. LIMIT 1 is
+    // satisfied by p1's first page, so the reader must never request p1's
+    // second page nor p2/p3 at all — the property SpotifySourceSpec proves
+    // for the mapPartitions path, now through the V2 planner's
+    // SupportsPushDownLimit hook.
+    val one = load(chunk = 3).limit(1).collect()
+    assert(one.length === 1)
+    assert(FakeHttp.requested === Seq(s"$Base/playlists/p1/tracks"),
+      s"LIMIT 1 must cost exactly one page fetch: ${FakeHttp.requested}")
+  }
+
+  test("required-column pruning reaches the V2 scan (round 6)") {
+    val df = load(chunk = 3).select("playlist_id", "name")
+    // the physical scan's read schema must be the pruned pair, not the
+    // 5-column table schema with a Project on top
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scans.head.scan.readSchema().fieldNames.toSet ===
+      Set("playlist_id", "name"))
+    // and the pruned rows are the right ones
+    assert(df.orderBy("playlist_id", "name").collect().map(_.toSeq).toSeq === Seq(
+      Seq("p1", "Song t1"), Seq("p1", "Song t2"), Seq("p2", "Song t3")))
+  }
 }
