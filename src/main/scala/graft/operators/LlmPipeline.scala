@@ -46,16 +46,24 @@ import org.apache.spark.sql.types._
   * and the three split rows partition s5 exactly — counts and token sums
   * add up, fingerprints XOR to the s5 fingerprint.
   *
-  * Plan shape (100 TB): ONE documents corpus scan feeds the whole funnel
-  * (persisted staged hand-offs, exactly where a production run would
-  * checkpoint to parquet between stages); the benchmark slice is a second,
-  * pruned scan whose distinct 3-gram set BROADCASTS (an eval set is model-
-  * sized, never corpus-sized). Stage exchanges: the 8-byte-digest-keyed
-  * exact-dedup agg, the band-bucketed candidate join + shingle-set rescore
-  * over ALREADY-DEDUPED survivors (band buckets bound pair volume — never
-  * all-pairs), and per-stage map-side-combined ledger aggs. The mix/split
-  * gates are scan-side hash predicates joined against a |langs|-row
-  * broadcast of thresholds. Nothing driver-side but 1-row totals.
+  * Plan shape (100 TB): TWO pruned corpus passes over the funnel head —
+  * one for the combined s0+s1 conditional ledger agg, one as the exact-
+  * dedup build input — because the quality flags are scan-side and
+  * re-scanning beats caching the raw text corpus (measured: the cache
+  * write alone cost 2.5 s at sf0.1 vs ~0.2 s per re-scan; at 100 TB a
+  * corpus cache does not exist, and "checkpoint s1 to parquet" IS this
+  * same second pass). The exact-dedup SURVIVOR set is the one persisted
+  * text-bearing hand-off (already deduped, it is what a production run
+  * checkpoints); every later stage travels as narrow
+  * (doc_id, lang, n_tok, fp) rows. The benchmark slice is a third, tiny
+  * pruned scan whose distinct 3-gram set BROADCASTS (an eval set is
+  * model-sized, never corpus-sized). Stage exchanges: the
+  * 8-byte-digest-keyed exact-dedup agg, the band-bucketed candidate join
+  * + shingle-set rescore over ALREADY-DEDUPED survivors (band buckets
+  * bound pair volume — never all-pairs), and per-stage map-side-combined
+  * ledger aggs. The mix/split gates are scan-side hash predicates joined
+  * against a |langs|-row broadcast of thresholds. Nothing driver-side but
+  * 1-row totals.
   *
   * Reference scope: the reference (/root/reference/spotify-etl.py) has no
   * curation pipeline; this is north-star surface per SURVEY §2.6.
@@ -90,90 +98,130 @@ object LlmPipeline {
       .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"),
         col("membership_fp"))
 
+  /** The staged hand-off relations — exposed so the profiler
+    * (graft.tools.ProfileLlm) and specs can drive stages individually.
+    * `base`/`s1` are UNPERSISTED scan-side views (see below); `s01Rows` is
+    * the pre-assembled two-row funnel head; s3/s4/s5 are NARROW
+    * (doc_id, lang, n_tok, fp) — after s2, document text lives only in
+    * the one cached s2 relation that the shingle stages read. */
+  private[graft] final case class Stages(
+      base: DataFrame, s1: DataFrame, s01Rows: DataFrame, s2: DataFrame,
+      s3: DataFrame, s4: DataFrame, s5: DataFrame, splitRows: DataFrame)
+
+  private[graft] def stages(s: SparkSession, d: String): Stages = {
+    // s0/s1 — scan-side flags, NOT persisted: caching the full text corpus
+    // measured 2.5 s of pure cache write at sf0.1 vs ~0.2 s per pruned
+    // parquet re-scan (round-6 A/B, ProfileLlm), so the funnel head is
+    // consumed twice from parquet instead — once by the combined s0+s1
+    // conditional ledger agg, once as s2's build input. That is also the
+    // only honest 100 TB posture: a corpus cache does not exist at that
+    // scale; quality flags are recomputed scan-side (or s1 is checkpointed
+    // to parquet, which IS this same second pass).
+    val base = measured(Tables.t(s, d, "documents").filter(col("doc_id") >= 4))
+      .withColumn("q", qualityGate)
+    val s1 = base.filter(col("q"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_tok"), col("fp"))
+
+    // funnel head: BOTH ledger rows from ONE corpus pass — a single
+    // conditional aggregation, exploded into the two (stage, …) rows
+    val s01Rows = base
+      .agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+        coalesce(bit_xor(col("fp")), lit(0L)).as("f0"),
+        coalesce(sum(when(col("q"), lit(1L))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("q"), col("n_tok"))), lit(0L)).as("t1"),
+        coalesce(bit_xor(when(col("q"), col("fp"))), lit(0L)).as("f1"))
+      .select(explode(array(
+        struct(lit("s0_corpus").as("stage"), col("n0").as("n_docs"),
+          col("t0").as("n_tokens"), col("f0").as("membership_fp")),
+        struct(lit("s1_quality").as("stage"), col("n1").as("n_docs"),
+          col("t1").as("n_tokens"), col("f1").as("membership_fp")))).as("r"))
+      .select(col("r.stage"), col("r.n_docs"), col("r.n_tokens"),
+        col("r.membership_fp"))
+
+    // s2 — exact dedup, digest-clustered (8-byte exchange key, round 6):
+    // group on (xxhash64(text), text); min_by keeps the survivor's lang
+    // deterministically (doc_id is unique). n_tok/fp recomputed from the
+    // surviving (doc_id, text). The ONE text-bearing persisted relation —
+    // every downstream shingle/gram pass reads it.
+    val s2 = Caches.persist(measured(
+      Dedup.digestClustered(s1)
+        .groupBy(col("h"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+        .select(col("doc_id"), col("lang"), col("text"))))
+    val narrow2 = s2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
+
+    // s3 — LSH near-dup over the s2 survivors: band candidates + exact
+    // shingle-Jaccard ≥ Tau verify (the q_dedup_lsh_verify machinery),
+    // drop every doc that is the LARGER id of a verified pair
+    val items2 = Dedup.shingleItemsOf(s2)
+    val drops = Dedup.verifiedPairsFrom(items2)
+      .filter(col("jaccard") >= Dedup.Tau)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s3 = Caches.persist(narrow2.join(drops, Seq("doc_id"), "left_anti"))
+
+    // s4 — decontamination: the benchmark slice's distinct 3-gram set is
+    // model-sized and BROADCASTS; survivors sharing any gram drop. Gram
+    // rows come from the cached s2 text, semi-joined to the s3 survivors.
+    val bench = Grams.kgramRows(
+        Tables.t(s, d, "documents").filter(col("doc_id") < 4), 3, Seq())
+      .select(col("item").as("gram")).distinct()
+    val contaminated = Dedup.shingleItemsOf(s2)
+      .join(s3.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("item").as("gram")).distinct()
+      .join(broadcast(bench), "gram")
+      .select(col("doc_id")).distinct()
+    val s4 = Caches.persist(s3.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // s5 — mix realization: per-lang keep threshold from q_mix_weights'
+    // rate (ONE mirrored IEEE tree, consumed through floor·10^6), then a
+    // deterministic hash gate; thresholds are a |langs|-row broadcast
+    val perLang = s4.groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
+    val totals = perLang.agg(
+      sum(col("toks")).as("total_toks"), count(lit(1)).as("n_langs"))
+    val thresholds = perLang.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          (col("total_toks").cast(DoubleType) / col("n_langs").cast(DoubleType))
+            / col("toks").cast(DoubleType)) * MixDenom)
+          .cast(LongType).as("thr"))
+    val s5 = Caches.persist(
+      s4.join(broadcast(thresholds), "lang")
+        .filter(pmod(XHash.h60(
+          concat(lit("mix:"), col("doc_id").cast(StringType))),
+          lit(MixDenom)) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("fp")))
+
+    // s6 — final 80/10/10 hash split of the released corpus
+    val gate = pmod(XHash.h60(
+      concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
+    val splitRows = s5
+      .withColumn("split",
+        when(gate < 80, "train").when(gate < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        bit_xor(col("fp")).as("membership_fp"))
+      .select(concat(lit("s6_"), col("split")).as("stage"),
+        col("n_docs"), col("n_tokens"), col("membership_fp"))
+
+    Stages(base, s1, s01Rows, s2, s3, s4, s5, splitRows)
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_llm_pipeline",
       (s, d) => {
-        // s0/s1 — ONE corpus scan, persisted: the funnel head is the only
-        // stage that sees rejects, so everything downstream filters this
-        // in-memory relation instead of re-reading parquet
-        val base = Caches.persist(
-          measured(Tables.t(s, d, "documents").filter(col("doc_id") >= 4))
-            .withColumn("q", qualityGate))
-        val s1 = base.filter(col("q"))
-          .select(col("doc_id"), col("lang"), col("text"), col("n_tok"), col("fp"))
-
-        // s2 — exact dedup, digest-clustered (8-byte exchange key, round 6):
-        // group on (xxhash64(text), text); min_by keeps the survivor's lang
-        // deterministically (doc_id is unique). n_tok/fp recomputed from the
-        // surviving (doc_id, text).
-        val s2 = Caches.persist(measured(
-          Dedup.digestClustered(s1)
-            .groupBy(col("h"), col("text"))
-            .agg(min(col("doc_id")).as("doc_id"),
-              min_by(col("lang"), col("doc_id")).as("lang"))
-            .select(col("doc_id"), col("lang"), col("text"))))
-
-        // s3 — LSH near-dup over the s2 survivors: band candidates + exact
-        // shingle-Jaccard ≥ Tau verify (the q_dedup_lsh_verify machinery),
-        // drop every doc that is the LARGER id of a verified pair
-        val items2 = Dedup.shingleItemsOf(s2)
-        val drops = Dedup.verifiedPairsFrom(items2)
-          .filter(col("jaccard") >= Dedup.Tau)
-          .select(col("b_id").as("doc_id")).distinct()
-        val s3 = Caches.persist(s2.join(drops, Seq("doc_id"), "left_anti"))
-
-        // s4 — decontamination: the benchmark slice's distinct 3-gram set is
-        // model-sized and BROADCASTS; survivors sharing any gram drop
-        val bench = Grams.kgramRows(
-            Tables.t(s, d, "documents").filter(col("doc_id") < 4), 3, Seq())
-          .select(col("item").as("gram")).distinct()
-        val contaminated = Dedup.shingleItemsOf(s3)
-          .select(col("doc_id"), col("item").as("gram")).distinct()
-          .join(broadcast(bench), "gram")
-          .select(col("doc_id")).distinct()
-        val s4 = Caches.persist(s3.join(contaminated, Seq("doc_id"), "left_anti"))
-
-        // s5 — mix realization: per-lang keep threshold from q_mix_weights'
-        // rate (ONE mirrored IEEE tree, consumed through floor·10^6), then a
-        // deterministic hash gate; thresholds are a |langs|-row broadcast
-        val perLang = s4.groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
-        val totals = perLang.agg(
-          sum(col("toks")).as("total_toks"), count(lit(1)).as("n_langs"))
-        val thresholds = perLang.crossJoin(broadcast(totals))
-          .select(col("lang"),
-            floor(least(lit(1.0),
-              (col("total_toks").cast(DoubleType) / col("n_langs").cast(DoubleType))
-                / col("toks").cast(DoubleType)) * MixDenom)
-              .cast(LongType).as("thr"))
-        val s5 = Caches.persist(
-          s4.join(broadcast(thresholds), "lang")
-            .filter(pmod(XHash.h60(
-              concat(lit("mix:"), col("doc_id").cast(StringType))),
-              lit(MixDenom)) < col("thr"))
-            .select(col("doc_id"), col("lang"), col("text"), col("n_tok"), col("fp")))
-
-        // s6 — final 80/10/10 hash split of the released corpus
-        val gate = pmod(XHash.h60(
-          concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
-        val splitRows = s5
-          .withColumn("split",
-            when(gate < 80, "train").when(gate < 90, "val").otherwise("test"))
-          .groupBy(col("split"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-            bit_xor(col("fp")).as("membership_fp"))
-          .select(concat(lit("s6_"), col("split")).as("stage"),
-            col("n_docs"), col("n_tokens"), col("membership_fp"))
-
+        val st = stages(s, d)
         Seq(
-          ledgerRow("s0_corpus", base),
-          ledgerRow("s1_quality", s1),
-          ledgerRow("s2_exact", s2),
-          ledgerRow("s3_neardup", s3),
-          ledgerRow("s4_decontam", s4),
-          ledgerRow("s5_mix", s5))
+          st.s01Rows,
+          ledgerRow("s2_exact", st.s2),
+          ledgerRow("s3_neardup", st.s3),
+          ledgerRow("s4_decontam", st.s4),
+          ledgerRow("s5_mix", st.s5),
+          st.splitRows)
           .reduce(_.unionAll(_))
-          .unionAll(splitRows)
           .select(col("stage"), col("n_docs"), col("n_tokens"),
             expr("(n_tokens + 511) DIV 512").as("n_chunks"),
             col("membership_fp"))

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev-only stage profiler for q_llm_pipeline: materializes each staged
+  * hand-off in funnel order and prints the INCREMENTAL wall time, so a
+  * composition-overhead regression (the whole ledger costing multiples of
+  * its component queries) can be attributed to a stage instead of guessed
+  * at. Usage: runMain graft.tools.ProfileLlm [sfDir]
+  */
+object ProfileLlm {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions",
+        Runtime.getRuntime.availableProcessors().toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def tick(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[llm] $label%-12s rows=$n%-8d +${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
+    for (rep <- 1 to 2) {
+      println(s"[llm] pass $rep")
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+      val st = graft.operators.LlmPipeline.stages(spark, sfDir)
+      tick("base")(st.base.count())
+      tick("s1")(st.s1.count())
+      tick("s2")(st.s2.count())
+      tick("s3")(st.s3.count())
+      tick("s4")(st.s4.count())
+      tick("s5")(st.s5.count())
+      tick("splits")(st.splitRows.count())
+      tick("splits2")(st.splitRows.count())
+      tick("s5-again")(st.s5.count())
+      tick("ledger") {
+        graft.Registry.byName("q_llm_pipeline").run(spark, sfDir).count()
+      }
+      tick("ledger2") {
+        graft.Registry.byName("q_llm_pipeline").run(spark, sfDir).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -95,7 +95,8 @@ class RegistrySpec extends AnyFunSuite {
     "q_dq_checks" -> 4, // independent per-check pruned scans by design
     "q_dq_drift" -> 4, // the two compared halves × two audited columns
     "q_dq_entropy" -> 4, // one pruned 1-column scan per audited column
-    "q_dq_referential" -> 3) // three lineitem FK columns = three edges by contract
+    "q_dq_referential" -> 3, // three lineitem FK columns = three edges by contract
+    "q_llm_pipeline" -> 3) // funnel-head ledger + dedup build + bench slice: re-scan beats caching raw text (in-source A/B)
 
   // Doc-drift net: the judge reads SURVEY.md §2.6 line by line against the
   // registry — a declared query with no SURVEY row is invisible coverage,
