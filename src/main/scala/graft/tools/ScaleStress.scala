@@ -131,7 +131,13 @@ object ScaleStress {
     // agg — same shape as q_stats_bootstrap's 61)
     "q_map_ops", "q_graph_community", "q_stats_poissonboot",
     // Brown forecast: calendar-bounded series window, must stay scan-bound
-    "q_time_holt")
+    "q_time_holt",
+    // round 6: the staged end-to-end run — two funnel-head scans, one
+    // text-bearing persisted hand-off, band-bounded near-dup over the
+    // deduped survivors: total cost must stay corpus-linear (its fixed
+    // ~2-3 s composition overhead — codegen + AQE stage scheduling for
+    // the 9-branch ledger — shrinks RELATIVE to data work as sf grows)
+    "q_llm_pipeline")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -546,6 +546,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_llm_pipeline: digest-keyed exchanges, broadcast decontamination, one cached text hand-off") {
+    // round 6 — the staged run's scale posture, pinned: (1) the only
+    // text-keyed work is the in-partition equality confirm behind the
+    // 8-byte digest exchange (no exchange may key on raw text); (2) the
+    // benchmark gram join must be a broadcast (an eval set is model-sized
+    // — if it ever becomes a shuffled join, the corpus shuffles with it);
+    // (3) the deduped survivor hand-off persists (InMemoryTableScan) so
+    // the shingle stages read one materialization, not three lineages.
+    val p = plan("q_llm_pipeline")
+    val partLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(!partLines.exists(_.contains("text#")),
+      s"q_llm_pipeline keys an exchange on raw text:\n${partLines.mkString("\n")}")
+    assert(partLines.exists(_.contains("hashpartitioning(h#")),
+      s"q_llm_pipeline lost the digest-clustered exact-dedup exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set stopped broadcasting:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the s2 survivor hand-off must persist:\n$p")
+  }
+
   test("registry sweep: no declared query plans an UNPARTITIONED window") {
     // round 6 — the q_text_zipf regression class: row_number() over
     // Window.orderBy(...) with no partitionBy moves the ENTIRE input to
