@@ -65,4 +65,46 @@ final class SpotifyPipeline(source: SpotifySource) {
       "audio_features" -> audio
     ).map { case (name, df) => name -> JdbcReplaceSink.stage(df, ingestTs) }
   }
+
+  /** Concurrent-orchestration parity with the reference's `asyncio.gather`
+    * (spotify-etl.py:230-234): the write actions of INDEPENDENT extracts
+    * are submitted from parallel threads so Spark's scheduler overlaps
+    * their jobs (and their HTTP pagination), while data-dependent stages
+    * wait for exactly the extracts they consume:
+    *
+    *   wave 1 — playlists, saved, recent, followed (mutually independent;
+    *            the reference gathers its three — saved joins the wave here
+    *            because it, too, depends on nothing);
+    *   wave 2 — playlists_tracks (the fan-out reads wave 1's playlists
+    *            cache; racing it into wave 1 would re-paginate the
+    *            playlists extract concurrently — the cache populates
+    *            during, not before, the first action that touches it);
+    *   wave 3 — audio_features (reads the playlist-tracks AND saved
+    *            caches via the union-distinct id set).
+    *
+    * `write` owns the terminal action per table (a JDBC write, a parquet
+    * sink, a test collector). Any wave member's failure propagates after
+    * its wave completes submitting — no table is silently skipped. Returns
+    * the staged frames, like [[run]]. */
+  def runConcurrent(
+      spark: SparkSession,
+      ingestTs: Timestamp,
+      write: (String, DataFrame) => Unit): Map[String, DataFrame] = {
+    val staged = run(spark, ingestTs)
+    val waves = Seq(
+      Seq("playlists", "saved_tracks", "recent_tracks", "followed_artists"),
+      Seq("playlists_tracks"),
+      Seq("audio_features"))
+    for (wave <- waves) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(wave.size)
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = wave.map(name =>
+          scala.concurrent.Future(write(name, staged(name)))(ec))
+        done.foreach(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
+    staged
+  }
 }

@@ -293,6 +293,28 @@ class PropertySpec extends AnyFunSuite {
     assert(splits.map(out(_)._4).reduce(_ ^ _) === f5, s"split fps != s5: $out")
   }
 
+  test("TopCells: plan size is independent of the codebook size (broadcast handle, not literals)") {
+    // round 6 (VERDICT r5 item 2 done-criterion): with k = N/125 centroids,
+    // an expression that serializes the matrix into the plan grows linearly
+    // with N — the banned unbounded-driver-artifact shape. The broadcast
+    // form must print/carry an opaque handle: a 32x-larger codebook may not
+    // grow the analyzed plan text beyond incidental id-width noise.
+    import graft.functions.{pq, TopCells}
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    def planLen(k: Int): Int = {
+      val cents = samples(vecGen, k).map(_.toVector).toVector
+      val factory = TopCells.broadcastOf(spark, cents, 3, 1e12)
+      pq.register(spark, s"top_cells_sz_$k", exprs => factory(exprs.head))
+      Seq(Seq.fill(8)(0.1f)).toDF("embedding")
+        .select(call_function(s"top_cells_sz_$k", col("embedding")).as("c"))
+        .queryExecution.analyzed.toString.length
+    }
+    val small = planLen(8)
+    val big = planLen(256)
+    assert(math.abs(big - small) <= 64,
+      s"plan text grew with the codebook: k=8 -> $small chars, k=256 -> $big")
+  }
+
   test("TopCells: interpreted eval equals the codegen path on random vectors") {
     // same dual-path law for the IVF cell selector, including the ordering
     // contract: (quantized cosine DESC, cid ASC)
