@@ -336,8 +336,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+    // 64-bit item keys in the rescore sets (the blockedJaccard round-3
+    // convention): set membership is equality-only, so collision-free
+    // xxhash64 longs replace the shingle strings — the collect_set
+    // exchange carries 8 bytes per item instead of whole 3-word grams,
+    // and the intersect compares longs. The DuckDB twin keeps original
+    // strings (sqlVerifiedEdgesCtes), so every SF re-proves collision-
+    // freeness through the hash-exact oracle gate.
     val sets = items
-      .groupBy(col("doc_id")).agg(collect_set(col("item")).as("sh"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("item"))).as("sh"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
     cand
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")

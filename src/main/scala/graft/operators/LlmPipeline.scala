@@ -155,7 +155,14 @@ object LlmPipeline {
 
     // s3 — LSH near-dup over the s2 survivors: band candidates + exact
     // shingle-Jaccard ≥ Tau verify (the q_dedup_lsh_verify machinery),
-    // drop every doc that is the LARGER id of a verified pair
+    // drop every doc that is the LARGER id of a verified pair.
+    // items2 is NOT persisted although three consumers read it (signatures,
+    // the exact-rescore shingle sets, s4's contamination grams): exploded
+    // 3-word shingles carry each word ~3× — the relation is ~3× the corpus
+    // bytes, so caching it is exactly the corpus-scale cache that cannot
+    // exist at 100 TB. Each consumer replays a codegen kgram projection of
+    // the one CACHED s2 survivor relation instead (measured A/B at sf0.1:
+    // the persist's materialization cost ≥ the two replays it saves).
     val items2 = Dedup.shingleItemsOf(s2)
     val drops = Dedup.verifiedPairsFrom(items2)
       .filter(col("jaccard") >= Dedup.Tau)
@@ -164,14 +171,19 @@ object LlmPipeline {
 
     // s4 — decontamination: the benchmark slice's distinct 3-gram set is
     // model-sized and BROADCASTS; survivors sharing any gram drop. Gram
-    // rows come from the cached s2 text, semi-joined to the s3 survivors.
+    // rows replay the kgram projection of the cached s2 text, semi-joined
+    // to the s3 survivors; the broadcast gram probe runs BEFORE any
+    // exchange (a left-semi against the broadcast set filters map-side),
+    // so the only shuffle is the distinct over the already-contaminated
+    // doc_ids — the old (doc_id, gram) pre-join distinct pushed the FULL
+    // gram relation (~3× corpus bytes) through an exchange first.
     val bench = Grams.kgramRows(
         Tables.t(s, d, "documents").filter(col("doc_id") < 4), 3, Seq())
       .select(col("item").as("gram")).distinct()
-    val contaminated = Dedup.shingleItemsOf(s2)
+    val contaminated = items2
       .join(s3.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("item").as("gram")).distinct()
-      .join(broadcast(bench), "gram")
+      .select(col("doc_id"), col("item").as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
       .select(col("doc_id")).distinct()
     val s4 = Caches.persist(s3.join(contaminated, Seq("doc_id"), "left_anti"))
 
