@@ -26,8 +26,35 @@ import org.apache.spark.sql.SparkSession
   * foreign JVM). A contended record is still printed — the driver keeps
   * its artifact — but carries its own disqualification evidence instead
   * of masquerading as a regression.
+  *
+  * Round-6 calibration anchor: the round-5→6 A/B (identical commit,
+  * identical data, identical idle box by every guard above) still ran
+  * ~25% slower than round 5's recorded artifact — the BOX got slower
+  * between rounds, and nothing in the guards can see speed, only load.
+  * `"calib_sec"` is the min-of-3 time of a FIXED synthetic Spark job
+  * (256M-row range → xxhash64 → 1024-group hash agg: codegen + shuffle,
+  * zero data dependence, zero query-surface dependence), run after
+  * warmup on the same session. Cross-round comparisons should read
+  * total_min/calib_sec, not raw seconds: the anchor moves with the box,
+  * the surface's real regressions don't move the anchor.
   */
 object Bench {
+
+  /** One fixed calibration pass: 256M ids → xxhash64 → 1024-key hash agg.
+    * Deterministic, data-independent, exercises the same whole-stage
+    * codegen + map-side combine + exchange path the query surface lives
+    * on. Returns elapsed seconds. */
+  private def calibOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 256L * 1024 * 1024, 1L, 32)
+      .selectExpr("xxhash64(id) AS h")
+      .selectExpr("pmod(h, 1024) AS k", "h")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("h"),
+        org.apache.spark.sql.functions.count("*"))
+      .count()
+    (System.nanoTime() - t0) / 1e9
+  }
 
   /** 1-minute system load average (-1.0 where the JVM can't read it). */
   private def loadAvg(): Double =
@@ -76,6 +103,11 @@ object Bench {
       }
       (times, failed.result())
     }
+    // calibration anchor: one untimed JIT pass, then min-of-3 — measured
+    // BEFORE the query passes so a contended tail can't skew the anchor
+    // away from the conditions most queries ran under
+    calibOnce(spark)
+    val calib = Seq.fill(3)(calibOnce(spark)).min
     val (pass1, failed1) = timedPass()
     val (pass2, failed2) = timedPass()
     val failed = (failed1 ++ failed2).distinct.sorted
@@ -97,7 +129,8 @@ object Bench {
     val contended = loadPre > cpus.toDouble / 2 || jvmsPre > 1
     val guardJson =
       s""""load_pre":$loadPre,"load_post":$loadPost,""" +
-        s""""other_jvms":$jvmsPre,"contended":$contended"""
+        s""""other_jvms":$jvmsPre,"contended":$contended,""" +
+        s""""calib_sec":$calib"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL_latest.json")
     val full =
