@@ -72,7 +72,8 @@ private class TracksTable(props: Map[String, String]) extends Table with Support
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-        with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+        with SupportsPushDownLimit with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       override def build(): Scan = this
       override def toBatch: Batch = this
 
@@ -83,19 +84,46 @@ private class TracksTable(props: Map[String, String]) extends Table with Support
       // HTTP once satisfied (isPartiallyPushed stays true — Spark still
       // applies the global limit over the per-partition caps). Pruned
       // columns narrow readSchema, so a playlist_id-only projection never
-      // materializes the other four strings per row.
+      // materializes the other four strings per row. playlist_id
+      // EqualTo/In filters prune whole InputPartitions — the fan-out key
+      // IS the partition key, so a filtered scan never issues HTTP for
+      // playlists outside the predicate (the REST analog of parquet
+      // partition pruning); they are fully handled here (id-set
+      // intersection is exact), everything else stays a Spark-side
+      // residual over the scan output.
       private var limit: Int = -1
       private var required: StructType = SpotifyTracksProvider.Schema
+      private var idFilter: Option[Set[String]] = None
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pushLimit(l: Int): Boolean = { limit = l; true }
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       override def readSchema(): StructType = required
+
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        import org.apache.spark.sql.sources.{EqualTo, In}
+        def narrow(allowed: Set[String]): Unit =
+          idFilter = Some(idFilter.fold(allowed)(_ intersect allowed))
+        val (handled, residual) = filters.partition {
+          case EqualTo("playlist_id", v: String) => narrow(Set(v)); true
+          case In("playlist_id", vs) =>
+            narrow(vs.collect { case s: String => s }.toSet); true
+          case _ => false
+        }
+        pushed = handled
+        residual
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
 
       private def opt(k: String, d: String) =
         Option(options.get(k)).orElse(props.get(k)).getOrElse(d)
 
       override def planInputPartitions(): Array[InputPartition] = {
         val ids = opt("ids", "").split(",").map(_.trim).filter(_.nonEmpty)
+          .filter(id => idFilter.forall(_.contains(id)))
         val chunk = opt("chunk", "8").toInt
         ids.grouped(chunk).map(g => TracksPartition(g.toSeq)).toArray
       }

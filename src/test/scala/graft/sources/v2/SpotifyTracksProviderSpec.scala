@@ -63,6 +63,41 @@ class SpotifyTracksProviderSpec extends AnyFunSuite {
       s"LIMIT 1 must cost exactly one page fetch: ${FakeHttp.requested}")
   }
 
+  test("playlist_id filter prunes InputPartitions: no HTTP for other playlists") {
+    // the fan-out key IS the partition key, so a pushed playlist_id
+    // predicate must prune at PLANNING time — the REST analog of parquet
+    // partition pruning. chunk=1 would hide the win (empty chunks cost
+    // nothing either way); chunk=3 proves the id LIST shrank before
+    // chunking, not merely that readers skipped rows.
+    import org.apache.spark.sql.functions.col
+    val df = load(chunk = 3).filter(col("playlist_id") === "p2")
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("t3"))
+    assert(FakeHttp.requested === Seq(s"$Base/playlists/p2/tracks"),
+      s"equality prune must fetch ONLY p2: ${FakeHttp.requested}")
+
+    val in = load(chunk = 3).filter(col("playlist_id").isin("p1", "p3"))
+    assert(in.select("id").collect().map(_.getString(0)).sorted === Seq("t1", "t2"))
+    assert(!FakeHttp.requested.exists(_.contains("/p2/")),
+      s"IN prune must never touch p2: ${FakeHttp.requested}")
+
+    // conjunction narrows by intersection: contradictory equalities plan
+    // ZERO partitions and issue ZERO requests
+    val none = load(chunk = 3)
+      .filter(col("playlist_id") === "p1" && col("playlist_id") === "p2")
+    assert(none.collect().isEmpty)
+    assert(FakeHttp.requested.isEmpty,
+      s"contradictory prune must issue no HTTP: ${FakeHttp.requested}")
+  }
+
+  test("non-key filters stay Spark-side residuals over the full scan") {
+    import org.apache.spark.sql.functions.col
+    val df = load(chunk = 3).filter(col("artist") === "artist-t3")
+    assert(df.select("id").collect().map(_.getString(0)).toSeq === Seq("t3"))
+    // artist is not a partition key: every playlist still fetched
+    assert(FakeHttp.requested.count(_.contains("/playlists/")) === 4,
+      s"non-key filter must not prune the fan-out: ${FakeHttp.requested}")
+  }
+
   test("required-column pruning reaches the V2 scan (round 6)") {
     val df = load(chunk = 3).select("playlist_id", "name")
     // the physical scan's read schema must be the pruned pair, not the
