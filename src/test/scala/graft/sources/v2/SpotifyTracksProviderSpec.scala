@@ -89,6 +89,17 @@ class SpotifyTracksProviderSpec extends AnyFunSuite {
       s"contradictory prune must issue no HTTP: ${FakeHttp.requested}")
   }
 
+  test("filter prune composes with pushed LIMIT: one playlist, one page") {
+    // p1 has two pages; a pruned-to-p1 scan with LIMIT 1 must fetch only
+    // p1's FIRST page — pruning picks the partition, the pushed limit
+    // stops its cursor
+    import org.apache.spark.sql.functions.col
+    val df = load(chunk = 3).filter(col("playlist_id") === "p1").limit(1)
+    assert(df.collect().length === 1)
+    assert(FakeHttp.requested === Seq(s"$Base/playlists/p1/tracks"),
+      s"prune+limit must cost exactly one page: ${FakeHttp.requested}")
+  }
+
   test("non-key filters stay Spark-side residuals over the full scan") {
     import org.apache.spark.sql.functions.col
     val df = load(chunk = 3).filter(col("artist") === "artist-t3")
