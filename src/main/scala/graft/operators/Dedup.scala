@@ -47,7 +47,7 @@ object Dedup {
     * megabyte documents. The explicit repartition makes the aggregate's
     * required ClusteredDistribution(h, text) already-satisfied, so no
     * text-keyed exchange is ever planned (PlanShapeSpec pins it). */
-  private[operators] def digestClustered(df: DataFrame): DataFrame =
+  private[graft] def digestClustered(df: DataFrame): DataFrame =
     df.withColumn("h", xxhash64(col("text"))).repartition(col("h"))
 
   /** Mersenne prime 2^31-1: (a*x+b) mod P stays well inside Long even under

@@ -293,6 +293,50 @@ class PropertySpec extends AnyFunSuite {
     assert(splits.map(out(_)._4).reduce(_ ^ _) === f5, s"split fps != s5: $out")
   }
 
+  test("rankBounded equals the global row_number on every random multiset (window-free rank law)") {
+    // round 6: rankBounded is the banned-global-window replacement for
+    // top-k rank assignment (hybrid RRF, textrank top-20). Its contract is
+    // BIT-equality with row_number() over the same total order — proven
+    // here on random data with heavy ties, under both sort directions,
+    // with the unique key breaking ties.
+    import org.apache.spark.sql.expressions.Window
+    val rows = Gen.listOfN(40, Gen.chooseNum(0, 5)) // few values -> many ties
+    for ((vals, desc) <- samples(rows, 3).zip(Seq(true, false, true))) {
+      val df = vals.zipWithIndex.map { case (v, i) => (v.toLong, i.toLong) }
+        .toDF("v", "k")
+      val got = graft.C.rankBounded(df, "r", ("v", desc), ("k", false))
+        .orderBy(col("k")).select(col("k"), col("r"))
+        .as[(Long, Long)].collect().toSeq
+      val ord = if (desc) Window.orderBy(col("v").desc, col("k").asc)
+        else Window.orderBy(col("v").asc, col("k").asc)
+      val want = df.select(col("k"), row_number().over(ord).cast("long").as("r"))
+        .orderBy(col("k")).as[(Long, Long)].collect().toSeq
+      assert(got === want, s"desc=$desc vals=$vals")
+    }
+  }
+
+  test("digestClustered grouping equals direct text grouping (8-byte exchange-key law)") {
+    // round 6: exact dedup exchanges on xxhash64(text) and confirms with
+    // the in-partition (h, text) compound key. The law: min-id-per-text
+    // through the digest path is IDENTICAL to grouping on raw text — the
+    // compound key makes the result collision-proof by construction, and
+    // the digest is only ever a routing key.
+    val texts = Gen.listOfN(60,
+      Gen.oneOf("alpha beta", "gamma", "delta epsilon zeta", "eta", "theta i"))
+    for (ts <- samples(texts, 3)) {
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.digestClustered(df)
+        .groupBy(col("h"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("text"), col("doc_id"))
+        .as[(String, Long)].collect().toSeq.sorted
+      val want = df.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .as[(String, Long)].collect().toSeq.sorted
+      assert(got === want)
+    }
+  }
+
   test("TopCells: plan size is independent of the codebook size (broadcast handle, not literals)") {
     // round 6 (VERDICT r5 item 2 done-criterion): with k = N/125 centroids,
     // an expression that serializes the matrix into the plan grows linearly
