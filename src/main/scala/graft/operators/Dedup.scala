@@ -328,6 +328,16 @@ object Dedup {
     * candidates and exact rescoring both derive from the one item relation,
     * exactly as the (s, d) form). */
   private[graft] def verifiedPairsFrom(items: DataFrame): DataFrame = {
+    // NOT persisted, deliberately (round-6 A/B, twice): the signature
+    // relation is instantiated 4× downstream (band self-join sides ×
+    // cand's two rescore consumers) with zero ReusedExchange — but those
+    // redundant branches are INDEPENDENT stages the scheduler runs
+    // concurrently, so on an under-utilized executor pool the replay is
+    // nearly free wall-clock, while a persist is a BARRIER that
+    // serializes the whole DAG behind one materialization (measured:
+    // +0.5–1.6 s per consumer query at sf0.1; same verdict for
+    // persisting `cand`). At true cluster utilization the trade can flip
+    // — revisit with the cluster's own A/B, not this box's.
     val sigs = signaturesOf(items)
     val bl = bandRows(sigs)
     val cand = bl.as("a")
