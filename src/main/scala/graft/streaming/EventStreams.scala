@@ -46,16 +46,22 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
-  /** Sliding windows (length/slide), same state contract as [[tumbling]]. */
+  /** Sliding (hopping) windows (length/slide), same state contract as
+    * [[tumbling]]: state per trigger is (open windows × event_type), each
+    * event lands in length/slide windows (Spark's `window()` desugars the
+    * hop scan-side — no self-join), and the watermark closes windows. Same
+    * exact-decimal sum as [[tumbling]] so replays are order-free. */
   def sliding(events: DataFrame, length: String = "1 hour",
       slide: String = "15 minutes", watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), length, slide), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(dec2)).cast(DoubleType).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
-        col("event_type"), col("cnt"))
+        col("event_type"), col("cnt"), col("sum_value"))
 
   /** Event-time session windows per user: a session closes after `gap` of
     * silence, and its state is evictable once the watermark passes. */

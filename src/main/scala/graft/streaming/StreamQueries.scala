@@ -133,6 +133,49 @@ object StreamQueries {
               |event_type, COUNT(*) AS cnt, ${graft.C.sqlSumDec2("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY epoch_s, event_type""".stripMargin)
     ),
+    // Sliding (hopping) windows, declared (round 6) — the third window
+    // SHAPE beside tumbling and sessions, and the streaming twin of batch
+    // q_time_sliding (2 h windows hopping every 1 h, so each event lands
+    // in exactly two windows). Spark's window(ts, length, slide) desugars
+    // the hop scan-side — the stream pays NO self-join, and state per
+    // trigger is (open windows × event_type), watermark-evicted. Same
+    // complete-mode bounded-replay contract as q_stream_tumbling (a
+    // windowed agg in append mode would withhold the tail windows); the
+    // oracle is batch q_time_sliding's explode-based hop, verbatim —
+    // streaming must agree with the batch engine to the bit.
+    GQ(
+      "q_stream_sliding",
+      (s, d) => {
+        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+        val ev = raw.schema("ts").dataType match {
+          case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+        }
+        withStatePartitions(s, 4) {
+          val q = EventStreams.sliding(ev, length = "2 hours",
+              slide = "1 hour", watermark = "10 minutes")
+            .writeStream.format("memory").queryName("graft_stream_sliding")
+            .outputMode("complete")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.table("graft_stream_sliding")
+          .select(
+            expr("unix_seconds(CAST(window_start AS TIMESTAMP))").as("win_start_s"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .orderBy(col("win_start_s"), col("event_type"))
+      },
+      // batch q_time_sliding's oracle verbatim — the hop explode
+      Some(s"""WITH e AS (SELECT event_type, value,
+              |    unnest([epoch_ns(ts) // ${3600L * 1000 * 1000 * 1000} - 1,
+              |            epoch_ns(ts) // ${3600L * 1000 * 1000 * 1000}]) AS w
+              |  FROM events)
+              |SELECT w * 3600 AS win_start_s, event_type,
+              |  COUNT(*) AS cnt, ${graft.C.sqlSumDec2("value")} AS sum_value
+              |FROM e GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin)
+    ),
     // Session windows, declared (same execution harness as
     // q_stream_tumbling): per-user sessions close after 30 minutes of
     // silence. BOUNDARY SEMANTICS (spec-pinned — a planted probe caught

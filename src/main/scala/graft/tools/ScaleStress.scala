@@ -85,6 +85,9 @@ object ScaleStress {
     // is (window×type) / per-user-session bounded; AvailableNow paces
     // the 10× backfill in source-governed batches
     "q_stream_tumbling", "q_stream_sessions",
+    // round 6: the sliding hop doubles the per-event state writes of
+    // tumbling — (open windows × type) must stay bounded at any corpus
+    "q_stream_sliding",
     // one-scan fused profile — must stay scan-bound
     "q_dq_profile",
     // round 5: k-core + PageRank (fixed rounds over the vocab-bounded

@@ -70,6 +70,33 @@ class StreamBatchEquivalenceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sliding == oracle-checked q_time_sliding on sf0.001") {
+    // round 6: the declared hop shape — every event in exactly two 2h/1h
+    // windows; the MemoryStream append path must agree with the batch
+    // explode row for row (the declared q_stream_sliding additionally
+    // proves the complete-mode file-replay path against the same oracle)
+    val in = MemoryStream[Event]
+    val q = EventStreams.sliding(in.toDF(), length = "2 hours",
+        slide = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("equiv_slide")
+      .outputMode("append").start()
+    try {
+      in.addData(eventRows)
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_slide")
+        .select(
+          (unix_timestamp(col("window_start"))).as("win_start_s"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = Registry.byName("q_time_sliding")(spark, sf)(
+        _.collect().map(_.toSeq).toSet)
+      assert(streamed === batch,
+        s"streaming sliding diverged: ${streamed.size} vs ${batch.size} rows")
+    } finally q.stop()
+  }
+
   test("streaming session windows == oracle-checked q_sessionize on sf0.001") {
     // guard the one spot where batch (> gap merges) and session_window
     // (>= gap splits) semantics diverge: no consecutive per-user pair in
