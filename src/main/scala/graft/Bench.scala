@@ -40,13 +40,23 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** One fixed calibration pass: 256M ids → xxhash64 → 1024-key hash agg.
+  /** One fixed calibration pass: 4G ids → xxhash64 → 1024-key hash agg.
     * Deterministic, data-independent, exercises the same whole-stage
     * codegen + map-side combine + exchange path the query surface lives
-    * on. Returns elapsed seconds. */
+    * on. Returns elapsed seconds.
+    *
+    * Round 7 (VERDICT item 5): 16× longer than the round-6 256M-row anchor
+    * (~5 s instead of ~0.3 s) and summarized as MEDIAN-of-5 instead of
+    * min-of-3 — the short anchor's calib_sec swung ±15% across one
+    * session's benches, too noisy to resolve the ~5% effects cross-round
+    * normalization exists for. A longer job amortizes scheduler/JIT
+    * jitter; the median resists one contended outlier in either
+    * direction where min only resists slow ones. The per-run samples are
+    * emitted as "calib_runs" so any single bench record carries its own
+    * anchor-variance evidence. */
   private def calibOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
-    spark.range(0L, 256L * 1024 * 1024, 1L, 32)
+    spark.range(0L, 4096L * 1024 * 1024, 1L, 32)
       .selectExpr("xxhash64(id) AS h")
       .selectExpr("pmod(h, 1024) AS k", "h")
       .groupBy("k")
@@ -103,11 +113,12 @@ object Bench {
       }
       (times, failed.result())
     }
-    // calibration anchor: one untimed JIT pass, then min-of-3 — measured
-    // BEFORE the query passes so a contended tail can't skew the anchor
-    // away from the conditions most queries ran under
+    // calibration anchor: one untimed JIT pass, then median-of-5 —
+    // measured BEFORE the query passes so a contended tail can't skew the
+    // anchor away from the conditions most queries ran under
     calibOnce(spark)
-    val calib = Seq.fill(3)(calibOnce(spark)).min
+    val calibRuns = Seq.fill(5)(calibOnce(spark)).sorted
+    val calib = calibRuns(calibRuns.size / 2)
     val (pass1, failed1) = timedPass()
     val (pass2, failed2) = timedPass()
     val failed = (failed1 ++ failed2).distinct.sorted
@@ -130,7 +141,8 @@ object Bench {
     val guardJson =
       s""""load_pre":$loadPre,"load_post":$loadPost,""" +
         s""""other_jvms":$jvmsPre,"contended":$contended,""" +
-        s""""calib_sec":$calib"""
+        s""""calib_sec":$calib,""" +
+        s""""calib_runs":${calibRuns.mkString("[", ",", "]")}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL_latest.json")
     val full =

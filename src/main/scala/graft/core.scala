@@ -235,6 +235,11 @@ object C {
     * row_number. Cost is |df|² pairs — only ever call this on a relation
     * already bounded by a LIMIT or a fixed domain. Persist `df` first if
     * its lineage is corpus-sized (both join sides consume it).
+    *
+    * Predecessors count a non-null MARKER literal added to the join side
+    * (round-7 ADVICE): counting `y.<last-order-col>` would conflate a NULL
+    * in a genuinely-matched row with the left-outer no-predecessor case
+    * and silently under-rank when an order column is nullable.
     */
   def rankBounded(df: DataFrame, rankName: String,
       order: (String, Boolean)*): DataFrame = {
@@ -245,9 +250,10 @@ object C {
       if (ix == order.size - 1) strict
       else strict || (col(s"y.$c") === col(s"x.$c") && before(ix + 1))
     }
-    df.as("x").join(df.as("y"), before(0), "left_outer")
+    df.as("x")
+      .join(df.withColumn("__rb_marker", lit(1)).as("y"), before(0), "left_outer")
       .groupBy(df.columns.toSeq.map(c => col(s"x.$c")): _*)
-      .agg((count(col(s"y.${order.last._1}")) + 1)
+      .agg((count(col("y.__rb_marker")) + 1)
         .cast(LongType).as(rankName))
   }
 }

@@ -360,12 +360,8 @@ object Curation {
     GQ(
       "q_quality_filter",
       (s, d) => {
-        val words = split(col("text"), " ")
-        val stops = filter(words, w => w.isInCollection(TextOps.Stopwords))
-        val keep = size(words).between(20, 80) &&
-          (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
         Tables.t(s, d, "documents")
-          .select(col("lang"), keep.cast(LongType).as("kept"))
+          .select(col("lang"), TextOps.qualityGate.cast(LongType).as("kept"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
           .select(col("lang"), col("n_docs"), col("n_kept"),
@@ -498,10 +494,7 @@ object Curation {
     GQ(
       "q_curation_pipeline",
       (s, d) => {
-        val words = split(col("text"), " ")
-        val stops = filter(words, w => w.isInCollection(TextOps.Stopwords))
-        val quality = size(words).between(20, 80) &&
-          (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
+        val quality = TextOps.qualityGate
         val gate = pmod(
           XHash.h60(concat(lit("sample:"), col("doc_id").cast(StringType))),
           lit(100L)) < 20

@@ -72,13 +72,9 @@ object LlmPipeline {
 
   private val MixDenom = 1000000L
 
-  /** Quality gate shared verbatim with q_quality_filter / q_curation_pipeline. */
-  private def qualityGate: Column = {
-    val words = split(col("text"), " ")
-    val stops = filter(words, w => w.isInCollection(TextOps.Stopwords))
-    size(words).between(20, 80) &&
-      (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
-  }
+  /** Quality gate — ONE definition shared with q_quality_filter /
+    * q_curation_pipeline ([[TextOps.qualityGate]], round-7 ADVICE). */
+  private def qualityGate: Column = TextOps.qualityGate
 
   /** Exact per-doc token count and content fingerprint — the two ledger
     * measures, recomputed identically at every stage that changes rows. */

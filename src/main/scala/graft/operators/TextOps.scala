@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQ, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -15,7 +16,7 @@ import org.apache.spark.sql.types._
   * text equality in-partition by aggregating on (digest, text): grouping by
   * (h, text) IS grouping by text (h is a function of text), so the result
   * is bit-identical to the naive form while the exchange never hashes,
-  * compares, or sorts megabyte keys (see [[graft.operators.Dedup.digested]]).
+  * compares, or sorts megabyte keys (see [[graft.operators.Dedup.digestClustered]]).
   * Text bytes still travel once as aggregation PAYLOAD — exact dedup cannot
   * confirm equality without the bytes meeting; a pipeline willing to trust
   * a 128-bit digest keys on `q_text_fingerprint`'s md5 instead and moves no
@@ -27,6 +28,20 @@ object TextOps {
 
   /** Tiny stopword list; present in the corpus vocabulary ("the", "a"). */
   private[operators] val Stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** THE quality gate — keep docs with a sane whitespace-token length band
+    * and a bounded stopword ratio. One definition shared by
+    * `q_quality_filter`, `q_curation_pipeline`'s first stage, and
+    * [[graft.operators.LlmPipeline]]'s s1 (round-7 ADVICE: the three copies
+    * could silently drift, breaking the pipeline's claim that its s1
+    * applies q_quality_filter's exact gates). Pure scan-side predicates —
+    * int comparisons plus one exact division. */
+  private[operators] def qualityGate: Column = {
+    val words = split(col("text"), " ")
+    val stops = filter(words, w => w.isInCollection(Stopwords))
+    size(words).between(20, 80) &&
+      (size(stops).cast(DoubleType) / size(words).cast(DoubleType)) <= 0.3
+  }
 
   /** Marker tokens per candidate language for the lang-id heuristic. */
   private val LangMarkers: Map[String, Seq[String]] = Map(

@@ -100,9 +100,23 @@ final class SpotifyPipeline(source: SpotifySource) {
       val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try {
         val done = wave.map(name =>
-          scala.concurrent.Future(write(name, staged(name)))(ec))
-        done.foreach(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
+          name -> scala.concurrent.Future(write(name, staged(name)))(ec))
+        // Await EVERY wave member before propagating (round-7 ADVICE): a
+        // sequential await-and-throw would abandon still-running sibling
+        // writes un-observed and swallow their failures. Here each outcome
+        // is captured as a Try; the first failure propagates with the rest
+        // attached as suppressed, so no table's result goes unreported.
+        val outcomes = done.map { case (name, f) =>
+          name -> scala.util.Try(scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        }
+        val failures = outcomes.collect {
+          case (name, scala.util.Failure(e)) => (name, e)
+        }
+        failures.headOption.foreach { case (_, first) =>
+          failures.tail.foreach { case (_, e) => first.addSuppressed(e) }
+          throw first
+        }
       } finally pool.shutdown()
     }
     staged

@@ -19,9 +19,18 @@ class SpotifyEnvConfigSpec extends AnyFunSuite {
     assert(cfg.clientId === "cid" && cfg.clientSecret === "sec" &&
       cfg.refreshToken === "rt")
     // spotify-etl.py:26's postgresql://u:pw@host:port/defaultdb?sslmode=require
+    // — credentials travel as connection PROPERTIES, not URL params, so a
+    // password containing '&'/'=' can't break the URL and Spark's JDBC
+    // password redaction still applies (round-7 ADVICE)
     assert(cfg.jdbcUrl === Some(
-      "jdbc:postgresql://db.example.test:26257/defaultdb" +
-        "?user=u&password=pw&sslmode=require"))
+      "jdbc:postgresql://db.example.test:26257/defaultdb?sslmode=require"))
+    assert(cfg.jdbcProperties === Map("user" -> "u", "password" -> "pw"))
+  }
+
+  test("credentials with URL metacharacters survive as properties verbatim") {
+    val cfg = SpotifyEnvConfig.fromEnv(full + ("DB_PASSWORD" -> "p&w=%2 0"))
+    assert(cfg.jdbcUrl.get.endsWith("/defaultdb?sslmode=require"))
+    assert(cfg.jdbcProperties("password") === "p&w=%2 0")
   }
 
   test("a missing SPOTIFY_* variable fails loudly, naming the variable") {
