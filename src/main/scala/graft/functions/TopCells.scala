@@ -31,9 +31,10 @@ import org.apache.spark.sql.types._
   * (never per row). Build via [[TopCells.broadcastOf]]. The driver still
   * materializes the k-row codebook to create the broadcast — that is the
   * codebook itself (k·dim·8 B ≈ 4 GB at k = 8M·64d, the standard
-  * host-trained coarse-quantizer shape); past that, a two-level IMI
-  * quantizer (√k top cells, per-cell sub-codebooks) replaces the flat
-  * scan — the documented next rung, same expression contract per level.
+  * host-trained coarse-quantizer shape); past
+  * [[graft.operators.Ann.FlatMaxCells]] cells the two-level IMI quantizer
+  * ([[TwoLevelCells]], round 7 — √k top cells, per-cell sub-codebooks)
+  * replaces this flat scan, same expression contract per level.
   *
   * MATH CONTRACT (bit-compatible with the [[CosineSimilarity]] +
   * `array_max`-over-structs path it replaces, which the DuckDB oracles

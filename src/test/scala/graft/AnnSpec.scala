@@ -133,6 +133,73 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"PQ index below the measured (16,64) floor: recall $recall%.2f")
   }
 
+  test("quantizerFor picks flat at driver SFs; forced two-level trains the IMI shape") {
+    // the size switch is the oracle-stability contract (round 7, VERDICT
+    // item 1): k = 16 at every driver SF, far below FlatMaxCells, so every
+    // oracle replays the flat path byte-identically
+    assert(Ann.quantizerFor(spark, sf).isInstanceOf[Ann.FlatQuantizer])
+    val qz = Ann.quantizerFor(spark, sf, flatMax = 1)
+    assert(qz.isInstanceOf[Ann.TwoLevelQuantizer], "flatMax=1 must force IMI")
+    val imi = qz.asInstanceOf[Ann.TwoLevelQuantizer]
+    // k = 16 -> kTop = 4 top cells, subK = 4 sub-centroids each
+    assert(imi.top.size === 4 && imi.subK === 4 && imi.numCells === 16)
+    assert(imi.sub.size === 16 && imi.sub.forall(_.size === Ann.Dim))
+  }
+
+  test("two-level assign/probe laws: total, in-range, probe(1) == assign, distinct probes") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val n = e.count()
+    val imi = Ann.quantizerFor(spark, sf, flatMax = 1)
+    val asg = imi.assign(spark, e).collect()
+    assert(asg.length.toLong === n, "assignment must be total — one row per vector")
+    assert(asg.forall { r =>
+      val cid = r.getLong(2); cid >= 0 && cid < imi.numCells
+    })
+    val p1 = imi.probe(spark, e, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(asg.forall(r => p1(r.getLong(0)) === r.getLong(2)),
+      "probe(1) must return exactly the assigned cell")
+    val p4 = imi.probe(spark, e.filter(col("vec_id") < 5), 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq)
+    assert(p4.values.forall(cids => cids.size === 4 && cids.distinct.size === 4),
+      "probe(4) must emit 4 distinct cells per query")
+  }
+
+  test("two-level assignment agrees with a flat scan over the same leaves (approximation quality)") {
+    // the IMI approximation probe: restrict the flat scan to the IMI's OWN
+    // leaf codebook — disagreement can then only come from the true best
+    // leaf hiding under a non-probed top cell, which TopProbe exists to
+    // bound. Measured agreement is logged for round-over-round tracking.
+    val e = Tables.t(spark, sf, "embeddings")
+    val imi = Ann.quantizerFor(spark, sf, flatMax = 1)
+      .asInstanceOf[Ann.TwoLevelQuantizer]
+    val leafCents = imi.sub.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    val flatLeaf = Ann.assignTo(spark, e, leafCents).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val twoLevel = imi.assign(spark, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val agree = twoLevel.count { case (v, c) => flatLeaf(v) == c }
+    val rate = agree.toDouble / twoLevel.size
+    info(f"IMI-vs-flat leaf agreement on sf0.001 (kTop=4, TopProbe=${Ann.TopProbe}): $rate%.3f")
+    assert(rate >= 0.8, f"two-level assignment strayed too far from flat: $rate%.3f")
+  }
+
+  test("two-level training is bit-identical across recomputation") {
+    val a = Ann.quantizerFor(spark, sf, flatMax = 1).asInstanceOf[Ann.TwoLevelQuantizer]
+    val b = Ann.quantizerFor(spark, sf, flatMax = 1).asInstanceOf[Ann.TwoLevelQuantizer]
+    assert(a.top === b.top && a.sub === b.sub && a.subK === b.subK)
+  }
+
+  test("two-level assignment plan: one two_level_cells projection, no Exchange") {
+    val e = Tables.t(spark, sf, "embeddings")
+    val imi = Ann.quantizerFor(spark, sf, flatMax = 1)
+    val plan = imi.assign(spark, e).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"two-level assignment must be a pure projection:\n$plan")
+    assert(plan.contains("two_level_cells"),
+      s"assignment must run through the native IMI expression:\n$plan")
+  }
+
   test("refined centroids are bit-identical across recomputation") {
     val a = Ann.kmeansCentroids(spark, sf)
     val b = Ann.kmeansCentroids(spark, sf)

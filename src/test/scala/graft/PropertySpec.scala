@@ -398,6 +398,74 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TwoLevelCells: plan size is independent of the codebook size (two broadcast handles)") {
+    // the round-7 IMI quantizer inherits TopCells' round-6 done-criterion:
+    // k leaves must not grow the plan — both matrices travel as broadcasts
+    import graft.functions.{pq, TwoLevelCells}
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    def planLen(kTop: Int, subK: Int): Int = {
+      val top = samples(vecGen, kTop).map(_.toVector).toVector
+      val sub = samples(vecGen, kTop * subK).map(_.toVector).toVector
+      val factory = TwoLevelCells.broadcastOf(spark, top, sub, subK, 3, 3, 1e12)
+      pq.register(spark, s"tlc_sz_${kTop}_$subK", exprs => factory(exprs.head))
+      Seq(Seq.fill(8)(0.1f)).toDF("embedding")
+        .select(call_function(s"tlc_sz_${kTop}_$subK", col("embedding")).as("c"))
+        .queryExecution.analyzed.toString.length
+    }
+    val small = planLen(3, 3)
+    val big = planLen(16, 16)
+    assert(math.abs(big - small) <= 64,
+      s"plan text grew with the leaf count: 9 -> $small chars, 256 -> $big")
+  }
+
+  test("TwoLevelCells: interpreted == codegen == scala reference (probe order law)") {
+    // dual-path law plus the full selection contract: candidates are the
+    // sub-codebooks of the pTop best top cells, ranked globally
+    // (quantized cosine DESC, leaf cid ASC) — the explicit (q, cid)
+    // comparator must break CROSS-top-cell ties toward the smaller cid
+    // even though candidates arrive in top-cell quality order.
+    import graft.functions.{pq, TwoLevelCells}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    val kTop = 4; val subK = 3; val pTop = 2; val topN = 4
+    val top: Vector[Vector[Float]] = samples(vecGen, kTop).map(_.toVector).toVector
+    val sub: Vector[Vector[Float]] =
+      samples(vecGen, kTop * subK).map(_.toVector).toVector
+    val rows: Seq[Seq[Float]] = samples(vecGen, 40).map(_.toSeq)
+    val factory = TwoLevelCells.broadcastOf(spark, top, sub, subK, pTop, topN, 1e12)
+    pq.register(spark, "tlc_prop", exprs => factory(exprs.head))
+    val viaCodegen = rows.toDF("embedding")
+      .select(call_function("tlc_prop", col("embedding")).as("c"))
+      .collect().map(_.getSeq[Int](0).toVector).toSeq
+    val direct = rows.map { v =>
+      factory(org.apache.spark.sql.catalyst.expressions.Literal(0))
+        .nullSafeEval(new GenericArrayData(v.toArray))
+        .asInstanceOf[GenericArrayData].toIntArray().toVector
+    }
+    assert(viaCodegen === direct)
+    def qcos(v: Seq[Float], c: Vector[Float]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- v.indices) {
+        dot += v(i).toDouble * c(i).toDouble
+        nx += v(i).toDouble * v(i).toDouble
+        ny += c(i).toDouble * c(i).toDouble
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      math.floor((if (den == 0.0) 0.0 else dot / den) * 1e12).toLong
+    }
+    for ((v, got) <- rows.zip(direct)) {
+      val probedTops = (0 until kTop)
+        .map(t => (qcos(v, top(t)), t)).sortBy { case (q, t) => (-q, t) }
+        .take(pTop).map(_._2)
+      val want = probedTops
+        .flatMap(t => (t * subK until (t + 1) * subK))
+        .map(cid => (qcos(v, sub(cid)), cid))
+        .sortBy { case (q, cid) => (-q, cid) }
+        .take(topN).map(_._2).toVector
+      assert(got === want)
+    }
+  }
+
   /** Write a planted documents corpus and return its dir (the
     * q_dedup_incremental pattern, shared by the round-4 planted-law tests). */
   private def plantDocs(rows: Seq[(Long, String, String, String)]): String = {
