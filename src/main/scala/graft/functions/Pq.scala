@@ -114,53 +114,81 @@ case class PqEncode(
     copy(child = newChild)
 }
 
-/** Asymmetric-distance (ADC) scorer over PQ codes: Σ_m lut[m·Ks + code_m],
-  * an exact integer sum of the per-subspace quantized distances one query
-  * precomputed against every codeword (the lookup table is a driver-side
-  * reference object — [[PqEncode]]'s companion on the query side, one node
-  * instead of M `element_at`s over M×Ks literal arrays). Null in → null
-  * out; a code outside [0, Ks) cannot occur by construction ([[PqEncode]]
-  * emits argmin ids). */
-case class PqAdc(
-    child: Expression,
-    lut: Vector[Long],
+/** Asymmetric-distance (ADC) scorer over PQ codes, multi-query form
+  * (round 7, VERDICT item 7): `Σ_m lut[q·M·Ks + m·Ks + code_m]`, an exact
+  * integer sum of the per-subspace quantized distances each query
+  * precomputed against every codeword — ONE registered function for ANY
+  * number of queries, replacing the round-4 shape that registered
+  * `pq_adc_$qi` per query (a linear session-registry leak) and carried
+  * each query's LUT as a separate plan reference. The stacked lookup
+  * table — query-major slabs, then subspace-major — travels as ONE
+  * BROADCAST (the [[TopCells]] round-6 contract), the queries travel as a
+  * broadcast RELATION carrying their slab index, and scoring is
+  * `pq_adc_multi(codes, qidx)`. Null in → null out (either argument); a
+  * code outside [0, Ks) cannot occur by construction ([[PqEncode]] emits
+  * argmin ids). */
+case class PqAdcMulti(
+    left: Expression,
+    right: Expression,
+    lut: org.apache.spark.broadcast.Broadcast[Array[Long]],
     numSubspaces: Int,
     ks: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
 
-  @transient private lazy val flat: Array[Long] = lut.toArray
+  @transient private lazy val flat: Array[Long] = lut.value
 
-  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def inputTypes = Seq(ArrayType(IntegerType), IntegerType)
   override def dataType: DataType = LongType
-  override def prettyName: String = "pq_adc"
+  override def prettyName: String = "pq_adc_multi"
 
-  override def nullSafeEval(a: Any): Any = {
-    val codes = a.asInstanceOf[ArrayData]
+  override def nullSafeEval(codesAny: Any, qidxAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val base = qidxAny.asInstanceOf[Int] * numSubspaces * ks
     var total = 0L
     var m = 0
     while (m < numSubspaces) {
-      total += flat(m * ks + codes.getInt(m))
+      total += flat(base + m * ks + codes.getInt(m))
       m += 1
     }
     total
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val lutRef = ctx.addReferenceObj("pqLut", flat, "long[]")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = "org.apache.spark.broadcast.Broadcast"
+    val lutRef = ctx.addReferenceObj("pqLutBc", lut, bcCls)
+    val lutArr = ctx.addMutableState("long[]", "pqLutAll",
+      v => s"$v = (long[]) (($bcCls) $lutRef).value();")
+    nullSafeCodeGen(ctx, ev, (codes, qidx) => {
       val m = ctx.freshName("m")
+      val base = ctx.freshName("base")
       val total = ctx.freshName("total")
       s"""
+         |final int $base = $qidx * ${numSubspaces * ks};
          |long $total = 0L;
          |for (int $m = 0; $m < $numSubspaces; $m++) {
-         |  $total += $lutRef[$m * $ks + $a.getInt($m)];
+         |  $total += $lutArr[$base + $m * $ks + $codes.getInt($m)];
          |}
          |${ev.value} = $total;
        """.stripMargin
     })
+  }
 
-  override protected def withNewChildInternal(newChild: Expression): PqAdc =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcMulti =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdcMulti {
+  /** Broadcast the stacked LUT once and return the two-arg factory. */
+  def broadcastOf(
+      spark: org.apache.spark.sql.SparkSession,
+      lut: Vector[Long],
+      numSubspaces: Int,
+      ks: Int): (Expression, Expression) => PqAdcMulti = {
+    val bc = spark.sparkContext.broadcast(lut.toArray)
+    (codes, qidx) => PqAdcMulti(codes, qidx, bc, numSubspaces, ks)
+  }
 }
 
 /** Registry front door for the PQ expressions: the codebook/lookup-table is

@@ -101,14 +101,16 @@ class AnnSpec extends AnyFunSuite {
     assert(recall > 0.0, "multi-probe found none of the true neighbors")
   }
 
-  test("PQ recall@3 vs brute-force L2 is measured") {
+  test("PQ recall@3 vs brute-force L2 clears the servable-index bar") {
     // PQ approximates EUCLIDEAN distance (ADC sums subspace d²), so its
     // ground truth is the exhaustive L2 top-3 — not the cosine truth the
     // IVF/LSH evals use. Uniform random 64-dim data is PQ's worst case
-    // (no manifold structure), so even the Lloyd-trained (M=16, Ks=64)
-    // geometry is modest here — the sweep that chose it is recorded at
-    // Ann.NumSubspaces; the eval records recall so a codebook change shows
-    // up as a tracked delta (chance level: 3 draws of 499 ≈ 0.006).
+    // (no manifold structure): ADC alone measured recall@3 = 0.40 with
+    // the Lloyd-trained (M=16, Ks=64) geometry. Round 7 adds the standard
+    // refinement (VERDICT item 2) — ADC keeps the top-RescoreR candidates,
+    // whose full vectors are re-ranked by the exact quantized L2 — so the
+    // served top-3 must now clear the 0.9 "usable index" bar the IVF eval
+    // uses (chance level: 3 draws of 499 ≈ 0.006).
     import org.apache.spark.sql.Row
     val e = Tables.t(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 5)
@@ -126,11 +128,11 @@ class AnnSpec extends AnyFunSuite {
       .select(col("query_id"), col("neighbor_id")).collect()
       .map { case Row(q: Long, n: Long) => (q, n) }.toSet
     val pq = Registry.byName("q_sim_ann_pq").run(spark, sf).collect()
-      .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = pq.intersect(brute).size.toDouble / brute.size
-    info(f"PQ recall@3 on sf0.001 (vs brute L2): $recall%.2f")
-    // chance level: 3 draws of 499 ≈ 0.006 — any real signal clears 0.2
-    assert(recall >= 0.3, f"PQ index below the measured (16,64) floor: recall $recall%.2f")
+    info(f"PQ recall@3 on sf0.001 (ADC top-30 + exact rescore, vs brute L2): $recall%.2f")
+    assert(recall >= 0.9,
+      f"rescored PQ must reach recall@3 >= 0.9, got $recall%.2f")
   }
 
   test("quantizerFor picks flat at driver SFs; forced two-level trains the IMI shape") {

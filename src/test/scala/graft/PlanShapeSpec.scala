@@ -188,16 +188,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"SCD2 needs exactly the custkey window exchange:\n$p")
   }
 
-  test("q_sim_ann_pq: encode is scan-side — no exchange below the per-query top-k window") {
+  test("q_sim_ann_pq: encode scan-side, ONE query-keyed exchange serving shortlist + rescore") {
     // both encode passes are single projections (PqEncode reference-object
-    // loop); the only exchanges are the training 1024-group agg (separate
-    // job) and the query_id top-k window here
+    // loop); ADC scoring is one pq_adc_multi projection against the
+    // broadcast query relation; the ADC shortlist is rank-limited MAP-SIDE
+    // (partial WindowGroupLimit) before the one query_id exchange, whose
+    // partitioning the exact-rescore top-k window then REUSES (no second
+    // hash exchange); both rescore joins (survivor embeddings, query
+    // vectors) are broadcast — a shuffled join here would re-exchange the
+    // corpus for a bounded R·queries shortlist
     val p = plan("q_sim_ann_pq")
     assert(p.contains("pq_encode"), s"native encoder missing from plan:\n$p")
-    assert(!p.contains("Join"), s"PQ scoring must not join:\n$p")
+    assert(p.contains("pq_adc_multi"), s"stacked-LUT ADC missing from plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rescore joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"ADC shortlist lost its map-side rank limit:\n$p")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1,
-      s"PQ needs exactly the top-k window exchange, found $exchanges:\n$p")
+      s"PQ needs exactly the shared query_id window exchange, found $exchanges:\n$p")
   }
 
   test("q_set_overlap_kmv: bottom-k is rank-limited map-side before the source exchange") {
