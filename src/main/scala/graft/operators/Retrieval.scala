@@ -34,12 +34,31 @@ object Retrieval {
       dl: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame,
       qterms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bm25FromTf(
+      words.join(broadcast(qterms), "word")
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf")),
+      dl, stats)
+
+  /** BM25 over a PRE-COUNTED (doc_id, word, tf) postings relation — the
+    * index-backed entry (round 7, VERDICT item 3): q_retrieval_queryexp
+    * feeds both feedback rounds from ONE persisted tf index instead of
+    * re-exploding the corpus per pass. Same chain from tf down, so the
+    * two entries produce identical scores by construction. */
+  private def bm25FromIdx(idx: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame,
+      qterms: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    bm25FromTf(idx.join(broadcast(qterms), "word"), dl, stats)
+
+  private def bm25FromTf(tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val M = 1L << 30
     val H = 1L << 31
-    val tf = words.join(broadcast(qterms), "word")
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
     var idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("word"), col("df"),
@@ -542,11 +561,23 @@ object Retrieval {
     // word tie-break (R1); both scoring rounds inherit q_retrieval_bm25's
     // transcendental-free contract; display score ONE IEEE division (R7).
     //
-    // Plan shape (100 TB): the round-1 top-10 and the ≤5 expansion terms
-    // are model-sized broadcasts; each round is the BM25 shape (postings
-    // semi-joined before any agg). The exploded corpus is read per pass
-    // (3 passes) — an index-backed deployment replaces the re-scans with
-    // q_index_postings lookups, same chain downstream.
+    // Plan shape (100 TB, round-7 rewrite — VERDICT item 3): the corpus
+    // TEXT is scanned exactly ONCE, into the persisted tf INDEX
+    // (doc_id, word, tf) — q_index_postings' artifact shape with term
+    // frequencies (in production it is written to parquet once and both
+    // rounds semi-join the files; here Caches.persist stands in for the
+    // written index). Everything downstream derives from the index:
+    // per-doc length dl = Σ tf (exact — every token is counted), corpus
+    // stats from dl, BOTH BM25 rounds via bm25FromIdx (the tf rows are
+    // pre-counted, so a round is semi-join + idf chain + score agg — no
+    // re-explode), and the feedback vote reads index rows for the 10
+    // feedback docs (already distinct per (doc, word) by construction).
+    // The round-6 shape re-exploded the corpus per pass — 3.1× for 10×
+    // data on the ×10 stress, the worst entry; the index is also ~10×
+    // smaller than the raw token stream (tf collapses repeats and drops
+    // positions). The round-1 top-10 and the ≤5 expansion terms remain
+    // model-sized broadcasts, and persisting q2 truncates the ENTIRE
+    // round-1 lineage out of round 2's plan.
     GQ(
       "q_retrieval_queryexp",
       (s, d) => {
@@ -554,27 +585,26 @@ object Retrieval {
         val corpus = docs.filter(col("doc_id") =!= 0)
         val qterms = docs.filter(col("doc_id") === 0)
           .select(explode(split(col("text"), " ")).as("word")).distinct()
-        // persisted: words feeds r1-tf, the feedback vote, and r2-tf;
-        // dl feeds stats + both rounds' length joins — and persisting q2
-        // truncates the ENTIRE round-1 lineage out of round 2's plan
-        // (without these the printed plan carried 25 corpus scan sites)
-        val words = graft.Caches.persist(corpus
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
-        val dl = graft.Caches.persist(corpus.select(col("doc_id"),
-          size(split(col("text"), " ")).cast(LongType).as("dl")))
+        // THE one corpus pass: explode → (doc, word) tf agg → persist
+        val idx = graft.Caches.persist(corpus
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")))
+        val dl = graft.Caches.persist(idx.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).cast(LongType).as("dl")))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
-        val fb = bm25Rank(words, dl, stats, qterms)
+        val fb = bm25FromIdx(idx, dl, stats, qterms)
           .orderBy(col("score_q").desc, col("doc_id")).limit(10)
           .select(col("doc_id"))
-        val expansion = words.join(broadcast(fb), "doc_id")
-          .select(col("doc_id"), col("word")).distinct()
+        val expansion = idx.join(broadcast(fb), "doc_id")
+          .select(col("doc_id"), col("word"))
           .join(qterms, Seq("word"), "left_anti")
           .groupBy(col("word")).agg(count(lit(1)).as("fdf"))
           .filter(col("fdf") >= 3)
           .orderBy(col("fdf").desc, col("word")).limit(5)
           .select(col("word"))
         val q2 = graft.Caches.persist(qterms.union(expansion).distinct())
-        bm25Rank(words, dl, stats, q2)
+        bm25FromIdx(idx, dl, stats, q2)
           .select(col("doc_id"), col("n_terms"), col("score_q"),
             (col("score_q").cast(DoubleType) / lit(1024.0)).as("score_bits"))
           .orderBy(col("score_q").desc, col("doc_id"))

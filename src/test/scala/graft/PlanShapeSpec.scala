@@ -208,6 +208,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"PQ needs exactly the shared query_id window exchange, found $exchanges:\n$p")
   }
 
+  test("q_retrieval_queryexp: ONE corpus scan total — both BM25 rounds read the tf index") {
+    // round 7 (VERDICT item 3): the corpus text feeds the persisted
+    // (doc_id, word, tf) index exactly once; round 1, the feedback vote,
+    // and round 2 all semi-join that index — a second corpus-wide scan
+    // (PushedFilters Not(EqualTo(doc_id,0))) means a round went back to
+    // re-exploding the text. The query row's own scans (EqualTo(doc_id,0),
+    // pushdown-pruned to one document) are exempt: that is the QUERY, not
+    // the corpus. Formatted mode: the simple plan string collapses reused
+    // subtrees and under-counts scan sites (ScanAudit's lesson).
+    val p = Registry.byName("q_retrieval_queryexp").run(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val corpusScans = "Not\\(EqualTo\\(doc_id,0\\)\\)".r.findAllIn(p).size
+    assert(corpusScans == 1,
+      s"expected exactly 1 corpus-wide documents scan, found $corpusScans:\n$p")
+  }
+
   test("q_set_overlap_kmv: bottom-k is rank-limited map-side before the source exchange") {
     // WindowGroupLimit(partial) keeps each task's local 16 smallest hashes,
     // so the source-keyed exchange carries ≤16 rows per (task, source) —
