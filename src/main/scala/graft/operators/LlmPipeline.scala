@@ -217,6 +217,137 @@ object LlmPipeline {
     Stages(base, s1, s01Rows, s2, s3, s4, s5, splitRows)
   }
 
+  /** The INCREMENTAL (daily-run) ledger (round 7, VERDICT item 4): a NEW
+    * batch flows through the same staged gates AGAINST the indexed
+    * survivor corpus, emitting per-stage DELTA rows plus the index/corpus
+    * reconciliation rows. `docs` is the full corpus relation, `isNew`
+    * selects the batch (everything else is the already-ingested index),
+    * `benchDocs` the decontamination benchmark.
+    *
+    * Stage semantics (chosen so ingesting doc_id-ordered batches FOLDS to
+    * the full run — the PropertySpec law):
+    *  - d0_batch / d1_quality: the batch funnel head (scan-side gates).
+    *  - d2_exact: in-batch exact dedup (min doc_id per text, the full
+    *    rule) MINUS texts already in the index survivor corpus — the
+    *    (digest, text) anti-join; like q_dedup_exact, equality is
+    *    confirmed on the BYTES (a digest-trusting deployment would key on
+    *    q_text_fingerprint's md5 instead and move no text).
+    *  - d3_neardup: d2 survivors that near-dup (band candidates + exact
+    *    shingle-Jaccard ≥ Tau) against ANY index survivor, or against a
+    *    SMALLER-id batch survivor, drop — the asymmetric
+    *    q_dedup_incremental join: candidate volume tracks the BATCH'S
+    *    band buckets, never index².
+    *  - d4_decontam: the benchmark-gram gate (per-doc, composes freely).
+    *  - i2_index / c2_corpus: the survivor state diffed against, and the
+    *    post-ingest state (i2 ∪ d2) tomorrow's run will load —
+    *    self-reconciling in the output: c2 = i2 + d2 on counts/tokens and
+    *    i2 XOR d2 on the membership fingerprint.
+    *
+    * Mix/split are deliberately NOT incremental: their thresholds are
+    * GLOBAL state (per-lang token shares of the cumulative corpus), so a
+    * daily run recomputes them over the reconciled state — exactly
+    * q_llm_pipeline's s5/s6 on c2's successor stages.
+    *
+    * At 100 TB the index states (i2's digest-keyed texts, its shingle
+    * sets/signatures) are yesterday's WRITTEN artifacts; here they are
+    * recomputed from the index relation so the DuckDB oracle can replay
+    * the whole contract from the raw table. */
+  private[graft] def incrementalLedger(
+      s: SparkSession, docs: DataFrame, isNew: Column,
+      benchDocs: DataFrame): DataFrame = {
+    // index state: the exact-dedup survivor corpus the run diffs against
+    val idxBase = measured(docs.filter(!isNew)).withColumn("q", qualityGate)
+    val idxS2 = Caches.persist(measured(
+      Dedup.digestClustered(idxBase.filter(col("q"))
+        .select(col("doc_id"), col("lang"), col("text")))
+        .groupBy(col("h"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"))
+        .select(col("doc_id"), col("lang"), col("text"))))
+
+    // batch funnel head: both delta ledger rows from ONE batch pass
+    val batchBase = measured(docs.filter(isNew)).withColumn("q", qualityGate)
+    val d01Rows = batchBase
+      .agg(
+        count(lit(1)).as("n0"),
+        coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+        coalesce(bit_xor(col("fp")), lit(0L)).as("f0"),
+        coalesce(sum(when(col("q"), lit(1L))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("q"), col("n_tok"))), lit(0L)).as("t1"),
+        coalesce(bit_xor(when(col("q"), col("fp"))), lit(0L)).as("f1"))
+      .select(explode(array(
+        struct(lit("d0_batch").as("stage"), col("n0").as("n_docs"),
+          col("t0").as("n_tokens"), col("f0").as("membership_fp")),
+        struct(lit("d1_quality").as("stage"), col("n1").as("n_docs"),
+          col("t1").as("n_tokens"), col("f1").as("membership_fp")))).as("r"))
+      .select(col("r.stage"), col("r.n_docs"), col("r.n_tokens"),
+        col("r.membership_fp"))
+
+    // d2 — in-batch exact dedup, then drop texts the index already holds
+    val b2within = Dedup.digestClustered(batchBase.filter(col("q"))
+      .select(col("doc_id"), col("lang"), col("text")))
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"))
+      .select(col("h"), col("text"), col("doc_id"), col("lang"))
+    val idxKeyed = idxS2.select(xxhash64(col("text")).as("h"), col("text"))
+    val d2 = Caches.persist(measured(
+      b2within.join(idxKeyed, Seq("h", "text"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("text"))))
+    val narrowD2 = d2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
+    val narrowI2 = idxS2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
+
+    // d3 — asymmetric near-dup: batch bands probe (index ∪ smaller-batch)
+    // bands; exact shingle-Jaccard ≥ Tau verifies over hashed-long sets
+    val itemsIdx = Dedup.shingleItemsOf(idxS2)
+    val itemsNew = Dedup.shingleItemsOf(d2)
+    val blIdx = Dedup.bandRows(Dedup.signaturesOf(itemsIdx))
+    val blNew = Dedup.bandRows(Dedup.signaturesOf(itemsNew))
+    val candIdx = blNew.as("n")
+      .join(blIdx.as("i"),
+        col("n.bpos") === col("i.bpos") && col("n.bkey") === col("i.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("p_id"))
+    val candNew = blNew.as("a")
+      .join(blNew.as("b"),
+        col("a.bpos") === col("b.bpos") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("p_id"))
+    val cand = candIdx.unionByName(candNew).distinct()
+    val sets = itemsIdx.unionByName(itemsNew)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(xxhash64(col("item"))).as("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val drops = cand
+      .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sa")), "new_id")
+      .join(sets.select(col("doc_id").as("p_id"), col("sh").as("sb")), "p_id")
+      .filter((inter / (size(col("sa")) + size(col("sb")) - inter)) >= Dedup.Tau)
+      .select(col("new_id").as("doc_id")).distinct()
+    val d3 = Caches.persist(narrowD2.join(drops, Seq("doc_id"), "left_anti"))
+
+    // d4 — decontamination: same broadcast benchmark-gram gate as the full run
+    val bench = Grams.kgramRows(benchDocs, 3, Seq())
+      .select(col("item").as("gram")).distinct()
+    val contaminated = itemsNew
+      .join(d3.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("item").as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val d4 = d3.join(contaminated, Seq("doc_id"), "left_anti")
+
+    Seq(
+      d01Rows,
+      ledgerRow("d2_exact", narrowD2),
+      ledgerRow("d3_neardup", d3),
+      ledgerRow("d4_decontam", d4),
+      ledgerRow("i2_index", narrowI2),
+      ledgerRow("c2_corpus", narrowI2.unionByName(narrowD2)))
+      .reduce(_.unionAll(_))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens + 511) DIV 512").as("n_chunks"),
+        col("membership_fp"))
+      .orderBy(col("stage"))
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_llm_pipeline",
@@ -298,6 +429,88 @@ object LlmPipeline {
            |  UNION ALL SELECT stage, COUNT(*) AS n_docs,
            |    COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens,
            |    COALESCE(bit_xor(fp), 0) AS membership_fp FROM s6 GROUP BY stage)
+           |SELECT stage, n_docs, n_tokens,
+           |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+           |  membership_fp
+           |FROM led ORDER BY stage""".stripMargin
+      }
+    ),
+    // The daily-run shape (round 7): the q_dedup_incremental batch
+    // convention (doc_id % 10 = 0 is today's ingest, the rest is the
+    // already-indexed corpus) flowing through the staged gates — see
+    // [[incrementalLedger]] for the stage semantics, the fold-to-full-run
+    // law (PropertySpec), and why mix/split stay cumulative.
+    GQ(
+      "q_llm_pipeline_incremental",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        incrementalLedger(s,
+          docs.filter(col("doc_id") >= 4),
+          pmod(col("doc_id"), lit(10L)) === 0L,
+          docs.filter(col("doc_id") < 4))
+      },
+      Some {
+        val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+        val fpOf = XHash.sqlH60("CAST(doc_id AS VARCHAR) || ':' || text")
+        val gramList =
+          """CASE WHEN len(string_split(text, ' ')) >= 3
+            |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+            |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+            |    ELSE [text] END""".stripMargin
+        val row = (stage: String, rel: String) =>
+          s"""SELECT '$stage' AS stage, COUNT(*) AS n_docs,
+             |  COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens,
+             |  COALESCE(bit_xor(fp), 0) AS membership_fp FROM $rel""".stripMargin
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp,
+           |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+           |     AND CAST(len(list_filter(string_split(text, ' '),
+           |           w -> w IN ($stops))) AS DOUBLE)
+           |         / len(string_split(text, ' ')) <= 0.3
+           |    THEN 1 ELSE 0 END AS q
+           |  FROM documents WHERE doc_id >= 4),
+           |bb AS (SELECT * FROM base WHERE doc_id % 10 = 0),
+           |ib1 AS (SELECT * FROM base WHERE doc_id % 10 <> 0 AND q = 1),
+           |i2g AS (SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+           |    text FROM ib1 GROUP BY text),
+           |i2 AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp FROM i2g),
+           |b1 AS (SELECT * FROM bb WHERE q = 1),
+           |b2g AS (SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+           |    text FROM b1 GROUP BY text),
+           |d2 AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp FROM b2g
+           |  WHERE text NOT IN (SELECT text FROM i2)),
+           |u AS (SELECT doc_id, text FROM i2
+           |  UNION ALL SELECT doc_id, text FROM d2),
+           |${Dedup.sqlVerifiedEdgesCtes("u", "ver")},
+           |nd AS (SELECT b_id AS doc_id FROM ver
+           |    WHERE b_id IN (SELECT doc_id FROM d2)
+           |  UNION
+           |  SELECT a_id FROM ver
+           |    WHERE a_id IN (SELECT doc_id FROM d2)
+           |      AND b_id IN (SELECT doc_id FROM i2)),
+           |d3 AS (SELECT * FROM d2
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+           |bg AS (SELECT DISTINCT unnest($gramList) AS gram
+           |  FROM documents WHERE doc_id < 4),
+           |cg AS (SELECT doc_id, unnest($gramList) AS gram FROM d3),
+           |cont AS (SELECT DISTINCT cg.doc_id AS doc_id FROM cg
+           |  JOIN bg USING (gram)),
+           |d4 AS (SELECT * FROM d3
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |c2 AS (SELECT n_tok, fp FROM i2
+           |  UNION ALL SELECT n_tok, fp FROM d2),
+           |led AS (${row("d0_batch", "bb")}
+           |  UNION ALL ${row("d1_quality", "b1")}
+           |  UNION ALL ${row("d2_exact", "d2")}
+           |  UNION ALL ${row("d3_neardup", "d3")}
+           |  UNION ALL ${row("d4_decontam", "d4")}
+           |  UNION ALL ${row("i2_index", "i2")}
+           |  UNION ALL ${row("c2_corpus", "c2")})
            |SELECT stage, n_docs, n_tokens,
            |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
            |  membership_fp

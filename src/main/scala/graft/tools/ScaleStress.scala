@@ -140,7 +140,11 @@ object ScaleStress {
     // deduped survivors: total cost must stay corpus-linear (its fixed
     // ~2-3 s composition overhead — codegen + AQE stage scheduling for
     // the 9-branch ledger — shrinks RELATIVE to data work as sf grows)
-    "q_llm_pipeline")
+    "q_llm_pipeline",
+    // round 7: the daily-run delta — batch-sized near-dup probe against
+    // the index bands; cost must track the BATCH (10% of corpus), with
+    // the index-state recompute the only corpus-sized term
+    "q_llm_pipeline_incremental")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

@@ -398,6 +398,58 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q_llm_pipeline_incremental: full run = fold of doc_id-ordered incremental runs") {
+    // THE round-7 reconciliation law (VERDICT item 4): partition the corpus
+    // into doc_id-ordered batches, ingest them through incrementalLedger
+    // one at a time (run i's index = batches 1..i-1), and the folded deltas
+    // must equal the full q_llm_pipeline ledger EXACTLY — counts and token
+    // sums add, membership fingerprints XOR. Stage by stage: d0/d1 fold to
+    // s0/s1 trivially (disjoint scans); d2 folds because min-id-per-text
+    // respects doc_id order across ordered batches; d3 folds because every
+    // full-run drop partner a < b lives in b's batch or an earlier one, and
+    // the batch rule (any-index partner OR smaller in-batch partner)
+    // coincides exactly under ordered batches; d4 is a per-doc gate. The
+    // last run's c2_corpus must equal the full run's s2 state, and every
+    // run must self-reconcile (c2 = i2 ⊕ d2).
+    import graft.operators.LlmPipeline
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 4)
+    val bench = docs.filter(col("doc_id") < 4)
+    val cuts = Seq(4L, 170L, 340L, Long.MaxValue)
+    type Led = Map[String, (Long, Long, Long)]
+    def toMapLed(rows: Array[org.apache.spark.sql.Row]): Led =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    val runs: Seq[Led] = (0 until 3).map { i =>
+      val led = toMapLed(LlmPipeline.incrementalLedger(
+        spark,
+        corpus.filter(col("doc_id") < cuts(i + 1)),
+        col("doc_id") >= cuts(i),
+        bench).collect())
+      graft.Caches.release(spark)
+      led
+    }
+    // every batch must be non-trivial for the law to mean anything
+    assert(runs.forall(_("d0_batch")._1 > 0), s"degenerate batch split: $runs")
+    // self-reconciliation inside each run: c2 = i2 (+, XOR) d2
+    for (r <- runs) {
+      assert(r("c2_corpus")._1 === r("i2_index")._1 + r("d2_exact")._1)
+      assert(r("c2_corpus")._2 === r("i2_index")._2 + r("d2_exact")._2)
+      assert(r("c2_corpus")._3 === (r("i2_index")._3 ^ r("d2_exact")._3))
+    }
+    def fold(stage: String): (Long, Long, Long) =
+      runs.map(_(stage)).reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 ^ b._3))
+    val full = toMapLed(Registry.byName("q_llm_pipeline").run(spark, sf).collect())
+    graft.Caches.release(spark)
+    assert(fold("d0_batch") === full("s0_corpus"))
+    assert(fold("d1_quality") === full("s1_quality"))
+    assert(fold("d2_exact") === full("s2_exact"))
+    assert(fold("d3_neardup") === full("s3_neardup"))
+    assert(fold("d4_decontam") === full("s4_decontam"))
+    // the post-ingest state after the last batch IS the full s2 corpus
+    assert(runs.last("c2_corpus") === full("s2_exact"))
+  }
+
   test("TwoLevelCells: plan size is independent of the codebook size (two broadcast handles)") {
     // the round-7 IMI quantizer inherits TopCells' round-6 done-criterion:
     // k leaves must not grow the plan — both matrices travel as broadcasts
