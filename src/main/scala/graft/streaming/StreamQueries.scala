@@ -70,9 +70,11 @@ object StreamQueries {
     }
   }
 
-  /** Run `body` (a bounded streaming execution) with the session's shuffle
+  /** A PRIVATE session for one bounded streaming run, with the shuffle
     * partitions — which fix the STATE STORE partition count at stream
-    * start — temporarily sized to the state volume, then restore.
+    * start — sized to the state volume. The stream must start AND its
+    * memory sink be read on the returned session (the sink registers in
+    * its session's catalog).
     *
     * Round-5 perf: the declared streams carry KB-scale state (dozens of
     * windows / sessions / join rows), but inherited the CPU-sized 32
@@ -81,48 +83,47 @@ object StreamQueries {
     * EMPTY stores — pure fixed overhead that made q_stream_join the
     * surface's slowest query (5.7 s at sf0.1; the state itself is a few
     * thousand rows). A real deployment sizes state partitions to state
-    * cardinality, not core count — exactly this knob. Batch stages around
-    * the stream (the final ORDER BY) run after restore, at full width.
+    * cardinality, not core count — exactly this knob.
     *
-    * CONCURRENCY CONTRACT: this temporarily mutates the SHARED session's
-    * shuffle-partition conf, relying on the harness's strictly sequential
-    * query execution (Verify/Bench/tests all run one query at a time —
-    * the graft-wide execution model). Two declared queries must never run
-    * concurrently on one session: a batch stage Spark happens to plan
-    * inside `body` would run at width `n`, and a concurrent query could
-    * observe the narrowed setting. A parallel runner needs a
-    * session-level lock around this block (or per-query cloned
-    * sessions). */
-  private def withStatePartitions[A](
-      s: org.apache.spark.sql.SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    * Round 7 (VERDICT item 6) — STRUCTURAL concurrency safety: the
+    * round-5 form temporarily mutated the SHARED session's conf and
+    * leaned on a documented single-threaded contract. `newSession()`
+    * gives this run its own SQL conf and temp catalog over the shared
+    * SparkContext (inheriting the context-level conf, including the
+    * harness's shuffle width), so concurrent declared queries — or two
+    * streams with different state widths — can never observe each
+    * other's setting (StreamConcurrencySpec drives exactly that). The
+    * narrow width also covers the final tiny ORDER BY of the returned
+    * frame, which is output-sized. */
+  private[streaming] def stateSession(
+      s: org.apache.spark.sql.SparkSession, n: Int)
+      : org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    ss
   }
 
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_stream_tumbling",
       (s, d) => {
+        val ss = stateSession(s, 4)
         // the file's physical schema (footer read); the fixture plants a
         // BIGINT nanos ts, the driver TIMESTAMP — normalize like
         // Tables.events, to TimestampType micros here (window() input)
-        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+        val fileSchema = ss.read.parquet(s"$d/events.parquet").schema
+        val raw = ss.readStream.schema(fileSchema).parquet(streamSourceDir(d))
         val ev = raw.schema("ts").dataType match {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
         }
-        withStatePartitions(s, 4) {
-          val q = EventStreams.tumbling(ev, every = "1 hour", watermark = "10 minutes")
-            .writeStream.format("memory").queryName("graft_stream_tumbling")
-            .outputMode("complete")
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        s.table("graft_stream_tumbling")
+        val q = EventStreams.tumbling(ev, every = "1 hour", watermark = "10 minutes")
+          .writeStream.format("memory").queryName("graft_stream_tumbling")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table("graft_stream_tumbling")
           .select(
             expr("unix_seconds(CAST(window_start AS TIMESTAMP))").as("epoch_s"),
             col("event_type"), col("cnt"), col("sum_value"))
@@ -146,22 +147,21 @@ object StreamQueries {
     GQ(
       "q_stream_sliding",
       (s, d) => {
-        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+        val ss = stateSession(s, 4)
+        val fileSchema = ss.read.parquet(s"$d/events.parquet").schema
+        val raw = ss.readStream.schema(fileSchema).parquet(streamSourceDir(d))
         val ev = raw.schema("ts").dataType match {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
         }
-        withStatePartitions(s, 4) {
-          val q = EventStreams.sliding(ev, length = "2 hours",
-              slide = "1 hour", watermark = "10 minutes")
-            .writeStream.format("memory").queryName("graft_stream_sliding")
-            .outputMode("complete")
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        s.table("graft_stream_sliding")
+        val q = EventStreams.sliding(ev, length = "2 hours",
+            slide = "1 hour", watermark = "10 minutes")
+          .writeStream.format("memory").queryName("graft_stream_sliding")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table("graft_stream_sliding")
           .select(
             expr("unix_seconds(CAST(window_start AS TIMESTAMP))").as("win_start_s"),
             col("event_type"), col("cnt"), col("sum_value"))
@@ -192,21 +192,20 @@ object StreamQueries {
     GQ(
       "q_stream_sessions",
       (s, d) => {
-        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+        val ss = stateSession(s, 4)
+        val fileSchema = ss.read.parquet(s"$d/events.parquet").schema
+        val raw = ss.readStream.schema(fileSchema).parquet(streamSourceDir(d))
         val ev = raw.schema("ts").dataType match {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
         }
-        withStatePartitions(s, 4) {
-          val q = EventStreams.sessions(ev, gap = "30 minutes", watermark = "10 minutes")
-            .writeStream.format("memory").queryName("graft_stream_sessions")
-            .outputMode("complete")
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        s.table("graft_stream_sessions")
+        val q = EventStreams.sessions(ev, gap = "30 minutes", watermark = "10 minutes")
+          .writeStream.format("memory").queryName("graft_stream_sessions")
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table("graft_stream_sessions")
           .select(
             col("user_id"),
             expr("unix_micros(CAST(session_start AS TIMESTAMP))").as("start_us"),
@@ -247,25 +246,24 @@ object StreamQueries {
     GQ(
       "q_stream_dedup",
       (s, d) => {
-        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
-        val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+        val ss = stateSession(s, 4)
+        val fileSchema = ss.read.parquet(s"$d/events.parquet").schema
+        val raw = ss.readStream.schema(fileSchema).parquet(streamSourceDir(d))
         val ev = raw.schema("ts").dataType match {
           case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
         }
         val keyed = ev.select(col("ts"), col("user_id"), col("event_type"),
           expr("unix_micros(ts) div 60000000").as("minute_id"))
-        withStatePartitions(s, 4) {
-          val q = EventStreams.dedupOnKeys(keyed,
-              Seq("user_id", "event_type", "minute_id"), watermark = "10 minutes")
-            .select(col("user_id"), col("event_type"), col("minute_id"))
-            .writeStream.format("memory").queryName("graft_stream_dedup")
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        s.table("graft_stream_dedup")
+        val q = EventStreams.dedupOnKeys(keyed,
+            Seq("user_id", "event_type", "minute_id"), watermark = "10 minutes")
+          .select(col("user_id"), col("event_type"), col("minute_id"))
+          .writeStream.format("memory").queryName("graft_stream_dedup")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table("graft_stream_dedup")
           .orderBy(col("user_id"), col("event_type"), col("minute_id"))
       },
       Some("""SELECT DISTINCT user_id, event_type,
@@ -289,9 +287,10 @@ object StreamQueries {
     GQ(
       "q_stream_join",
       (s, d) => {
-        val fileSchema = s.read.parquet(s"$d/events.parquet").schema
+        val ss = stateSession(s, 4)
+        val fileSchema = ss.read.parquet(s"$d/events.parquet").schema
         def side() = {
-          val raw = s.readStream.schema(fileSchema).parquet(streamSourceDir(d))
+          val raw = ss.readStream.schema(fileSchema).parquet(streamSourceDir(d))
           raw.schema("ts").dataType match {
             case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
             case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -299,20 +298,18 @@ object StreamQueries {
         }
         // one replay frame; the library filters it into the two sides,
         // each becoming its own streaming scan with its own watermark
-        withStatePartitions(s, 4) {
-          val q = EventStreams.purchaseAttribution(side(),
-              lookback = "1 hour", watermark = "10 minutes")
-            .select(col("user_id"), col("purchase_id"), col("click_id"),
-              expr("unix_micros(purchase_ts)").as("p_us"),
-              expr("unix_micros(click_ts)").as("c_us"),
-              col("value"))
-            .writeStream.format("memory").queryName("graft_stream_join")
-            .outputMode("append")
-            .trigger(Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-        }
-        s.table("graft_stream_join")
+        val q = EventStreams.purchaseAttribution(side(),
+            lookback = "1 hour", watermark = "10 minutes")
+          .select(col("user_id"), col("purchase_id"), col("click_id"),
+            expr("unix_micros(purchase_ts)").as("p_us"),
+            expr("unix_micros(click_ts)").as("c_us"),
+            col("value"))
+          .writeStream.format("memory").queryName("graft_stream_join")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ss.table("graft_stream_join")
           .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
       },
       Some("""SELECT c.user_id AS user_id, p.event_id AS purchase_id,

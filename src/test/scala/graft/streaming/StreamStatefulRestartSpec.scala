@@ -133,6 +133,61 @@ class StreamStatefulRestartSpec extends AnyFunSuite {
       "restarted dedup replay diverged from the uninterrupted replay")
   }
 
+  test("sliding window: pre-restart hop state merges with post-restart events, emits exactly once") {
+    // round 7 (VERDICT item 8): the two restart laws above predate the
+    // round-6 hopping shape — this extends the stateful-restart law to
+    // q_stream_sliding's window(ts, 2h, 1h) state. Each event lives in TWO
+    // open hop windows; the law is that per-window counts accumulated
+    // BEFORE a restart merge with events arriving AFTER it (a lost state
+    // store would emit cnt=1, a replayed source cnt=4), and each window
+    // emits exactly once when the watermark finally closes it.
+    val root = Files.createTempDirectory("graft_sliding_restart").toString
+    val src = s"$root/src"; new java.io.File(src).mkdirs()
+    val slideShape = (in: DataFrame) =>
+      EventStreams.sliding(in, length = "2 hours", slide = "1 hour",
+          watermark = "10 minutes")
+        .select(expr("unix_seconds(CAST(window_start AS TIMESTAMP))").as("w_s"),
+          col("event_type"), col("cnt"), col("sum_value"))
+    val outCols = Seq("w_s", "event_type", "cnt", "sum_value")
+    def hourS(t: String): Long = ts(t).getTime / 1000L
+
+    // run 1: two plays open the 23:00- and 00:00-start hop windows;
+    // watermark (00:20 − 10 min) closes nothing — append emits nothing
+    land(src, "f0", Seq(
+      Event(1L, ts("2024-01-01 00:05:00"), 10L, "play", 1.0),
+      Event(2L, ts("2024-01-01 00:20:00"), 11L, "play", 2.0)))
+    drain(src, s"$root/sink", s"$root/ckpt")(slideShape)
+    assert(rowsOf(s"$root/sink", outCols).isEmpty,
+      "no hop window may close before the watermark passes its end")
+
+    // run 2 (restart): a third play lands in the SAME two open windows —
+    // it must merge with the RECOVERED per-window counts; still no close
+    land(src, "f1", Seq(
+      Event(3L, ts("2024-01-01 00:40:00"), 12L, "play", 3.0)))
+    drain(src, s"$root/sink", s"$root/ckpt")(slideShape)
+    assert(rowsOf(s"$root/sink", outCols).isEmpty,
+      "run 2 must only merge state; its watermark closes nothing")
+
+    // run 3 (second restart): a far event pushes the watermark past both
+    // hop windows' ends; each emits ONCE with the cross-restart count 3
+    land(src, "f2", Seq(
+      Event(4L, ts("2024-01-01 04:10:00"), 13L, "skip", 9.0)))
+    drain(src, s"$root/sink", s"$root/ckpt")(slideShape)
+    val after3 = rowsOf(s"$root/sink", outCols)
+    val expected = Set[Vector[Any]](
+      Vector(hourS("2023-12-31 23:00:00"), "play", 3L, 6.0),
+      Vector(hourS("2024-01-01 00:00:00"), "play", 3L, 6.0))
+    assert(after3.map(_.toVector).toSet === expected,
+      s"hop windows must emit once with counts spanning both restarts, got $after3")
+    assert(after3.size === 2, s"a window re-emitted across restarts: $after3")
+
+    // uninterrupted twin over the same final directory
+    drain(src, s"$root/sink_ref", s"$root/ckpt_ref")(slideShape)
+    assert(after3.sortBy(_.toString) ===
+      rowsOf(s"$root/sink_ref", outCols).sortBy(_.toString),
+      "restarted sliding replay diverged from the uninterrupted replay")
+  }
+
   test("streamSourceDir: a corrupted link directory is detected and rebuilt") {
     // round 6 (VERDICT r5 item 4): pin the round-5 hardening — a
     // half-created dir (entry missing) and a wrong-target link must both
