@@ -273,7 +273,10 @@ object Ann {
   private def kmeansFrom(
       s: SparkSession, e: DataFrame,
       seeds: Seq[(Int, Array[Float])]): Seq[(Int, Array[Float])] = {
-    val centroidOf = udaf(new VectorCentroid(Dim))
+    // dim from the SEEDS, not the corpus constant (round 7): a fixed
+    // VectorCentroid(64) over a narrower fixture zero-padded the refined
+    // centroids to 64 dims, silently nulling every downstream assignment
+    val centroidOf = udaf(new VectorCentroid(seeds.head._2.length))
     val refined = assignTo(s, e, seeds)
       .groupBy(col("cid"))
       .agg(centroidOf(col("embedding")).as("cent"))
@@ -403,10 +406,10 @@ object Ann {
     val kTop = math.ceil(math.sqrt(k.toDouble)).toInt
     val subK = math.ceil(k.toDouble / kTop).toInt
     val e = Tables.t(s, d, "embeddings")
-    val centroidOf = udaf(new VectorCentroid(Dim))
 
     val top: Vector[Vector[Float]] =
       kmeansFrom(s, e, firstVectors(s, d, kTop)).map(_._2.toVector).toVector
+    val centroidOf = udaf(new VectorCentroid(top.head.size))
     val topCents = top.zipWithIndex.map { case (v, i) => (i, v.toArray) }
 
     val wCell = Window.partitionBy(col("cid")).orderBy(col("vec_id"))
@@ -493,6 +496,110 @@ object Ann {
              |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
              |SELECT query_id, neighbor_id, cos_sim, rn FROM r
              |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin)
+    ),
+    // Two-level IMI ANN, ORACLE-GRADED (round 7): the same serving shape
+    // as q_sim_ann_ivf but through the TWO-LEVEL quantizer at a FIXED
+    // 16-leaf geometry (kTop=4 top cells × subK=4 sub-centroids, probe
+    // width TopProbe=3) — quantizerFor's size switch keeps the production
+    // queries on the flat path at driver SFs, so without this entry the
+    // IMI path's training + assignment math would carry only spec-level
+    // evidence; here the DuckDB oracle replays the ENTIRE two-level
+    // contract: top seeds → top Lloyd → per-cell sub-seed selection
+    // (first-subK members by vec_id, top-centroid padding) → seed-stage
+    // two-level assignment → leaf Lloyd → final assignment and the
+    // 4-leaf query probe, every argmax on the shared floor-quantized
+    // cosine with smallest-cid tie-break. Same leaf count as the flat
+    // IVF query, so the two families are directly comparable.
+    GQ(
+      "q_sim_ann_imi",
+      (s, d) => {
+        val qz = trainTwoLevel(s, d, NumCentroids)
+        val e = Tables.t(s, d, "embeddings")
+        val q = qz.probe(s, e.filter(col("vec_id") < NumQueries), NumProbe)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cid"))
+        val cand = qz.assign(s, e)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+        topkPerQuery(s, q.join(cand, "cid"))
+      },
+      Some {
+        val kTop = 4; val subK = 4
+        // probed top cells (pTop best by quantized cosine, cid tie-break)
+        // of every vector against a top relation `t(cid, cent)`
+        def probedTops(name: String, t: String, pTop: Int): String =
+          s"""$name AS (SELECT vec_id, cid AS tc, emb FROM (
+             |    SELECT e.vec_id, $t.cid, e.emb,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sqlCosQ("e.emb", s"$t.cent")} DESC, $t.cid) AS rn
+             |    FROM e CROSS JOIN $t) WHERE rn <= $pTop)""".stripMargin
+        // best leaf among the probed tops' sub-codebooks (rank 1)
+        def leafArgmax(name: String, pt: String, sb: String): String =
+          s"""$name AS (SELECT vec_id, cid FROM (
+             |    SELECT $pt.vec_id, $sb.cid,
+             |      row_number() OVER (PARTITION BY $pt.vec_id
+             |        ORDER BY ${sqlCosQ(s"$pt.emb", s"$sb.cent")} DESC, $sb.cid) AS rn
+             |    FROM $pt JOIN $sb ON $sb.cid // $subK = $pt.tc)
+             |  WHERE rn = 1)""".stripMargin
+        // VectorCentroid semantics: quantized-long per-dim sums → FLOAT →
+        // DOUBLE (the sqlAssignCte q1/c1 chain) over an assignment `a`
+        def lloyd(qn: String, cn: String, a: String): String =
+          s"""$qn AS (SELECT $a.cid, r.i,
+             |    SUM(CAST(floor(e.emb[r.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM $a JOIN e USING (vec_id), range($Dim) r(i)
+             |  GROUP BY $a.cid, r.i),
+             |$cn AS (SELECT cid,
+             |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
+             |         ORDER BY i) AS cent
+             |  FROM $qn GROUP BY cid)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |tt0 AS (SELECT vec_id AS cid, emb AS cent FROM e WHERE vec_id < $kTop),
+           |ta0 AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, tt0.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosQ("e.emb", "tt0.cent")} DESC, tt0.cid) AS rn
+           |    FROM e CROSS JOIN tt0) WHERE rn = 1),
+           |${lloyd("tq1", "tt1", "ta0")},
+           |sa AS (SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, tt1.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCosQ("e.emb", "tt1.cent")} DESC, tt1.cid) AS rn
+           |    FROM e CROSS JOIN tt1) WHERE rn = 1),
+           |sr AS (SELECT vec_id, cid AS tc,
+           |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+           |  FROM sa),
+           |grid AS (SELECT t.tc, s.sc FROM range($kTop) t(tc)
+           |  CROSS JOIN range($subK) s(sc)),
+           |sb0 AS (SELECT grid.tc * $subK + grid.sc AS cid,
+           |    COALESCE(se.emb, tt1.cent) AS cent
+           |  FROM grid
+           |  JOIN tt1 ON tt1.cid = grid.tc
+           |  LEFT JOIN sr ON sr.tc = grid.tc AND sr.rn = grid.sc + 1
+           |  LEFT JOIN e se ON se.vec_id = sr.vec_id),
+           |${probedTops("pt0", "tt1", TopProbe)},
+           |${leafArgmax("la0", "pt0", "sb0")},
+           |${lloyd("lq1", "lc1", "la0")},
+           |sb1 AS (SELECT sb0.cid, COALESCE(lc1.cent, sb0.cent) AS cent
+           |  FROM sb0 LEFT JOIN lc1 USING (cid)),
+           |${leafArgmax("a2", "pt0", "sb1")},
+           |qp AS (SELECT query_id, qe, cid FROM (
+           |    SELECT pt0.vec_id AS query_id, pt0.emb AS qe, sb1.cid,
+           |      row_number() OVER (PARTITION BY pt0.vec_id
+           |        ORDER BY ${sqlCosQ("pt0.emb", "sb1.cent")} DESC, sb1.cid) AS rn
+           |    FROM pt0 JOIN sb1 ON sb1.cid // $subK = pt0.tc
+           |    WHERE pt0.vec_id < $NumQueries) WHERE rn <= $NumProbe),
+           |cand AS (SELECT a2.vec_id AS neighbor_id, e.emb AS ne, a2.cid
+           |  FROM a2 JOIN e USING (vec_id)),
+           |p AS (SELECT qp.query_id, cand.neighbor_id,
+           |    (ROUND(${sqlCos("qp.qe", "cand.ne")}, 3) + 0.0) AS cos_sim,
+           |    ${sqlCosQ("qp.qe", "cand.ne")} AS cq
+           |  FROM qp JOIN cand USING (cid)
+           |  WHERE qp.query_id <> cand.neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, cos_sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+           |SELECT query_id, neighbor_id, cos_sim, rn FROM r
+           |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+      }
     ),
     // Random-hyperplane LSH ANN (the "LSH-bucketed variant" beside IVF):
     // 12 fixed pseudo-random hyperplanes give every vector a 12-bit sign

@@ -144,7 +144,10 @@ object ScaleStress {
     // round 7: the daily-run delta — batch-sized near-dup probe against
     // the index bands; cost must track the BATCH (10% of corpus), with
     // the index-state recompute the only corpus-sized term
-    "q_llm_pipeline_incremental")
+    "q_llm_pipeline_incremental",
+    // round 7: the oracle-graded two-level quantizer at its fixed 16-leaf
+    // geometry — three linear assignment passes + a cell-bounded join
+    "q_sim_ann_imi")
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10

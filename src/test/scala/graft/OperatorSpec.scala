@@ -534,16 +534,22 @@ class OperatorSpec extends AnyFunSuite {
       Seq(3L, 3, 510L, 4L), Seq(4L, 4, 279L, 1L), Seq(5L, 5, 255L, 4L)))
   }
 
-  test("q_sim_ann_pq: full top-3 per query, ADC distances sorted and finite") {
+  test("q_sim_ann_pq: full top-3 per query, exact rescore distances sorted and finite") {
+    // round 7: output is (query_id, neighbor_id, approx_d2, exact_d2, rn)
+    // and ranks on the EXACT rescored d² — the ADC approx_d2 rides along
+    // for observability and need not ascend (that is the point of the
+    // rescore: ADC ordering is approximate)
     val r = rows("q_sim_ann_pq")
     assert(r.length === 5 * 3)
     val byQ = r.groupBy(_.head.asInstanceOf[Long])
     assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
     for ((q, rs) <- byQ) {
-      assert(rs.map(_(3)) === Seq(1L, 2L, 3L), s"query $q rank sequence")
-      val d = rs.map(_(2).asInstanceOf[Double])
-      assert(d === d.sorted, s"query $q ADC distances must ascend")
-      assert(d.forall(x => x >= 0.0 && !x.isNaN), s"query $q distances sane")
+      assert(rs.map(_(4)) === Seq(1L, 2L, 3L), s"query $q rank sequence")
+      val ex = rs.map(_(3).asInstanceOf[Double])
+      assert(ex === ex.sorted, s"query $q exact distances must ascend")
+      assert(ex.forall(x => x >= 0.0 && !x.isNaN), s"query $q exact distances sane")
+      val ad = rs.map(_(2).asInstanceOf[Double])
+      assert(ad.forall(x => x >= 0.0 && !x.isNaN), s"query $q ADC distances sane")
       assert(!rs.map(_(1)).contains(q), s"query $q must exclude itself")
     }
   }
