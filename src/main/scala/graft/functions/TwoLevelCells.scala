@@ -31,7 +31,13 @@ import org.apache.spark.sql.types._
   * JVM and codegen dereferences `.value()` once per operator instance into
   * mutable state. The driver still materializes both matrices ONCE at
   * train time — they ARE the trained model artifact — but never touches
-  * them per row or per query.
+  * them per row or per query. If even that one-time k·dim collect must
+  * go (k beyond ~10⁸ leaves), the documented next rung is the PRODUCT
+  * decomposition (Babenko & Lempitsky's original IMI): two independent
+  * √k-entry codebooks over the two HALVES of the vector, cell =
+  * (a, b) — O(√k·dim) total codebook state for the same k leaves, at
+  * the cost of axis-aligned cell geometry; the expression contract
+  * (two broadcasts, one projection) is unchanged.
   *
   * MATH CONTRACT (the [[TopCells]] contract per candidate row): per
   * centroid, dot/normX/normY accumulate left-to-right in element order
