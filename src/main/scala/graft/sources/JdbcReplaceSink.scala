@@ -31,15 +31,21 @@ object JdbcReplaceSink {
   def stage(df: DataFrame, ingestTs: java.sql.Timestamp): DataFrame =
     castAllToString(withIngestDate(df, ingestTs))
 
-  /** Replace-mode JDBC write (spotify-etl.py:211 `if_exists='replace'`). */
+  /** Replace-mode JDBC write (spotify-etl.py:211 `if_exists='replace'`).
+    * Credentials arrive as `properties` (pair with
+    * [[SpotifyEnvConfig.jdbcProperties]]) — passed as writer options so
+    * Spark's JDBC redaction applies and URL metacharacters in a password
+    * can't break parsing (round-7 ADVICE). */
   def write(
       df: DataFrame,
       url: String,
       table: String,
+      properties: Map[String, String] = Map.empty,
       numPartitions: Int = 8,
       batchSize: Int = 10000): Unit =
     df.write
       .format("jdbc")
+      .options(properties)
       .option("url", url)
       .option("dbtable", table)
       .option("numPartitions", numPartitions)
