@@ -422,8 +422,10 @@ object Ann {
         .map(r => (r.getLong(0).toInt, r.getInt(1) - 1) ->
           r.getSeq[Float](2).toArray)
         .toMap
+    // top.indices, not (0 until kTop): a corpus smaller than kTop yields
+    // fewer seeds, and the quantizer's real top count is top.size
     val subSeed: Vector[Vector[Float]] =
-      (0 until kTop).flatMap { t =>
+      top.indices.flatMap { t =>
         (0 until subK).map { sc =>
           seedMap.get((t, sc)).map(_.toVector).getOrElse(top(t))
         }
