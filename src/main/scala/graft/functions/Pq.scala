@@ -142,9 +142,22 @@ case class PqAdcMulti(
   override def dataType: DataType = LongType
   override def prettyName: String = "pq_adc_multi"
 
+  // round 8 (ADVICE): a qidx outside the stacked LUT's slab range — a
+  // mis-built query relation or a stale registered factory paired with a
+  // wider qidx column — must fail with the CONTRACT named, not as a raw
+  // ArrayIndexOutOfBoundsException from inside generated code (or a silent
+  // wrong-slab read if negative arithmetic ever fed the index).
+  private def slabError(qidx: Int, slabs: Int): String =
+    s"pq_adc_multi: query index $qidx outside stacked LUT " +
+      s"($slabs slabs of ${numSubspaces * ks} entries)"
+
   override def nullSafeEval(codesAny: Any, qidxAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
-    val base = qidxAny.asInstanceOf[Int] * numSubspaces * ks
+    val qidx = qidxAny.asInstanceOf[Int]
+    val slab = numSubspaces * ks
+    if (qidx < 0 || (qidx.toLong + 1) * slab > flat.length)
+      throw new IllegalArgumentException(slabError(qidx, flat.length / slab))
+    val base = qidx * slab
     var total = 0L
     var m = 0
     while (m < numSubspaces) {
@@ -163,8 +176,14 @@ case class PqAdcMulti(
       val m = ctx.freshName("m")
       val base = ctx.freshName("base")
       val total = ctx.freshName("total")
+      val slab = numSubspaces * ks
       s"""
-         |final int $base = $qidx * ${numSubspaces * ks};
+         |if ($qidx < 0 || ((long) $qidx + 1L) * ${slab}L > $lutArr.length) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_multi: query index " + $qidx + " outside stacked LUT (" +
+         |    ($lutArr.length / $slab) + " slabs of $slab entries)");
+         |}
+         |final int $base = $qidx * $slab;
          |long $total = 0L;
          |for (int $m = 0; $m < $numSubspaces; $m++) {
          |  $total += $lutArr[$base + $m * $ks + $codes.getInt($m)];
@@ -180,12 +199,20 @@ case class PqAdcMulti(
 }
 
 object PqAdcMulti {
-  /** Broadcast the stacked LUT once and return the two-arg factory. */
+  /** Broadcast the stacked LUT once and return the two-arg factory.
+    * `nQueries` pins the slab count the builder intends — a LUT whose
+    * length disagrees with nQueries·M·Ks slabs is a construction bug and
+    * fails HERE, at broadcast time, not as an index error mid-scan
+    * (round 8, ADVICE). */
   def broadcastOf(
       spark: org.apache.spark.sql.SparkSession,
       lut: Vector[Long],
       numSubspaces: Int,
-      ks: Int): (Expression, Expression) => PqAdcMulti = {
+      ks: Int,
+      nQueries: Int): (Expression, Expression) => PqAdcMulti = {
+    require(lut.size == nQueries.toLong * numSubspaces * ks,
+      s"stacked LUT must hold nQueries*M*Ks = $nQueries*$numSubspaces*$ks " +
+        s"= ${nQueries.toLong * numSubspaces * ks} entries, got ${lut.size}")
     val bc = spark.sparkContext.broadcast(lut.toArray)
     (codes, qidx) => PqAdcMulti(codes, qidx, bc, numSubspaces, ks)
   }
@@ -208,4 +235,22 @@ object pq {
       builder: Seq[Expression] => Expression): Unit =
     castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  private val uniq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register under a per-call UNIQUE name (`base_uN`) and return it —
+    * for plan-build-time registrations on a SHARED session (round 8,
+    * ADVICE): two plans built concurrently with a fixed name could resolve
+    * each other's factory between register and eager analysis; a unique
+    * name makes the registration private to the plan being built. Plan
+    * pins are unaffected — plans print the resolved expression's
+    * prettyName, not the registry key. */
+  def registerUnique(
+      spark: SparkSession,
+      base: String,
+      builder: Seq[Expression] => Expression): String = {
+    val name = s"${base}_u${uniq.incrementAndGet()}"
+    register(spark, name, builder)
+    name
+  }
 }

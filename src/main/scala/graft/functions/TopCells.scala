@@ -180,9 +180,16 @@ object TopCells {
       cents: Vector[Vector[Float]],
       topN: Int,
       quantScale: Double): Expression => TopCells = {
-    val dim = cents.head.size
-    val bc = spark.sparkContext.broadcast(
-      cents.flatten.map(_.toDouble).toArray)
-    child => TopCells(child, bc, cents.size, dim, topN, quantScale)
+    val bc = matrixBroadcast(spark, cents)
+    child => TopCells(child, bc, cents.size, cents.head.size, topN, quantScale)
   }
+
+  /** Broadcast a centroid matrix alone (round 8, ADVICE): a quantizer that
+    * serves several assign/probe plans broadcasts its matrix ONCE through
+    * this and builds each [[TopCells]] with differing topN over the shared
+    * handle, instead of re-broadcasting per plan via [[broadcastOf]]. */
+  def matrixBroadcast(
+      spark: SparkSession,
+      cents: Vector[Vector[Float]]): Broadcast[Array[Double]] =
+    spark.sparkContext.broadcast(cents.flatten.map(_.toDouble).toArray)
 }

@@ -237,10 +237,28 @@ case class TwoLevelCells(
 }
 
 object TwoLevelCells {
-  /** Broadcast both codebook levels ONCE and return the expression factory
-    * — the [[TopCells.broadcastOf]] contract for the two-level quantizer.
-    * `sub` holds kTop sub-codebooks of subK rows each, top-cell-major
+  /** Broadcast both codebook levels ONCE and return the handles (round 8,
+    * ADVICE): a quantizer instance calls this once and reuses the pair
+    * across every assign/probe it builds — the per-call broadcastOf shape
+    * re-broadcast the dominant k·dim sub matrix on each invocation (3–4
+    * redundant multi-GB executor copies per serving query at the target
+    * regime, never destroyed for the life of the context). `sub` holds
+    * kTop sub-codebooks of subK rows each, top-cell-major
     * (`sub(t*subK + s)` is sub-centroid s of top cell t). */
+  def broadcastPair(
+      spark: SparkSession,
+      top: Vector[Vector[Float]],
+      sub: Vector[Vector[Float]],
+      subK: Int): (Broadcast[Array[Double]], Broadcast[Array[Double]]) = {
+    val dim = top.head.size
+    require(sub.size == top.size * subK,
+      s"sub matrix must hold ${top.size}*$subK rows, got ${sub.size}")
+    require(sub.forall(_.size == dim), "sub-centroid dim mismatch")
+    (spark.sparkContext.broadcast(top.flatten.map(_.toDouble).toArray),
+      spark.sparkContext.broadcast(sub.flatten.map(_.toDouble).toArray))
+  }
+
+  /** One-shot convenience (stress/spec harnesses): broadcast + factory. */
   def broadcastOf(
       spark: SparkSession,
       top: Vector[Vector[Float]],
@@ -249,16 +267,9 @@ object TwoLevelCells {
       pTop: Int,
       topN: Int,
       quantScale: Double): Expression => TwoLevelCells = {
-    val dim = top.head.size
-    require(sub.size == top.size * subK,
-      s"sub matrix must hold ${top.size}*$subK rows, got ${sub.size}")
-    require(sub.forall(_.size == dim), "sub-centroid dim mismatch")
-    val topBc = spark.sparkContext.broadcast(
-      top.flatten.map(_.toDouble).toArray)
-    val subBc = spark.sparkContext.broadcast(
-      sub.flatten.map(_.toDouble).toArray)
+    val (topBc, subBc) = broadcastPair(spark, top, sub, subK)
     child =>
-      TwoLevelCells(child, topBc, subBc, top.size, subK, dim, pTop, topN,
-        quantScale)
+      TwoLevelCells(child, topBc, subBc, top.size, subK, top.head.size,
+        pTop, topN, quantScale)
   }
 }

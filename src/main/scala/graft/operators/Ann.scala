@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{pq, vec, PqEncode, TopCells, VectorCentroid}
 import graft.{GQ, Tables}
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
@@ -150,6 +151,11 @@ object Ann {
     * double, and assignment only flips if two cells tie within an ulp, with
     * the cid tie-break then deciding identically. Verified bit-exact against
     * the Spark output at sf0.001/0.01/0.1 before being declared an oracle.
+    * Round 8 (ADVICE): c1 keeps EMPTY seed cells — COALESCE(refined, seed)
+    * over a c0 left join, mirroring kmeansFrom's getOrElse — where the
+    * bare GROUP BY dropped a cell whose seed captured no vectors (possible
+    * only when two seed vectors are identical and the cid tie-break
+    * starves one; the engine keeps the seed centroid there).
     */
   private def sqlAssignCte: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -165,10 +171,12 @@ object Ann {
        |    COUNT(*) AS n
        |  FROM a0 JOIN e USING (vec_id), range($Dim) r(i)
        |  GROUP BY a0.cid, r.i),
-       |c1 AS (SELECT cid,
+       |c1r AS (SELECT cid,
        |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
        |         ORDER BY i) AS cent
        |  FROM q1 GROUP BY cid),
+       |c1 AS (SELECT c0.cid, COALESCE(c1r.cent, c0.cent) AS cent
+       |  FROM c0 LEFT JOIN c1r USING (cid)),
        |a1 AS (SELECT vec_id, cid FROM (
        |    SELECT e.vec_id, c1.cid,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -200,10 +208,12 @@ object Ann {
     // round 6: the codebook travels as ONE broadcast relation — the plan
     // holds a handle (O(1) size at any k = N/125), executors fetch the
     // matrix once per JVM, and the k·dim doubles are never serialized into
-    // task binaries or plan constants again
+    // task binaries or plan constants again. Round 8 (ADVICE): the
+    // registration name is uniquified per call — concurrent plan builds on
+    // the shared session can no longer resolve each other's factory.
     val factory = TopCells.broadcastOf(s, m, topN, CosQuantScale)
-    pq.register(s, name, exprs => factory(exprs.head))
-    call_function(name, col("embedding"))
+    val fn = pq.registerUnique(s, name, exprs => factory(exprs.head))
+    call_function(fn, col("embedding"))
   }
 
   private[graft] def assignTo(
@@ -318,14 +328,43 @@ object Ann {
   }
 
   /** Flat scan over k centroids — the exact round-6 path, byte-identical
-    * plans and outputs (the DuckDB oracles replay this contract). */
+    * plans and outputs (the DuckDB oracles replay this contract). Round 8
+    * (ADVICE): the centroid matrix broadcasts ONCE per quantizer instance;
+    * every assign/probe plan this instance builds shares the handle (the
+    * per-call broadcastOf shape shipped the matrix to executors once per
+    * plan and never destroyed the spares). */
   private[graft] final case class FlatQuantizer(
       cents: Seq[(Int, Array[Float])]) extends CoarseQuantizer {
+    require(cents.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "centroid ids must be contiguous from 0 (cid == position)")
     def numCells: Int = cents.size
+
+    @transient private var bc: Broadcast[Array[Double]] = _
+    private def handle(s: SparkSession): Broadcast[Array[Double]] =
+      synchronized {
+        if (bc == null)
+          bc = TopCells.matrixBroadcast(s, cents.map(_._2.toVector).toVector)
+        bc
+      }
+
+    private def cellsCol(s: SparkSession, topN: Int, base: String): Column = {
+      val (h, dim) = (handle(s), cents.head._2.length)
+      val fn = pq.registerUnique(s, base, exprs =>
+        TopCells(exprs.head, h, cents.size, dim, topN, CosQuantScale))
+      call_function(fn, col("embedding"))
+    }
+
     def assign(s: SparkSession, e: DataFrame): DataFrame =
-      assignTo(s, e, cents)
+      e.select(
+        col("vec_id"), col("embedding"),
+        element_at(cellsCol(s, 1, "ann_assign"), 1)
+          .cast("bigint").as("cid"))
     def probe(s: SparkSession, e: DataFrame, nprobe: Int): DataFrame =
-      probeCells(s, e, cents, nprobe)
+      e.select(
+        col("vec_id"), col("embedding"),
+        explode(cellsCol(s, nprobe, "ann_probe")).as("p"))
+        .select(
+          col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
   }
 
   /** Two-level IMI quantizer: kTop ≈ √k top cells, each owning a
@@ -343,12 +382,28 @@ object Ann {
       subK: Int) extends CoarseQuantizer {
     def numCells: Int = sub.size
 
+    // round 8 (ADVICE): both codebook matrices broadcast ONCE per quantizer
+    // instance and the handles are shared by every assign/probe plan — the
+    // per-call broadcastOf shape re-broadcast the dominant k·dim sub matrix
+    // 3–4 times across trainTwoLevel + one serving query, multi-GB
+    // redundant executor state at the target regime
+    @transient private var bc
+        : (Broadcast[Array[Double]], Broadcast[Array[Double]]) = _
+    private def handles(
+        s: SparkSession): (Broadcast[Array[Double]], Broadcast[Array[Double]]) =
+      synchronized {
+        if (bc == null)
+          bc = graft.functions.TwoLevelCells.broadcastPair(s, top, sub, subK)
+        bc
+      }
+
     private def cellsCol(
         s: SparkSession, topN: Int, name: String): Column = {
-      val factory = graft.functions.TwoLevelCells.broadcastOf(
-        s, top, sub, subK, TopProbe, topN, CosQuantScale)
-      pq.register(s, name, exprs => factory(exprs.head))
-      call_function(name, col("embedding"))
+      val (topBc, subBc) = handles(s)
+      val fn = pq.registerUnique(s, name, exprs =>
+        graft.functions.TwoLevelCells(exprs.head, topBc, subBc, top.size,
+          subK, top.head.size, TopProbe, topN, CosQuantScale))
+      call_function(fn, col("embedding"))
     }
 
     def assign(s: SparkSession, e: DataFrame): DataFrame =
@@ -560,7 +615,9 @@ object Ann {
            |      row_number() OVER (PARTITION BY e.vec_id
            |        ORDER BY ${sqlCosQ("e.emb", "tt0.cent")} DESC, tt0.cid) AS rn
            |    FROM e CROSS JOIN tt0) WHERE rn = 1),
-           |${lloyd("tq1", "tt1", "ta0")},
+           |${lloyd("tq1", "tc1r", "ta0")},
+           |tt1 AS (SELECT tt0.cid, COALESCE(tc1r.cent, tt0.cent) AS cent
+           |  FROM tt0 LEFT JOIN tc1r USING (cid)),
            |sa AS (SELECT vec_id, cid FROM (
            |    SELECT e.vec_id, tt1.cid,
            |      row_number() OVER (PARTITION BY e.vec_id
@@ -849,9 +906,9 @@ object Ann {
         // holding the codebook as a reference object, same 1024 fused
         // multiply-adds per row, sub-second planning
         def codesOf(cb: Vector[Vector[Float]], name: String): Column = {
-          pq.register(s, name,
+          val fn = pq.registerUnique(s, name,
             exprs => PqEncode(exprs.head, cb, mCount, D2QuantScale))
-          call_function(name, col("embedding"))
+          call_function(fn, col("embedding"))
         }
         def d2qScala(a: Array[Float], cw: Int => Double, m: Int): Long = {
           var acc = 0.0
@@ -917,8 +974,9 @@ object Ann {
           k <- seeds.indices
         } yield d2qScala(qe, i => cb1(k)(i).toDouble, m)).toVector
         val adcFactory = graft.functions.PqAdcMulti.broadcastOf(
-          s, lutAll, mCount, seeds.size)
-        pq.register(s, "pq_adc_multi", ex => adcFactory(ex.head, ex(1)))
+          s, lutAll, mCount, seeds.size, qvecs.length)
+        val adcFn =
+          pq.registerUnique(s, "pq_adc_multi", ex => adcFactory(ex.head, ex(1)))
         // queries as a broadcast RELATION: (query_id, qidx slab key, qe)
         import s.implicits._
         val qdf = broadcast(
@@ -937,7 +995,7 @@ object Ann {
           .join(qdf.select(col("query_id"), col("qidx")))
           .filter(col("query_id") =!= col("neighbor_id"))
           .select(col("query_id"), col("neighbor_id"),
-            call_function("pq_adc_multi", col("codes"), col("qidx")).as("ad2q"))
+            call_function(adcFn, col("codes"), col("qidx")).as("ad2q"))
           .withColumn("rcand", row_number().over(wCand))
           .filter(col("rcand") <= RescoreR)
         // stage 2 — exact rescore (round 7, VERDICT item 2): fetch the
