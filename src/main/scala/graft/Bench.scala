@@ -40,6 +40,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Anchor-job identity, emitted with every bench record (round 8,
+    * VERDICT item 3): cross-round normalization (total_min/calib_sec) is
+    * only valid between records whose `calib_anchor` MATCHES — the r6→r7
+    * anchor change (256M-row min-of-3 → 4G-row median-of-5) silently
+    * invalidated one round of normalized comparison because nothing in
+    * the JSON said the anchor job had changed. This id is PINNED: never
+    * change the anchor job without bumping the version suffix AND
+    * recording a one-time conversion factor (old/new anchor medians
+    * measured back-to-back on one box) in BASELINE.md. */
+  private val CalibAnchorId = "4g-xxhash64-agg1024-median5-v1"
+
   /** One fixed calibration pass: 4G ids → xxhash64 → 1024-key hash agg.
     * Deterministic, data-independent, exercises the same whole-stage
     * codegen + map-side combine + exchange path the query surface lives
@@ -141,7 +152,7 @@ object Bench {
     val guardJson =
       s""""load_pre":$loadPre,"load_post":$loadPost,""" +
         s""""other_jvms":$jvmsPre,"contended":$contended,""" +
-        s""""calib_sec":$calib,""" +
+        s""""calib_sec":$calib,"calib_anchor":"$CalibAnchorId",""" +
         s""""calib_runs":${calibRuns.mkString("[", ",", "]")}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL_latest.json")

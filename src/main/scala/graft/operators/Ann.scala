@@ -420,20 +420,52 @@ object Ann {
           col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
   }
 
+  /** Cell count above which the HIERARCHICAL two-level quantizer gives way
+    * to the PRODUCT-decomposition IMI (round 8, VERDICT item 1). The
+    * hierarchical quantizer's per-row compute is already O(√k), but its
+    * trained model — the k·dim sub-centroid matrix — grows LINEARLY with
+    * k = N/125: at this threshold (dim 64) the model is ~32 MB of
+    * driver + per-executor broadcast state, the practical ceiling; at the
+    * 100 TB north star (10⁹ leaves) it would be ~250 GB — dead on any
+    * driver. Past it, [[ProductQuantizer]] spans the same k leaves with
+    * two independent √k-entry HALF-SPACE codebooks — O(√k·dim) total
+    * model state (~16 MB at 10⁹ leaves) — at the cost of axis-decomposed
+    * cell geometry (data-adaptive hierarchical cells fit the corpus
+    * better, which is why the hierarchical rung stays preferred while its
+    * model fits). Every driver-SF corpus (k = 16) and the ×30/×100
+    * stress corpora (k ≤ ~2k) stay below this threshold, so production
+    * oracles and stress paths are unchanged; `q_sim_ann_pimi` pins the
+    * product contract under the DuckDB oracle at a fixed geometry, and
+    * `tools/ProductStress` measures the O(√k·dim) state bound at
+    * k ≥ 4096. */
+  private[graft] val HierMaxCells = 65536
+
+  /** Multi-probe frontier width per SIDE of the product grid: a query's
+    * candidate leaves are the product of its [[ProductProbe]] best a-cells
+    * × best b-cells, ranked by the exact integer sum of the half
+    * distances. pSide² candidates bound the frontier; selection is exact
+    * whenever pSide ≥ the requested probe width (guaranteed for
+    * assignment, where topN = 1 needs only pSide = 1). */
+  private[graft] val ProductProbe = 3
+
   /** Train the size-appropriate coarse quantizer: flat Lloyd-refined
-    * centroids up to `flatMax` cells, two-level IMI past it. The k
-    * derivation (k = max(16, N/125)) is unchanged from round 4 — only HOW
-    * k cells are scanned changes, so the cell-count physics every
-    * consumer's scale story rests on (Σ|cell|² ≈ N·CellTarget) holds for
-    * both quantizers. */
+    * centroids up to `flatMax` cells, hierarchical two-level IMI past it,
+    * PRODUCT-decomposition IMI past `hierMax` (round 8 — bounds the
+    * trained-model state at O(√k·dim)). The k derivation
+    * (k = max(16, N/125)) is unchanged from round 4 — only HOW k cells
+    * are scanned changes, so the cell-count physics every consumer's
+    * scale story rests on (Σ|cell|² ≈ N·CellTarget) holds for all three
+    * quantizers. */
   private[graft] def quantizerFor(
       s: SparkSession, d: String,
-      flatMax: Int = FlatMaxCells): CoarseQuantizer = {
+      flatMax: Int = FlatMaxCells,
+      hierMax: Int = HierMaxCells): CoarseQuantizer = {
     val e = Tables.t(s, d, "embeddings")
     val n = e.count()
     val k = math.max(NumCentroids, (n / CellTarget).toInt)
     if (k <= flatMax) FlatQuantizer(kmeansFrom(s, e, firstVectors(s, d, k)))
-    else trainTwoLevel(s, d, k)
+    else if (k <= hierMax) trainTwoLevel(s, d, k)
+    else trainProduct(s, d, k)
   }
 
   /** Two-level training — each level the flat recipe (deterministic seeds,
@@ -497,6 +529,107 @@ object Ann {
       refined.get(cid).map(_.toVector).getOrElse(seed)
     }.toVector
     TwoLevelQuantizer(top, sub, subK)
+  }
+
+  /** Product-decomposition IMI quantizer (round 8, VERDICT item 1 — the
+    * O(√k·dim)-STATE rung; Babenko & Lempitsky's original inverted
+    * multi-index): two independent codebooks over the two vector HALVES —
+    * `a` (kA entries, dims [0, dim/2)) and `b` (kB entries, the rest) —
+    * span kA·kB leaf cells, cell (a, b) ↦ cid = a·kB + b. Because squared
+    * L2 decomposes exactly over the halves, assignment (topN = 1,
+    * pSide = 1) is the EXACT argmin over the whole grid from two
+    * independent half argmins — O(√k) per row AND O(√k·dim) model state,
+    * where [[TwoLevelQuantizer]] is O(√k) per row but O(k·dim) state.
+    * Probing uses the bounded [[ProductProbe]]² frontier. Same
+    * cid-keyed consumer contract as the other quantizers. */
+  private[graft] final case class ProductQuantizer(
+      a: Vector[Vector[Float]],
+      b: Vector[Vector[Float]]) extends CoarseQuantizer {
+    def numCells: Int = a.size * b.size
+    private val dim = a.head.size + b.head.size
+
+    @transient private var bc
+        : (Broadcast[Array[Double]], Broadcast[Array[Double]]) = _
+    private def handles(
+        s: SparkSession): (Broadcast[Array[Double]], Broadcast[Array[Double]]) =
+      synchronized {
+        if (bc == null)
+          bc = graft.functions.ProductCells.broadcastPair(s, a, b)
+        bc
+      }
+
+    private def cellsCol(
+        s: SparkSession, topN: Int, pSide: Int, name: String): Column = {
+      val (aBc, bBc) = handles(s)
+      val fn = pq.registerUnique(s, name, exprs =>
+        graft.functions.ProductCells(exprs.head, aBc, bBc, a.size, b.size,
+          dim, pSide, topN, D2QuantScale))
+      call_function(fn, col("embedding"))
+    }
+
+    def assign(s: SparkSession, e: DataFrame): DataFrame =
+      e.select(
+        col("vec_id"), col("embedding"),
+        element_at(cellsCol(s, 1, 1, "ann_assignp"), 1)
+          .cast("bigint").as("cid"))
+
+    def probe(s: SparkSession, e: DataFrame, nprobe: Int): DataFrame =
+      e.select(
+        col("vec_id"), col("embedding"),
+        explode(cellsCol(s, nprobe, math.max(ProductProbe,
+          math.ceil(math.sqrt(nprobe.toDouble)).toInt), "ann_probep")).as("p"))
+        .select(
+          col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
+  }
+
+  /** Product-IMI training — one deterministic Lloyd iteration PER HALF
+    * (the [[kmeansFrom]] recipe, axis-decomposed):
+    *
+    *  1. Side sizes: kA = kB = ⌈√k⌉ (grid spans kA·kB ≥ k leaves); seeds
+    *     are the first-kA vectors' halves (clamped to the corpus size).
+    *  2. ONE corpus scan assigns both halves at once (the seed product
+    *     quantizer's argmin cell encodes aId = cid DIV kB and
+    *     bId = cid MOD kB), then each side's centroids are recomputed with
+    *     the exact-math [[VectorCentroid]] over its half-slices
+    *     (quantized-long sums — merge-order-free); an empty cell keeps its
+    *     seed half.
+    *
+    * Driver artifacts: kA·(dim/2) + kB·(dim−dim/2) floats ≈ √k·dim — the
+    * WHOLE POINT of this rung: the trained model stays driver/broadcast-
+    * sized at any corpus (~16 MB at 10⁹ leaves, vs ~250 GB for the
+    * hierarchical model). Distributed passes: two corpus scans (seed
+    * assignment feeding each side's bounded-key aggregation). */
+  private[graft] def trainProduct(
+      s: SparkSession, d: String, k: Int): ProductQuantizer = {
+    val kSide = math.ceil(math.sqrt(k.toDouble)).toInt
+    val e = Tables.t(s, d, "embeddings")
+    val seeds = firstVectors(s, d, kSide)
+    val dim = seeds.head._2.length
+    val dimA = dim / 2
+    val dimB = dim - dimA
+    val aSeed = seeds.map(_._2.take(dimA).toVector).toVector
+    val bSeed = seeds.map(_._2.drop(dimA).toVector).toVector
+    val kB = bSeed.size
+    val asg = ProductQuantizer(aSeed, bSeed).assign(s, e)
+      .select(
+        col("embedding"),
+        expr(s"CAST(cid DIV $kB AS INT)").as("aid"),
+        pmod(col("cid"), lit(kB)).cast("int").as("bid"))
+    def side(idCol: String, off: Int, len: Int): Map[Int, Array[Float]] = {
+      val centroidOf = udaf(new VectorCentroid(len))
+      asg.groupBy(col(idCol))
+        .agg(centroidOf(slice(col("embedding"), off + 1, len)).as("cent"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+    }
+    val aRef = side("aid", 0, dimA)
+    val bRef = side("bid", dimA, dimB)
+    ProductQuantizer(
+      aSeed.zipWithIndex.map { case (sv, i) =>
+        aRef.get(i).map(_.toVector).getOrElse(sv) },
+      bSeed.zipWithIndex.map { case (sv, i) =>
+        bRef.get(i).map(_.toVector).getOrElse(sv) })
   }
 
   /** R7 top-k: rank on the floor-quantized cosine with unique id
@@ -653,6 +786,111 @@ object Ann {
            |    ${sqlCosQ("qp.qe", "cand.ne")} AS cq
            |  FROM qp JOIN cand USING (cid)
            |  WHERE qp.query_id <> cand.neighbor_id),
+           |r AS (SELECT query_id, neighbor_id, cos_sim,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+           |SELECT query_id, neighbor_id, cos_sim, rn FROM r
+           |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+      }
+    ),
+    // PRODUCT-decomposition IMI ANN, ORACLE-GRADED (round 8, VERDICT
+    // item 1): the same serving shape as q_sim_ann_ivf/imi but through
+    // the PRODUCT quantizer at a FIXED 4×4 = 16-leaf geometry — the
+    // O(√k·dim)-STATE rung quantizerFor switches to past HierMaxCells,
+    // which no driver-SF corpus reaches, so without this entry the
+    // product path's training + assignment math would carry only
+    // spec-level evidence. The DuckDB oracle replays the ENTIRE product
+    // contract: per-half seed selection (first-4 vectors' halves) →
+    // per-half seed argmin assignment → one exact-math Lloyd per half
+    // (quantized-long sums, empty cells keep seeds) → final per-half
+    // argmin → cid = a·kB + b, and the query probe's pSide=3 per-side
+    // frontier ranked by the exact integer sum of the two quantized
+    // half-L2s with cid tie-break. Candidate ranking then follows the
+    // shared ANN cosine top-k (R7). Same leaf count as the flat IVF and
+    // hierarchical IMI queries, so all three families compare directly.
+    GQ(
+      "q_sim_ann_pimi",
+      (s, d) => {
+        val qz = trainProduct(s, d, NumCentroids)
+        val e = Tables.t(s, d, "embeddings")
+        val q = qz.probe(s, e.filter(col("vec_id") < NumQueries), NumProbe)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cid"))
+        val cand = qz.assign(s, e)
+          .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+        topkPerQuery(s, q.join(cand, "cid"))
+      },
+      Some {
+        val kSide = 4; val dimA = Dim / 2; val pSide = ProductProbe
+        // quantized half-space squared L2: the PqEncode accumulation
+        // contract — left-assoc IEEE sum from 0.0, floor(·1e12) BIGINT
+        def sqlD2Half(v: String, off: Int, c: String): String = {
+          val terms = (1 to dimA).map { i =>
+            s"($v[${off + i}] - $c[$i]) * ($v[${off + i}] - $c[$i])"
+          }
+          val sum = terms.foldLeft("0.0")((acc, t) => s"($acc + $t)")
+          s"CAST(floor($sum * ${D2QuantScale.toLong}.0) AS BIGINT)"
+        }
+        // per-side argmin assignment (quantized d² ASC, cid ASC)
+        def sideArgmin(name: String, t: String, off: Int): String =
+          s"""$name AS (SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, $t.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sqlD2Half("e.emb", off, s"$t.cent")} ASC, $t.cid) AS rn
+             |    FROM e CROSS JOIN $t) WHERE rn = 1)""".stripMargin
+        // one exact-math Lloyd half-step (VectorCentroid semantics) over a
+        // per-side assignment
+        def halfLloyd(qn: String, cn: String, asgn: String, off: Int): String =
+          s"""$qn AS (SELECT $asgn.cid, r.i,
+             |    SUM(CAST(floor(e.emb[$off + r.i + 1] * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             |    COUNT(*) AS n
+             |  FROM $asgn JOIN e USING (vec_id), range($dimA) r(i)
+             |  GROUP BY $asgn.cid, r.i),
+             |$cn AS (SELECT cid,
+             |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
+             |         ORDER BY i) AS cent
+             |  FROM $qn GROUP BY cid)""".stripMargin
+        // query-side pSide-best cells of one half, WITH the quantized d²
+        def sideProbe(name: String, t: String, off: Int): String =
+          s"""$name AS (SELECT vec_id, cid, d FROM (
+             |    SELECT e.vec_id, $t.cid,
+             |      ${sqlD2Half("e.emb", off, s"$t.cent")} AS d,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${sqlD2Half("e.emb", off, s"$t.cent")} ASC, $t.cid) AS rn
+             |    FROM e CROSS JOIN $t WHERE e.vec_id < $NumQueries)
+             |  WHERE rn <= $pSide)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |a0 AS (SELECT vec_id AS cid, emb[1:$dimA] AS cent FROM e
+           |  WHERE vec_id < $kSide),
+           |b0 AS (SELECT vec_id AS cid, emb[${dimA + 1}:$Dim] AS cent FROM e
+           |  WHERE vec_id < $kSide),
+           |${sideArgmin("aa0", "a0", 0)},
+           |${sideArgmin("bb0", "b0", dimA)},
+           |${halfLloyd("aq1", "ac1r", "aa0", 0)},
+           |ac1 AS (SELECT a0.cid, COALESCE(ac1r.cent, a0.cent) AS cent
+           |  FROM a0 LEFT JOIN ac1r USING (cid)),
+           |${halfLloyd("bq1", "bc1r", "bb0", dimA)},
+           |bc1 AS (SELECT b0.cid, COALESCE(bc1r.cent, b0.cent) AS cent
+           |  FROM b0 LEFT JOIN bc1r USING (cid)),
+           |${sideArgmin("aa1", "ac1", 0)},
+           |${sideArgmin("bb1", "bc1", dimA)},
+           |asg AS (SELECT aa1.vec_id, aa1.cid * $kSide + bb1.cid AS cid
+           |  FROM aa1 JOIN bb1 USING (vec_id)),
+           |${sideProbe("qa", "ac1", 0)},
+           |${sideProbe("qb", "bc1", dimA)},
+           |qp AS (SELECT vec_id, cid FROM (
+           |    SELECT qa.vec_id, qa.cid * $kSide + qb.cid AS cid,
+           |      row_number() OVER (PARTITION BY qa.vec_id
+           |        ORDER BY qa.d + qb.d ASC, qa.cid * $kSide + qb.cid) AS rn
+           |    FROM qa JOIN qb USING (vec_id)) WHERE rn <= $NumProbe),
+           |q AS (SELECT qp.vec_id AS query_id, e.emb AS qe, qp.cid
+           |  FROM qp JOIN e USING (vec_id)),
+           |cand AS (SELECT asg.vec_id AS neighbor_id, e.emb AS ne, asg.cid
+           |  FROM asg JOIN e USING (vec_id)),
+           |p AS (SELECT q.query_id, cand.neighbor_id,
+           |    (ROUND(${sqlCos("q.qe", "cand.ne")}, 3) + 0.0) AS cos_sim,
+           |    ${sqlCosQ("q.qe", "cand.ne")} AS cq
+           |  FROM q JOIN cand USING (cid)
+           |  WHERE q.query_id <> cand.neighbor_id),
            |r AS (SELECT query_id, neighbor_id, cos_sim,
            |    CAST(row_number() OVER (PARTITION BY query_id
            |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)

@@ -104,6 +104,87 @@ object LlmPipeline {
       base: DataFrame, s1: DataFrame, s01Rows: DataFrame, s2: DataFrame,
       s3: DataFrame, s4: DataFrame, s5: DataFrame, splitRows: DataFrame)
 
+  /** The post-exact-dedup SUCCESSOR stages — neardup → decontam → mix →
+    * split — over an explicit deduped text corpus (round 8, VERDICT
+    * item 5): factored out of [[stages]] so the full run (s2 → s3..s6)
+    * and the incremental run's reconciled state (c2 → m3..m6,
+    * [[reconciledMix]]) share ONE definition — the law "after the last
+    * ordered batch the successor stages equal the full run's" is then a
+    * property of the shared machinery, not of two parallel copies. */
+  private[graft] final case class Successors(
+      s3: DataFrame, s4: DataFrame, s5: DataFrame, splitRows: DataFrame)
+
+  private[graft] def successorsOf(
+      s2: DataFrame, benchDocs: DataFrame,
+      splitPrefix: String = "s6_"): Successors = {
+    val narrow2 = s2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
+
+    // s3 — LSH near-dup over the survivors: band candidates + exact
+    // shingle-Jaccard ≥ Tau verify (the q_dedup_lsh_verify machinery),
+    // drop every doc that is the LARGER id of a verified pair.
+    // items2 is NOT persisted although three consumers read it (signatures,
+    // the exact-rescore shingle sets, s4's contamination grams): exploded
+    // 3-word shingles carry each word ~3× — the relation is ~3× the corpus
+    // bytes, so caching it is exactly the corpus-scale cache that cannot
+    // exist at 100 TB. Each consumer replays a codegen kgram projection of
+    // the one CACHED survivor relation instead (measured A/B at sf0.1:
+    // the persist's materialization cost ≥ the two replays it saves).
+    val items2 = Dedup.shingleItemsOf(s2)
+    val drops = Dedup.verifiedPairsFrom(items2)
+      .filter(col("jaccard") >= Dedup.Tau)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s3 = Caches.persist(narrow2.join(drops, Seq("doc_id"), "left_anti"))
+
+    // s4 — decontamination: the benchmark slice's distinct 3-gram set is
+    // model-sized and BROADCASTS; survivors sharing any gram drop. Gram
+    // rows replay the kgram projection of the cached survivor text,
+    // semi-joined to the s3 survivors; the broadcast gram probe runs
+    // BEFORE any exchange (a left-semi against the broadcast set filters
+    // map-side), so the only shuffle is the distinct over the
+    // already-contaminated doc_ids.
+    val bench = Grams.kgramRows(benchDocs, 3, Seq())
+      .select(col("item").as("gram")).distinct()
+    val contaminated = items2
+      .join(s3.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("item").as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val s4 = Caches.persist(s3.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // s5 — mix realization: per-lang keep threshold from q_mix_weights'
+    // rate (ONE mirrored IEEE tree, consumed through floor·10^6), then a
+    // deterministic hash gate; thresholds are a |langs|-row broadcast
+    val perLang = s4.groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
+    val totals = perLang.agg(
+      sum(col("toks")).as("total_toks"), count(lit(1)).as("n_langs"))
+    val thresholds = perLang.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        floor(least(lit(1.0),
+          (col("total_toks").cast(DoubleType) / col("n_langs").cast(DoubleType))
+            / col("toks").cast(DoubleType)) * MixDenom)
+          .cast(LongType).as("thr"))
+    val s5 = Caches.persist(
+      s4.join(broadcast(thresholds), "lang")
+        .filter(pmod(XHash.h60(
+          concat(lit("mix:"), col("doc_id").cast(StringType))),
+          lit(MixDenom)) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("fp")))
+
+    // s6 — final 80/10/10 hash split of the released corpus
+    val gate = pmod(XHash.h60(
+      concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
+    val splitRows = s5
+      .withColumn("split",
+        when(gate < 80, "train").when(gate < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        bit_xor(col("fp")).as("membership_fp"))
+      .select(concat(lit(splitPrefix), col("split")).as("stage"),
+        col("n_docs"), col("n_tokens"), col("membership_fp"))
+
+    Successors(s3, s4, s5, splitRows)
+  }
+
   private[graft] def stages(s: SparkSession, d: String): Stages = {
     // s0/s1 — scan-side flags, NOT persisted: caching the full text corpus
     // measured 2.5 s of pure cache write at sf0.1 vs ~0.2 s per pruned
@@ -147,74 +228,13 @@ object LlmPipeline {
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("lang"), col("doc_id")).as("lang"))
         .select(col("doc_id"), col("lang"), col("text"))))
-    val narrow2 = s2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
 
-    // s3 — LSH near-dup over the s2 survivors: band candidates + exact
-    // shingle-Jaccard ≥ Tau verify (the q_dedup_lsh_verify machinery),
-    // drop every doc that is the LARGER id of a verified pair.
-    // items2 is NOT persisted although three consumers read it (signatures,
-    // the exact-rescore shingle sets, s4's contamination grams): exploded
-    // 3-word shingles carry each word ~3× — the relation is ~3× the corpus
-    // bytes, so caching it is exactly the corpus-scale cache that cannot
-    // exist at 100 TB. Each consumer replays a codegen kgram projection of
-    // the one CACHED s2 survivor relation instead (measured A/B at sf0.1:
-    // the persist's materialization cost ≥ the two replays it saves).
-    val items2 = Dedup.shingleItemsOf(s2)
-    val drops = Dedup.verifiedPairsFrom(items2)
-      .filter(col("jaccard") >= Dedup.Tau)
-      .select(col("b_id").as("doc_id")).distinct()
-    val s3 = Caches.persist(narrow2.join(drops, Seq("doc_id"), "left_anti"))
+    // s3..s6 — the shared successor machinery (successorsOf) over the s2
+    // survivor corpus, with the doc_id < 4 held-out slice as benchmark
+    val suc = successorsOf(
+      s2, Tables.t(s, d, "documents").filter(col("doc_id") < 4))
 
-    // s4 — decontamination: the benchmark slice's distinct 3-gram set is
-    // model-sized and BROADCASTS; survivors sharing any gram drop. Gram
-    // rows replay the kgram projection of the cached s2 text, semi-joined
-    // to the s3 survivors; the broadcast gram probe runs BEFORE any
-    // exchange (a left-semi against the broadcast set filters map-side),
-    // so the only shuffle is the distinct over the already-contaminated
-    // doc_ids — the old (doc_id, gram) pre-join distinct pushed the FULL
-    // gram relation (~3× corpus bytes) through an exchange first.
-    val bench = Grams.kgramRows(
-        Tables.t(s, d, "documents").filter(col("doc_id") < 4), 3, Seq())
-      .select(col("item").as("gram")).distinct()
-    val contaminated = items2
-      .join(s3.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("item").as("gram"))
-      .join(broadcast(bench), Seq("gram"), "left_semi")
-      .select(col("doc_id")).distinct()
-    val s4 = Caches.persist(s3.join(contaminated, Seq("doc_id"), "left_anti"))
-
-    // s5 — mix realization: per-lang keep threshold from q_mix_weights'
-    // rate (ONE mirrored IEEE tree, consumed through floor·10^6), then a
-    // deterministic hash gate; thresholds are a |langs|-row broadcast
-    val perLang = s4.groupBy(col("lang")).agg(sum(col("n_tok")).as("toks"))
-    val totals = perLang.agg(
-      sum(col("toks")).as("total_toks"), count(lit(1)).as("n_langs"))
-    val thresholds = perLang.crossJoin(broadcast(totals))
-      .select(col("lang"),
-        floor(least(lit(1.0),
-          (col("total_toks").cast(DoubleType) / col("n_langs").cast(DoubleType))
-            / col("toks").cast(DoubleType)) * MixDenom)
-          .cast(LongType).as("thr"))
-    val s5 = Caches.persist(
-      s4.join(broadcast(thresholds), "lang")
-        .filter(pmod(XHash.h60(
-          concat(lit("mix:"), col("doc_id").cast(StringType))),
-          lit(MixDenom)) < col("thr"))
-        .select(col("doc_id"), col("lang"), col("n_tok"), col("fp")))
-
-    // s6 — final 80/10/10 hash split of the released corpus
-    val gate = pmod(XHash.h60(
-      concat(lit("split:"), col("doc_id").cast(StringType))), lit(100L))
-    val splitRows = s5
-      .withColumn("split",
-        when(gate < 80, "train").when(gate < 90, "val").otherwise("test"))
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
-        bit_xor(col("fp")).as("membership_fp"))
-      .select(concat(lit("s6_"), col("split")).as("stage"),
-        col("n_docs"), col("n_tokens"), col("membership_fp"))
-
-    Stages(base, s1, s01Rows, s2, s3, s4, s5, splitRows)
+    Stages(base, s1, s01Rows, s2, suc.s3, suc.s4, suc.s5, suc.splitRows)
   }
 
   /** The INCREMENTAL (daily-run) ledger (round 7, VERDICT item 4): a NEW
@@ -252,9 +272,15 @@ object LlmPipeline {
     * sets/signatures) are yesterday's WRITTEN artifacts; here they are
     * recomputed from the index relation so the DuckDB oracle can replay
     * the whole contract from the raw table. */
-  private[graft] def incrementalLedger(
-      s: SparkSession, docs: DataFrame, isNew: Column,
-      benchDocs: DataFrame): DataFrame = {
+  /** The EXACT-dedup states an incremental run rests on — the index
+    * survivor corpus (idxS2), the batch funnel head (batchBase), and the
+    * batch's exact-dedup delta (d2) — factored out (round 8) so
+    * [[incrementalLedger]] and [[reconciledMix]] share one definition. */
+  private[graft] final case class IncrementalExact(
+      idxS2: DataFrame, batchBase: DataFrame, d2: DataFrame)
+
+  private[graft] def incrementalExact(
+      s: SparkSession, docs: DataFrame, isNew: Column): IncrementalExact = {
     // index state: the exact-dedup survivor corpus the run diffs against
     val idxBase = measured(docs.filter(!isNew)).withColumn("q", qualityGate)
     val idxS2 = Caches.persist(measured(
@@ -264,9 +290,30 @@ object LlmPipeline {
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("lang"), col("doc_id")).as("lang"))
         .select(col("doc_id"), col("lang"), col("text"))))
+    val batchBase = measured(docs.filter(isNew)).withColumn("q", qualityGate)
+    // d2 — in-batch exact dedup, then drop texts the index already holds
+    val b2within = Dedup.digestClustered(batchBase.filter(col("q"))
+      .select(col("doc_id"), col("lang"), col("text")))
+      .groupBy(col("h"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("lang"), col("doc_id")).as("lang"))
+      .select(col("h"), col("text"), col("doc_id"), col("lang"))
+    val idxKeyed = idxS2.select(xxhash64(col("text")).as("h"), col("text"))
+    val d2 = Caches.persist(measured(
+      b2within.join(idxKeyed, Seq("h", "text"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("text"))))
+    IncrementalExact(idxS2, batchBase, d2)
+  }
+
+  private[graft] def incrementalLedger(
+      s: SparkSession, docs: DataFrame, isNew: Column,
+      benchDocs: DataFrame): DataFrame = {
+    val ex = incrementalExact(s, docs, isNew)
+    val idxS2 = ex.idxS2
+    val batchBase = ex.batchBase
+    val d2 = ex.d2
 
     // batch funnel head: both delta ledger rows from ONE batch pass
-    val batchBase = measured(docs.filter(isNew)).withColumn("q", qualityGate)
     val d01Rows = batchBase
       .agg(
         count(lit(1)).as("n0"),
@@ -283,17 +330,6 @@ object LlmPipeline {
       .select(col("r.stage"), col("r.n_docs"), col("r.n_tokens"),
         col("r.membership_fp"))
 
-    // d2 — in-batch exact dedup, then drop texts the index already holds
-    val b2within = Dedup.digestClustered(batchBase.filter(col("q"))
-      .select(col("doc_id"), col("lang"), col("text")))
-      .groupBy(col("h"), col("text"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("lang"), col("doc_id")).as("lang"))
-      .select(col("h"), col("text"), col("doc_id"), col("lang"))
-    val idxKeyed = idxS2.select(xxhash64(col("text")).as("h"), col("text"))
-    val d2 = Caches.persist(measured(
-      b2within.join(idxKeyed, Seq("h", "text"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("text"))))
     val narrowD2 = d2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
     val narrowI2 = idxS2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))
 
@@ -341,6 +377,40 @@ object LlmPipeline {
       ledgerRow("d4_decontam", d4),
       ledgerRow("i2_index", narrowI2),
       ledgerRow("c2_corpus", narrowI2.unionByName(narrowD2)))
+      .reduce(_.unionAll(_))
+      .select(col("stage"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens + 511) DIV 512").as("n_chunks"),
+        col("membership_fp"))
+      .orderBy(col("stage"))
+  }
+
+  /** The RECONCILED-STATE successor run (round 8, VERDICT item 5 — what
+    * [[incrementalLedger]] deliberately stops short of): after a daily
+    * ingest, mix/split thresholds are GLOBAL state (per-lang token shares
+    * of the cumulative corpus), so the successor stages are recomputed
+    * over the reconciled post-ingest state c2 = i2 ∪ d2 — this query IS
+    * that recompute, emitting the c2 anchor row plus m3 (near-dup over
+    * c2), m4 (decontam), m5 (mix) and the m6 splits through the SAME
+    * [[successorsOf]] machinery the full run uses. PropertySpec law:
+    * under doc_id-ordered batches the last run's c2 equals the full run's
+    * s2 (proved round 7), and since the successor machinery is shared,
+    * m3..m6 then equal the full run's s3..s6 EXACTLY — the daily run and
+    * the from-scratch run ship the identical release. */
+  private[graft] def reconciledMix(
+      s: SparkSession, docs: DataFrame, isNew: Column,
+      benchDocs: DataFrame): DataFrame = {
+    val ex = incrementalExact(s, docs, isNew)
+    val cols = Seq("doc_id", "lang", "text", "n_tok", "fp").map(col)
+    val c2 = Caches.persist(
+      ex.idxS2.select(cols: _*).unionByName(ex.d2.select(cols: _*)))
+    val suc = successorsOf(c2, benchDocs, "m6_")
+    Seq(
+      ledgerRow("c2_corpus",
+        c2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))),
+      ledgerRow("m3_neardup", suc.s3),
+      ledgerRow("m4_decontam", suc.s4),
+      ledgerRow("m5_mix", suc.s5),
+      suc.splitRows)
       .reduce(_.unionAll(_))
       .select(col("stage"), col("n_docs"), col("n_tokens"),
         expr("(n_tokens + 511) DIV 512").as("n_chunks"),
@@ -511,6 +581,98 @@ object LlmPipeline {
            |  UNION ALL ${row("d4_decontam", "d4")}
            |  UNION ALL ${row("i2_index", "i2")}
            |  UNION ALL ${row("c2_corpus", "c2")})
+           |SELECT stage, n_docs, n_tokens,
+           |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
+           |  membership_fp
+           |FROM led ORDER BY stage""".stripMargin
+      }
+    ),
+    // The reconciled-state SUCCESSOR run (round 8, VERDICT item 5): after
+    // the q_llm_pipeline_incremental ingest, mix/split thresholds are
+    // global state, so the release stages recompute over the reconciled
+    // corpus c2 = i2 ∪ d2 — see [[reconciledMix]]. Same batch convention
+    // as the incremental query (doc_id % 10 = 0 is today's ingest); the
+    // oracle replays the exact-dedup reconciliation and then the FULL
+    // RUN's successor CTEs (near-dup, decontam, mix, split) over c2.
+    GQ(
+      "q_llm_pipeline_mix",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        reconciledMix(s,
+          docs.filter(col("doc_id") >= 4),
+          pmod(col("doc_id"), lit(10L)) === 0L,
+          docs.filter(col("doc_id") < 4))
+      },
+      Some {
+        val stops = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+        val fpOf = XHash.sqlH60("CAST(doc_id AS VARCHAR) || ':' || text")
+        val gramList =
+          """CASE WHEN len(string_split(text, ' ')) >= 3
+            |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+            |         i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+            |    ELSE [text] END""".stripMargin
+        val row = (stage: String, rel: String) =>
+          s"""SELECT '$stage' AS stage, COUNT(*) AS n_docs,
+             |  COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens,
+             |  COALESCE(bit_xor(fp), 0) AS membership_fp FROM $rel""".stripMargin
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp,
+           |    CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+           |     AND CAST(len(list_filter(string_split(text, ' '),
+           |           w -> w IN ($stops))) AS DOUBLE)
+           |         / len(string_split(text, ' ')) <= 0.3
+           |    THEN 1 ELSE 0 END AS q
+           |  FROM documents WHERE doc_id >= 4),
+           |ib1 AS (SELECT * FROM base WHERE doc_id % 10 <> 0 AND q = 1),
+           |i2g AS (SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+           |    text FROM ib1 GROUP BY text),
+           |i2 AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp FROM i2g),
+           |b1 AS (SELECT * FROM base WHERE doc_id % 10 = 0 AND q = 1),
+           |b2g AS (SELECT MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+           |    text FROM b1 GROUP BY text),
+           |d2 AS (SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $fpOf AS fp FROM b2g
+           |  WHERE text NOT IN (SELECT text FROM i2)),
+           |c2 AS (SELECT doc_id, lang, text, n_tok, fp FROM i2
+           |  UNION ALL SELECT doc_id, lang, text, n_tok, fp FROM d2),
+           |${Dedup.sqlVerifiedEdgesCtes("c2", "ver")},
+           |m3 AS (SELECT * FROM c2
+           |  WHERE doc_id NOT IN (SELECT b_id FROM ver)),
+           |bg AS (SELECT DISTINCT unnest($gramList) AS gram
+           |  FROM documents WHERE doc_id < 4),
+           |cg AS (SELECT doc_id, unnest($gramList) AS gram FROM m3),
+           |cont AS (SELECT DISTINCT cg.doc_id AS doc_id FROM cg
+           |  JOIN bg USING (gram)),
+           |m4 AS (SELECT * FROM m3
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           |pl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS toks
+           |  FROM m4 GROUP BY lang),
+           |tt AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_toks,
+           |    COUNT(*) AS n_langs FROM pl),
+           |th AS (SELECT lang, CAST(floor(least(1.0,
+           |    (CAST(total_toks AS DOUBLE) / CAST(n_langs AS DOUBLE))
+           |      / CAST(toks AS DOUBLE)) * $MixDenom) AS BIGINT) AS thr
+           |  FROM pl, tt),
+           |m5 AS (SELECT m4.* FROM m4 JOIN th USING (lang)
+           |  WHERE ${XHash.sqlH60("'mix:' || CAST(doc_id AS VARCHAR)")}
+           |    % $MixDenom < thr),
+           |m6 AS (SELECT 'm6_' ||
+           |    CASE WHEN ${XHash.sqlH60("'split:' || CAST(doc_id AS VARCHAR)")}
+           |        % 100 < 80 THEN 'train'
+           |      WHEN ${XHash.sqlH60("'split:' || CAST(doc_id AS VARCHAR)")}
+           |        % 100 < 90 THEN 'val' ELSE 'test' END AS stage,
+           |    n_tok, fp FROM m5),
+           |led AS (${row("c2_corpus", "c2")}
+           |  UNION ALL ${row("m3_neardup", "m3")}
+           |  UNION ALL ${row("m4_decontam", "m4")}
+           |  UNION ALL ${row("m5_mix", "m5")}
+           |  UNION ALL SELECT stage, COUNT(*) AS n_docs,
+           |    COALESCE(CAST(SUM(n_tok) AS BIGINT), 0) AS n_tokens,
+           |    COALESCE(bit_xor(fp), 0) AS membership_fp FROM m6 GROUP BY stage)
            |SELECT stage, n_docs, n_tokens,
            |  CAST((n_tokens + 511) // 512 AS BIGINT) AS n_chunks,
            |  membership_fp

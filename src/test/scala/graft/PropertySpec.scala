@@ -398,6 +398,88 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ProductCells: plan size is independent of the grid size (two broadcast handles)") {
+    // the round-8 product-IMI quantizer inherits the round-6 done-criterion:
+    // kA·kB leaves must not grow the plan — both half-space codebooks
+    // travel as broadcasts
+    import graft.functions.{pq, ProductCells}
+    val halfGen = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
+    def planLen(kSide: Int): Int = {
+      val a = samples(halfGen, kSide).map(_.toVector).toVector
+      val b = samples(halfGen, kSide).map(_.toVector).toVector
+      val factory = ProductCells.broadcastOf(spark, a, b, 3, 3, 1e12)
+      pq.register(spark, s"pcell_sz_$kSide", exprs => factory(exprs.head))
+      Seq(Seq.fill(8)(0.1f)).toDF("embedding")
+        .select(call_function(s"pcell_sz_$kSide", col("embedding")).as("c"))
+        .queryExecution.analyzed.toString.length
+    }
+    val small = planLen(3)
+    val big = planLen(48)
+    assert(math.abs(big - small) <= 64,
+      s"plan text grew with the grid: 9 leaves -> $small chars, 2304 -> $big")
+  }
+
+  test("ProductCells: interpreted == codegen == scala reference (product frontier law)") {
+    // dual-path law plus the full selection contract: per-half rankings
+    // (quantized d² ASC, id ASC), candidates = pSide×pSide frontier,
+    // ranked (exact integer half-sum ASC, cid = a·kB + b ASC); and the
+    // assignment special case (pSide = 1, topN = 1) must equal the EXACT
+    // brute-force argmin over the whole kA·kB grid — the decomposition
+    // property the product quantizer's correctness rests on.
+    import graft.functions.{pq, ProductCells}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val halfGen = Gen.listOfN(4, Gen.chooseNum(-1.0f, 1.0f))
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))
+    val kA = 5; val kB = 4
+    val a: Vector[Vector[Float]] = samples(halfGen, kA).map(_.toVector).toVector
+    val b: Vector[Vector[Float]] = samples(halfGen, kB).map(_.toVector).toVector
+    val rows: Seq[Seq[Float]] = samples(vecGen, 40).map(_.toSeq)
+    def d2q(v: Seq[Float], c: Vector[Float], off: Int): Long = {
+      var acc = 0.0
+      for (i <- c.indices) {
+        val d = v(off + i).toDouble - c(i).toDouble
+        acc += d * d
+      }
+      math.floor(acc * 1e12).toLong
+    }
+    for ((pSide, topN) <- Seq((1, 1), (3, 4), (2, 9))) {
+      val mk = { // direct expression instance for the interpreted path
+        val aBc = spark.sparkContext.broadcast(a.flatten.map(_.toDouble).toArray)
+        val bBc = spark.sparkContext.broadcast(b.flatten.map(_.toDouble).toArray)
+        (child: org.apache.spark.sql.catalyst.expressions.Expression) =>
+          ProductCells(child, aBc, bBc, kA, kB, 8, pSide, topN, 1e12)
+      }
+      pq.register(spark, s"pcell_prop_${pSide}_$topN", exprs => mk(exprs.head))
+      val viaCodegen = rows.toDF("embedding")
+        .select(call_function(s"pcell_prop_${pSide}_$topN", col("embedding")).as("c"))
+        .collect().map(_.getSeq[Int](0).toVector).toSeq
+      val direct = rows.map { v =>
+        mk(org.apache.spark.sql.catalyst.expressions.Literal(0))
+          .nullSafeEval(new GenericArrayData(v.toArray))
+          .asInstanceOf[GenericArrayData].toIntArray().toVector
+      }
+      assert(viaCodegen === direct, s"dual-path split at pSide=$pSide topN=$topN")
+      for ((v, got) <- rows.zip(direct)) {
+        val aBest = (0 until kA).map(i => (d2q(v, a(i), 0), i))
+          .sorted.take(math.min(pSide, kA))
+        val bBest = (0 until kB).map(i => (d2q(v, b(i), 4), i))
+          .sorted.take(math.min(pSide, kB))
+        val want = (for { (qa, ai) <- aBest; (qb, bi) <- bBest }
+          yield (qa + qb, ai * kB + bi))
+          .sorted.take(topN).map(_._2).toVector
+        assert(got === want, s"frontier law broke at pSide=$pSide topN=$topN")
+        if (pSide == 1 && topN == 1) {
+          // exact-argmin decomposition: the two independent half argmins
+          // ARE the global grid argmin under summed quantized L2
+          val brute = (for { ai <- 0 until kA; bi <- 0 until kB }
+            yield (d2q(v, a(ai), 0) + d2q(v, b(bi), 4), ai * kB + bi))
+            .min._2
+          assert(got === Vector(brute))
+        }
+      }
+    }
+  }
+
   test("q_llm_pipeline_incremental: full run = fold of doc_id-ordered incremental runs") {
     // THE round-7 reconciliation law (VERDICT item 4): partition the corpus
     // into doc_id-ordered batches, ingest them through incrementalLedger
@@ -448,6 +530,40 @@ class PropertySpec extends AnyFunSuite {
     assert(fold("d4_decontam") === full("s4_decontam"))
     // the post-ingest state after the last batch IS the full s2 corpus
     assert(runs.last("c2_corpus") === full("s2_exact"))
+  }
+
+  test("reconciledMix: successor stages after the last ordered batch = the full run's s3..s6") {
+    // round-8 law (VERDICT item 5): mix/split thresholds are global state,
+    // so the daily run recomputes them over the reconciled corpus
+    // c2 = i2 ∪ d2. Under doc_id-ordered batches the last run's c2 equals
+    // the full run's s2 EXACTLY (the round-7 fold law), and since
+    // reconciledMix routes c2 through the SAME successorsOf machinery the
+    // full pipeline uses, every successor row — near-dup, decontam, mix,
+    // and all three splits — must equal the full run's, fingerprints
+    // included: the daily run and the from-scratch run ship the identical
+    // release.
+    import graft.operators.LlmPipeline
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.t(spark, sf, "documents")
+    val mix = LlmPipeline.reconciledMix(
+      spark,
+      docs.filter(col("doc_id") >= 4),
+      col("doc_id") >= 340, // the last ordered batch; index = ids before it
+      docs.filter(col("doc_id") < 4)).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.release(spark)
+    val full = Registry.byName("q_llm_pipeline").run(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.Caches.release(spark)
+    assert(mix("c2_corpus") === full("s2_exact"))
+    assert(mix("m3_neardup") === full("s3_neardup"))
+    assert(mix("m4_decontam") === full("s4_decontam"))
+    assert(mix("m5_mix") === full("s5_mix"))
+    for (split <- Seq("train", "val", "test"))
+      assert(mix(s"m6_$split") === full(s"s6_$split"),
+        s"split $split diverged between the daily and from-scratch runs")
   }
 
   test("TwoLevelCells: plan size is independent of the codebook size (two broadcast handles)") {

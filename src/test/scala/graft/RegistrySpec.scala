@@ -97,7 +97,8 @@ class RegistrySpec extends AnyFunSuite {
     "q_dq_entropy" -> 4, // one pruned 1-column scan per audited column
     "q_dq_referential" -> 3, // three lineitem FK columns = three edges by contract
     "q_llm_pipeline" -> 3, // funnel-head ledger + dedup build + bench slice: re-scan beats caching raw text (in-source A/B)
-    "q_llm_pipeline_incremental" -> 4) // the full run's three + the index-state scan (yesterday's written artifact at 100 TB, recomputed here for the oracle)
+    "q_llm_pipeline_incremental" -> 4, // the full run's three + the index-state scan (yesterday's written artifact at 100 TB, recomputed here for the oracle)
+    "q_llm_pipeline_mix" -> 3) // index-state + batch + bench slice: three DIFFERENT pruned filters of documents (index state is yesterday's written artifact at 100 TB)
 
   // Doc-drift net: the judge reads SURVEY.md §2.6 line by line against the
   // registry — a declared query with no SURVEY row is invisible coverage,
