@@ -46,7 +46,7 @@ object Retrieval {
     * feeds both feedback rounds from ONE persisted tf index instead of
     * re-exploding the corpus per pass. Same chain from tf down, so the
     * two entries produce identical scores by construction. */
-  private def bm25FromIdx(idx: org.apache.spark.sql.DataFrame,
+  private[graft] def bm25FromIdx(idx: org.apache.spark.sql.DataFrame,
       dl: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame,
       qterms: org.apache.spark.sql.DataFrame)

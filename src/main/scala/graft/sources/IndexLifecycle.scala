@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.operators.{Dedup, Retrieval}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** WRITE-THEN-SERVE index lifecycle (round 8, VERDICT item 4): the 100 TB
+  * posture for the retrieval/dedup index state is WRITTEN ARTIFACTS — the
+  * declared queries recompute their postings/band/digest state per run
+  * only so the DuckDB oracle can replay the whole contract from the raw
+  * table (documented in-source at each site). This module is the
+  * production path those queries stand in for: build each artifact ONCE,
+  * write it BUCKETED on its probe key, and serve every later run from the
+  * read side with ZERO exchanges on the index's own key — the bucketed
+  * layout ([[Warehouse.writeBucketed]]) IS the shuffle, paid once at
+  * write time and amortized over every serving run.
+  *
+  * Artifacts (for a deduped text corpus `(doc_id, text, …)`):
+  *
+  *  - `{prefix}_postings` (doc_id, word, tf) BUCKETED BY word — the
+  *    q_retrieval_queryexp tf index; both BM25 rounds' word-keyed joins
+  *    (query-term semi-join, df aggregate, idf attach) consume the
+  *    bucketed partitioning directly, so serving never re-shuffles the
+  *    index ([[servedQueryExpansion]]).
+  *  - `{prefix}_doclens` (doc_id, dl) — model-sized per-doc lengths; the
+  *    score join broadcasts it.
+  *  - `{prefix}_bands` (doc_id, bpos, bkey) BUCKETED BY bkey — the
+  *    MinHash band table q_llm_pipeline_incremental's near-dup probe
+  *    joins on (bpos, bkey); a batch written with the SAME bucket count
+  *    joins it with zero exchange on either side (bucketing on bkey
+  *    co-locates every (bpos, bkey) group — HashPartitioning on a subset
+  *    of the join keys satisfies the join's clustering requirement).
+  *  - `{prefix}_digests` (h, text, doc_id) BUCKETED BY h — the exact-dedup
+  *    digest table; the batch's (h, text) anti-join runs shuffle-free the
+  *    same way.
+  *
+  * `IndexLifecycleSpec` pins all of it from the physical plans: the
+  * served near-dup candidate and exact-dedup probes plan ZERO
+  * ShuffleExchange with broadcast disabled, the served BM25 rounds plan
+  * ZERO word-keyed exchanges (only the unavoidable per-doc score
+  * aggregation and 1-row stats rows shuffle), and the served query-
+  * expansion output equals the oracle-matched q_retrieval_queryexp
+  * byte-for-byte on the same corpus. The declared-query oracle paths are
+  * unchanged.
+  */
+object IndexLifecycle {
+
+  /** Build + write the text-index artifacts for a deduped corpus. One
+    * corpus pass per artifact family (postings; shingle bands; digests) —
+    * each a scan-side projection feeding one keyed write. */
+  def writeTextIndex(
+      s: SparkSession, corpus: DataFrame, prefix: String, buckets: Int): Unit = {
+    val idx = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    Warehouse.writeBucketed(idx, s"${prefix}_postings", "word", buckets)
+    idx.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("dl"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${prefix}_doclens")
+    writeDedupIndex(s, corpus, prefix, buckets)
+  }
+
+  /** Band + digest artifacts alone — what a daily batch writes about
+    * ITSELF before probing the big index (same bucket count ⇒ the probe
+    * joins are exchange-free on both sides). */
+  def writeDedupIndex(
+      s: SparkSession, corpus: DataFrame, prefix: String, buckets: Int): Unit = {
+    // bucket on the FULL probe key in each case — a subset bucket spec
+    // leaves the planner free to disable the bucketed scan and re-shuffle
+    val bands = Dedup.bandRows(Dedup.signaturesOf(Dedup.shingleItemsOf(corpus)))
+    Warehouse.writeBucketedKeys(bands, s"${prefix}_bands", buckets, "bpos", "bkey")
+    val digests = corpus.select(
+      xxhash64(col("text")).as("h"), col("text"), col("doc_id"))
+    Warehouse.writeBucketedKeys(digests, s"${prefix}_digests", buckets, "h", "text")
+  }
+
+  /** Near-dup candidate pairs: the batch's band table probes the index's —
+    * the q_llm_pipeline_incremental candIdx join served from storage.
+    * Both sides bucketed by bkey ⇒ zero exchange. Pairs are NOT
+    * deduplicated here (a doc pair sharing several bands repeats) — the
+    * consumer's verify stage dedups, exactly as the in-memory path does. */
+  def servedNearDupCandidates(
+      s: SparkSession, idxPrefix: String, batchPrefix: String): DataFrame =
+    s.table(s"${batchPrefix}_bands").as("n")
+      .join(s.table(s"${idxPrefix}_bands").as("i"),
+        col("n.bpos") === col("i.bpos") && col("n.bkey") === col("i.bkey"))
+      .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("p_id"))
+
+  /** Exact-dedup delta: batch texts the index does NOT already hold — the
+    * d2 anti-join served from storage. Both sides bucketed by h ⇒ zero
+    * exchange (equality is still confirmed on the text BYTES, the
+    * digest-collision contract). */
+  def servedExactNew(
+      s: SparkSession, idxPrefix: String, batchPrefix: String): DataFrame =
+    s.table(s"${batchPrefix}_digests")
+      .join(s.table(s"${idxPrefix}_digests"), Seq("h", "text"), "left_anti")
+      .select(col("doc_id"), col("text"))
+
+  /** BOTH BM25 rounds of q_retrieval_queryexp served from the written
+    * postings index — identical math (the shared [[Retrieval.bm25FromIdx]]
+    * chain), identical output contract; the corpus TEXT is never touched.
+    * Word-keyed joins/aggregates consume the bucketed partitioning, so
+    * the only exchanges are per-doc score aggregations and 1-row stats. */
+  def servedQueryExpansion(
+      s: SparkSession, prefix: String, qterms: DataFrame): DataFrame = {
+    val idx = s.table(s"${prefix}_postings")
+    val dl = s.table(s"${prefix}_doclens")
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
+    val fb = Retrieval.bm25FromIdx(idx, broadcast(dl), stats, qterms)
+      .orderBy(col("score_q").desc, col("doc_id")).limit(10)
+      .select(col("doc_id"))
+    val expansion = idx.join(broadcast(fb), "doc_id")
+      .select(col("doc_id"), col("word"))
+      .join(qterms, Seq("word"), "left_anti")
+      .groupBy(col("word")).agg(count(lit(1)).as("fdf"))
+      .filter(col("fdf") >= 3)
+      .orderBy(col("fdf").desc, col("word")).limit(5)
+      .select(col("word"))
+    val q2 = graft.Caches.persist(qterms.union(expansion).distinct())
+    Retrieval.bm25FromIdx(idx, broadcast(dl), stats, q2)
+      .select(col("doc_id"), col("n_terms"), col("score_q"),
+        (col("score_q").cast("double") / lit(1024.0)).as("score_bits"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(10)
+  }
+}

@@ -31,11 +31,20 @@ object Warehouse {
     * and merge-friendly scans. */
   def writeBucketed(
       df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    writeBucketedKeys(df, table, buckets, bucketCol)
+
+  /** Multi-key variant (round 8): bucket on the FULL join key — a compound
+    * equi-join (e.g. the band probe's (bpos, bkey)) only gets the
+    * exchange-free plan when the bucket spec matches the join keys exactly;
+    * bucketing on a subset leaves the planner free to disable the bucketed
+    * scan and re-shuffle both sides. */
+  def writeBucketedKeys(
+      df: DataFrame, table: String, buckets: Int, keys: String*): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
   /** Compressed JSON-Lines write — the interchange format crawl/annotation

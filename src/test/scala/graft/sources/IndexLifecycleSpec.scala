@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.{Registry, Tables, TestSpark}
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 write-then-serve lifecycle pins (VERDICT item 4): the index
+  * artifacts are written BUCKETED once, and serving consumes the layout —
+  * proved from the physical plans, and from byte-equality of the served
+  * output against the oracle-matched declared query.
+  */
+class IndexLifecycleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def collectPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(collectPlan)
+  }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    collectPlan(p).collect { case s: ShuffleExchangeExec => s }
+
+  private def hasBucketedScan(p: SparkPlan): Boolean =
+    collectPlan(p).exists {
+      case f: FileSourceScanExec => f.bucketedScan
+      case _ => false
+    }
+
+  test("written dedup index serves the incremental probes with ZERO exchanges") {
+    val docs = Tables.t(spark, sf, "documents").filter(col("doc_id") >= 4)
+    val idxCorpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      .select(col("doc_id"), col("text"))
+    IndexLifecycle.writeDedupIndex(spark, idxCorpus, "ilc_idx", 4)
+    IndexLifecycle.writeDedupIndex(spark, batch, "ilc_batch", 4)
+
+    // broadcast disabled: the shuffle-free property can only come from the
+    // bucketed layout (the WarehouseSpec pattern)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = IndexLifecycle.servedNearDupCandidates(spark, "ilc_idx", "ilc_batch")
+      val exact = IndexLifecycle.servedExactNew(spark, "ilc_idx", "ilc_batch")
+
+      // plan pins: zero shuffle exchanges on EITHER probe — the write-time
+      // bucketing is the only exchange this state ever pays
+      val candGot = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactGot = exact.collect().map(_.getLong(0)).toSet
+      assert(shuffles(cand.queryExecution.executedPlan).isEmpty,
+        s"near-dup candidate probe shuffled:\n${cand.queryExecution.executedPlan}")
+      assert(shuffles(exact.queryExecution.executedPlan).isEmpty,
+        s"exact-dedup probe shuffled:\n${exact.queryExecution.executedPlan}")
+      assert(hasBucketedScan(cand.queryExecution.executedPlan))
+      assert(hasBucketedScan(exact.queryExecution.executedPlan))
+
+      // served results equal the in-memory (recompute-from-raw) path
+      val blIdx = Dedup.bandRows(Dedup.signaturesOf(Dedup.shingleItemsOf(idxCorpus)))
+      val blNew = Dedup.bandRows(Dedup.signaturesOf(Dedup.shingleItemsOf(batch)))
+      val candWant = blNew.as("n")
+        .join(blIdx.as("i"),
+          col("n.bpos") === col("i.bpos") && col("n.bkey") === col("i.bkey"))
+        .select(col("n.doc_id"), col("i.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(candGot === candWant)
+      val exactWant = batch
+        .join(idxCorpus.select(col("text")), Seq("text"), "left_anti")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(exactGot === exactWant)
+      assert(exactGot.nonEmpty && candGot.nonEmpty, "degenerate fixture")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("written postings serve BOTH BM25 rounds: no word-keyed exchange over index lineage; output = q_retrieval_queryexp") {
+    val docs = Tables.t(spark, sf, "documents")
+    IndexLifecycle.writeTextIndex(
+      spark, docs.filter(col("doc_id") =!= 0), "ilc_qe", 4)
+    val qterms = docs.filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("word")).distinct()
+
+    val served = IndexLifecycle.servedQueryExpansion(spark, "ilc_qe", qterms)
+    val got = served.collect().map(_.toSeq)
+    // byte-equality against the oracle-matched declared query: the written
+    // index serves the identical relation the per-run recompute produces
+    val want = Registry.byName("q_retrieval_queryexp").run(spark, sf)
+      .collect().map(_.toSeq)
+    graft.Caches.release(spark)
+    assert(got.toSeq === want.toSeq)
+
+    // plan pin: the index's own key NEVER re-shuffles — no ShuffleExchange
+    // hash-keyed on `word` may sit over bucketed-scan lineage (the per-doc
+    // score aggregations and tiny query-side relations are the only
+    // allowed exchanges)
+    val plan = served.queryExecution.executedPlan
+    val offenders = shuffles(plan).filter { ex =>
+      val wordKeyed = ex.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "word"))
+        case _ => false
+      }
+      wordKeyed && hasBucketedScan(ex.child)
+    }
+    assert(offenders.isEmpty,
+      s"word-keyed exchange over the bucketed index:\n$plan")
+    assert(hasBucketedScan(plan), s"no bucketed scan in the served plan:\n$plan")
+  }
+}
