@@ -321,6 +321,97 @@ object StreamQueries {
              | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
              |   AND epoch_us(p.ts)
              |ORDER BY user_id, purchase_id, click_id""".stripMargin)
+    ),
+    // APPEND-mode sliding pipeline over a REAL on-disk checkpoint + file
+    // sink, surviving a restart mid-replay (round 8, VERDICT item 7 — the
+    // production posture the five complete-mode/memory-sink replays stand
+    // in for, now DECLARED and oracle-gated). Two sequential query
+    // instances share one checkpoint: run 1 streams the real events from
+    // a per-run source directory (file source + watermark + hopping
+    // window agg + parquet sink), terminates, and a WATERMARK-PUSHER
+    // sentinel file (ts = max + 30 days, null keys) then lands; run 2 is
+    // a cold start from the checkpoint FILES — recovered source offsets
+    // skip the already-processed file, recovered window state merges, and
+    // the advanced watermark closes every real window EXACTLY ONCE across
+    // the two runs (the sentinel's own windows never close, so it never
+    // appears in the output). The parquet sink's transaction log makes
+    // the final read exactly-once too. The oracle is batch
+    // q_time_sliding's hop explode verbatim — a lost state store, a
+    // re-emitted window, or a replayed source file all hash-mismatch.
+    GQ(
+      "q_stream_sliding_ckpt",
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        val ss = stateSession(s, 4)
+        val orig = Paths.get(s"$d/events.parquet")
+        val fileSchema = ss.read.parquet(orig.toString).schema
+        val root = Files.createTempDirectory("graft_ckpt_run").toString
+        val src = s"$root/src"
+        val sink = s"$root/sink"
+        val ckpt = s"$root/ckpt"
+        Files.createDirectories(Paths.get(src))
+        // land f0 = the real events (link each file; orig may be a dir)
+        if (Files.isDirectory(orig)) {
+          new java.io.File(orig.toString).listFiles()
+            .filter(_.getName.endsWith(".parquet")).zipWithIndex
+            .foreach { case (f, i) =>
+              Files.createSymbolicLink(
+                Paths.get(s"$src/f0_$i.parquet"), f.toPath.toAbsolutePath)
+            }
+        } else {
+          Files.createSymbolicLink(
+            Paths.get(s"$src/f0.parquet"), orig.toAbsolutePath)
+        }
+        def runOnce(): Unit = {
+          val raw = ss.readStream.schema(fileSchema).parquet(src)
+          val ev = raw.schema("ts").dataType match {
+            case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+            case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+          }
+          val q = EventStreams.sliding(ev, length = "2 hours",
+              slide = "1 hour", watermark = "10 minutes")
+            .select(
+              expr("unix_seconds(CAST(window_start AS TIMESTAMP))").as("win_start_s"),
+              col("event_type"), col("cnt"), col("sum_value"))
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        runOnce() // run 1: the real events; early windows emit
+        // watermark pusher: one sentinel row 30 days past the corpus, same
+        // physical schema, null in every non-ts column — its own windows
+        // never close, so it cannot reach the output
+        val batch = ss.read.parquet(orig.toString)
+        val sentinel = batch.agg(max(col("ts")).as("ts")).select(
+          fileSchema.fields.map { f =>
+            if (f.name == "ts") (f.dataType match {
+              case LongType => col("ts") + lit(30L * 24 * 3600 * 1000000000L)
+              case _        => expr("ts + INTERVAL 30 DAYS")
+            }).as("ts")
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        val staging = Files.createTempDirectory("graft_ckpt_sentinel").toString
+        sentinel.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath, Paths.get(s"$src/f1.parquet"))
+        runOnce() // run 2: COLD restart from the checkpoint files
+        ss.read.parquet(sink)
+          .orderBy(col("win_start_s"), col("event_type"))
+      },
+      // batch q_time_sliding's oracle verbatim — identical to
+      // q_stream_sliding's: the append-mode restart must produce the
+      // complete-mode answer exactly once
+      Some(s"""WITH e AS (SELECT event_type, value,
+              |    unnest([epoch_ns(ts) // ${3600L * 1000 * 1000 * 1000} - 1,
+              |            epoch_ns(ts) // ${3600L * 1000 * 1000 * 1000}]) AS w
+              |  FROM events)
+              |SELECT w * 3600 AS win_start_s, event_type,
+              |  COUNT(*) AS cnt, ${graft.C.sqlSumDec2("value")} AS sum_value
+              |FROM e GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin)
     )
   )
 }
