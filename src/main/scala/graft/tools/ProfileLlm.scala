@@ -46,6 +46,34 @@ object ProfileLlm {
       tick("ledger2") {
         graft.Registry.byName("q_llm_pipeline").run(spark, sfDir).count()
       }
+
+      // round 8 (VERDICT item 6): the incremental query's stage anatomy —
+      // the index-state build (idxS2), the batch delta (d2), then the
+      // remaining band/verify/decontam work attributed as (ledger − parts)
+      println(s"[llm] incremental, pass $rep")
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+      val ex = graft.operators.LlmPipeline.incrementalExact(
+        spark, docs.filter(col("doc_id") >= 4),
+        pmod(col("doc_id"), lit(10L)) === 0L)
+      tick("idxS2")(ex.idxS2.count())
+      tick("d2")(ex.d2.count())
+      tick("inc-rest") {
+        graft.operators.LlmPipeline.incrementalLedger(
+          spark, docs.filter(col("doc_id") >= 4),
+          pmod(col("doc_id"), lit(10L)) === 0L,
+          docs.filter(col("doc_id") < 4)).count()
+      }
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+      tick("inc-full") {
+        graft.Registry.byName("q_llm_pipeline_incremental").run(spark, sfDir).count()
+      }
+      tick("inc-full2") {
+        graft.Registry.byName("q_llm_pipeline_incremental").run(spark, sfDir).count()
+      }
     }
     spark.stop()
   }

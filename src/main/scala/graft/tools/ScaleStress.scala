@@ -149,8 +149,53 @@ object ScaleStress {
     // geometry — three linear assignment passes + a cell-bounded join
     "q_sim_ann_imi")
 
+  /** The ×100 tier (round 8, VERDICT item 2): the ~30 queries whose scale
+    * paths carry the most risk, runnable at 6M docs / 10M events / 60M
+    * lineitem inside the sandbox. EXCLUDED BY DOCUMENTED OUTPUT PHYSICS
+    * (not by algorithmic fear): every query whose RESULT is quadratic in
+    * verbatim replicas — raw-corpus near-dup pair generation
+    * (jaccard_words/ngram, minhash_pairs, winnow_pairs, lsh_verify,
+    * containment, components, dedup_incremental — ~100 identical copies
+    * of every text share all bands, so candidate volume is copies²·texts
+    * BY CONSTRUCTION; tools/Stress2's varied-vocab probes are the
+    * algorithmic-curve evidence for those) and the fixed-region spatial
+    * join (same caveat, round 5). The LLM pipelines stay IN: their
+    * near-dup stages run over exact-DEDUPED survivors, which collapse
+    * the replicas — the scale path a real deployment runs. */
+  private val RiskyX100 = Seq(
+    // scan/agg/join spine
+    "q_agg_hash", "q_join_multiway", "q_join_skew_salted", "q_join_not_in",
+    "q_join_interval",
+    // windows / events / time
+    "q_window_rank", "q_topk_per_group", "q_sessionize", "q_scd2_history",
+    "q_events_attribution", "q_events_dau_mau", "q_time_sliding",
+    "q_time_cusum", "q_events_concurrency",
+    // linear dedup paths (digest agg, per-word CDC, span aggs)
+    "q_dedup_exact", "q_dedup_cdc", "q_dedup_spans", "q_dedup_minhash",
+    // ANN — 200k vectors ⇒ k = 1600 cells ⇒ the TWO-LEVEL quantizer path
+    // end-to-end including training (the round-7 rung under real load)
+    "q_sim_cosine", "q_sim_ann_ivf", "q_sim_ann_centroids", "q_knn_join",
+    "q_dedup_semantic", "q_sim_ann_pq", "q_sim_ann_lsh",
+    // retrieval (the round-6 slope offender, now index-backed) + pipelines
+    "q_retrieval_bm25", "q_retrieval_queryexp",
+    "q_llm_pipeline", "q_llm_pipeline_incremental", "q_llm_pipeline_mix",
+    // curation / sampling / text
+    "q_curation_pipeline", "q_contamination", "q_sample_stratified",
+    "q_shuffle_shards", "q_text_ngram_topk", "q_tokenize_bpe",
+    // streaming at 10M events through the file source, incl. the round-8
+    // append-mode checkpoint restart
+    "q_stream_tumbling", "q_stream_sliding_ckpt", "q_stream_dedup",
+    // vocab-bounded iterative graph — loop cost must not scale with corpus
+    "q_graph_kcore")
+
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
+    // list selection: copies ≥ 100 defaults to the risky tier; a second
+    // arg of "risky"/"full" forces it (risky-at-×10 gives the slope
+    // denominators for the ×100 read)
+    val listArg = if (args.length > 1) args(1)
+                  else if (copies >= 100) "risky" else "full"
+    val stressed = if (listArg == "risky") RiskyX100 else Stressed
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_scale_x$copies"
     val spark = SparkSession.builder()
@@ -215,13 +260,13 @@ object ScaleStress {
 
     // warmup (clearCache as in Bench: operator-internal persists are
     // per-plan-instance and would otherwise pile up across the sweep)
-    Stressed.foreach { n =>
+    stressed.foreach { n =>
       try Registry.byName(n).run(spark, dst).count()
       catch { case e: Throwable => println(s"[scale] $n FAILED: ${e.getMessage}") }
       spark.catalog.clearCache()
       graft.Caches.release(spark) // drain the tracked-persist registry too
     }
-    val timings = Stressed.flatMap { n =>
+    val timings = stressed.flatMap { n =>
       val t0 = System.nanoTime()
       val r = try {
         val rows = Registry.byName(n).run(spark, dst).count()
@@ -238,7 +283,7 @@ object ScaleStress {
       graft.Caches.release(spark) // drain the tracked-persist registry too
       r
     }
-    println(f"[scale] TOTAL ${timings.map(_._2).sum}%.1fs over ${timings.size}/${Stressed.size} queries")
+    println(f"[scale] TOTAL ${timings.map(_._2).sum}%.1fs over ${timings.size}/${stressed.size} queries (list=$listArg, x$copies)")
     spark.stop()
   }
 }

@@ -186,6 +186,53 @@ class AnnSpec extends AnyFunSuite {
     assert(rate >= 0.8, f"two-level assignment strayed too far from flat: $rate%.3f")
   }
 
+  test("product quantizer: tier switch, assign/probe laws, plan shape, determinism") {
+    // round 8 (VERDICT item 1): the third quantizer tier — past HierMaxCells
+    // the product decomposition takes over; forced here via hierMax = 1
+    val e = Tables.t(spark, sf, "embeddings")
+    val n = e.count()
+    assert(Ann.quantizerFor(spark, sf).isInstanceOf[Ann.FlatQuantizer])
+    val qz = Ann.quantizerFor(spark, sf, flatMax = 1, hierMax = 1)
+    assert(qz.isInstanceOf[Ann.ProductQuantizer], "hierMax=1 must force product")
+    val p = qz.asInstanceOf[Ann.ProductQuantizer]
+    // k = 16 -> kA = kB = 4 half-space codebooks over 32 dims each
+    assert(p.a.size === 4 && p.b.size === 4 && p.numCells === 16)
+    assert(p.a.forall(_.size === Ann.Dim / 2) && p.b.forall(_.size === Ann.Dim / 2))
+    // assignment total, in-range, pure projection through the native expr
+    val asg = p.assign(spark, e)
+    val rows = asg.collect()
+    assert(rows.length.toLong === n)
+    assert(rows.forall { r => val c = r.getLong(2); c >= 0 && c < 16 })
+    val plan = asg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"product assignment must be a pure projection:\n$plan")
+    assert(plan.contains("product_cells"),
+      s"assignment must run through the native product expression:\n$plan")
+    // probe(nprobe) distinct cells per query; training bit-identical
+    val p4 = p.probe(spark, e.filter(col("vec_id") < 5), 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq)
+    assert(p4.values.forall(cids => cids.size === 4 && cids.distinct.size === 4))
+    val q2 = Ann.quantizerFor(spark, sf, flatMax = 1, hierMax = 1)
+      .asInstanceOf[Ann.ProductQuantizer]
+    assert(p.a === q2.a && p.b === q2.b)
+  }
+
+  test("product-IMI serving recall@3 vs brute cosine is measured and above chance") {
+    // recall probe for the q_sim_ann_pimi serving shape (cells are
+    // axis-decomposed L2 regions; ranking is cosine — a geometry mismatch
+    // the probe frontier must absorb): measured for round-over-round
+    // tracking, with a floor that catches a broken cell decomposition
+    // (chance level for 4/16 cells ≈ 0.25 of the corpus scanned).
+    import org.apache.spark.sql.Row
+    val pimi = Registry.byName("q_sim_ann_pimi").run(spark, sf).collect()
+      .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
+    val brute = bruteTop3
+    val recall = pimi.intersect(brute).size.toDouble / brute.size
+    info(f"product-IMI recall@3 on sf0.001 (4x4 grid, probe 4): $recall%.2f")
+    assert(recall >= 0.5,
+      f"product-IMI serving recall collapsed: $recall%.2f")
+  }
+
   test("two-level training is bit-identical across recomputation") {
     val a = Ann.quantizerFor(spark, sf, flatMax = 1).asInstanceOf[Ann.TwoLevelQuantizer]
     val b = Ann.quantizerFor(spark, sf, flatMax = 1).asInstanceOf[Ann.TwoLevelQuantizer]
