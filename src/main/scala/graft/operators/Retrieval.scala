@@ -93,6 +93,40 @@ object Retrieval {
     * one builder so the engine and the oracle — and the two feedback
     * rounds — drift together or not at all.
     */
+  /** The two-round pseudo-relevance-feedback oracle, shared VERBATIM by
+    * q_retrieval_queryexp (per-run index recompute) and q_retrieval_served
+    * (round 8 — the same rounds served from the WRITTEN bucketed postings):
+    * one oracle, two engine paths — the write→read lifecycle must
+    * reproduce the from-raw computation to the bit. */
+  private lazy val queryexpOracleSql: String =
+    s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents WHERE doc_id <> 0),
+       |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE doc_id = 0),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM corpus),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS s_tok FROM dl),
+       |w AS (SELECT doc_id, unnest(ws) AS word FROM corpus),
+       |${bm25SqlChain("x", "q")},
+       |r1 AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score
+       |  FROM xsc GROUP BY doc_id),
+       |fb AS MATERIALIZED (SELECT doc_id FROM r1
+       |  ORDER BY score DESC, doc_id LIMIT 10),
+       |fw AS (SELECT DISTINCT w.doc_id, w.word
+       |  FROM w JOIN fb ON fb.doc_id = w.doc_id),
+       |ft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS fdf FROM fw
+       |  WHERE word NOT IN (SELECT word FROM q) GROUP BY 1),
+       |ex AS (SELECT word FROM ft WHERE fdf >= 3
+       |  ORDER BY fdf DESC, word LIMIT 5),
+       |q2 AS MATERIALIZED (SELECT word FROM q
+       |  UNION SELECT word FROM ex),
+       |${bm25SqlChain("y", "q2")}
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  CAST(SUM(sq) AS BIGINT) AS score_q,
+       |  CAST(SUM(sq) AS DOUBLE) / 1024.0 AS score_bits
+       |FROM ysc GROUP BY doc_id
+       |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
+
   private def bm25SqlChain(p: String, q: String): String = {
     val M = 1L << 30
     val H = 1L << 31
@@ -610,35 +644,32 @@ object Retrieval {
           .orderBy(col("score_q").desc, col("doc_id"))
           .limit(10)
       },
-      Some {
-        s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws
-           |  FROM documents WHERE doc_id <> 0),
-           |q AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
-           |  FROM documents WHERE doc_id = 0),
-           |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM corpus),
-           |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           |  CAST(SUM(dl) AS BIGINT) AS s_tok FROM dl),
-           |w AS (SELECT doc_id, unnest(ws) AS word FROM corpus),
-           |${bm25SqlChain("x", "q")},
-           |r1 AS (SELECT doc_id, CAST(SUM(sq) AS BIGINT) AS score
-           |  FROM xsc GROUP BY doc_id),
-           |fb AS MATERIALIZED (SELECT doc_id FROM r1
-           |  ORDER BY score DESC, doc_id LIMIT 10),
-           |fw AS (SELECT DISTINCT w.doc_id, w.word
-           |  FROM w JOIN fb ON fb.doc_id = w.doc_id),
-           |ft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS fdf FROM fw
-           |  WHERE word NOT IN (SELECT word FROM q) GROUP BY 1),
-           |ex AS (SELECT word FROM ft WHERE fdf >= 3
-           |  ORDER BY fdf DESC, word LIMIT 5),
-           |q2 AS MATERIALIZED (SELECT word FROM q
-           |  UNION SELECT word FROM ex),
-           |${bm25SqlChain("y", "q2")}
-           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
-           |  CAST(SUM(sq) AS BIGINT) AS score_q,
-           |  CAST(SUM(sq) AS DOUBLE) / 1024.0 AS score_bits
-           |FROM ysc GROUP BY doc_id
-           |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
-      }
+      Some(queryexpOracleSql)
+    ),
+    // WRITE-THEN-SERVE retrieval, DECLARED (round 8, VERDICT item 4 —
+    // the production posture q_retrieval_queryexp's per-run recompute
+    // stands in for, now under the oracle): the corpus postings are
+    // WRITTEN ONCE as a parquet table BUCKETED BY WORD (plus the
+    // model-sized per-doc lengths), and BOTH BM25 rounds + the feedback
+    // vote are served from the READ side — the word-keyed joins and the
+    // df aggregate consume the bucketed partitioning, so the index's own
+    // key never re-shuffles after the write (IndexLifecycleSpec pins the
+    // plan; the bucketed write IS the shuffle, paid once and amortized
+    // over every serving run). Identical math to q_retrieval_queryexp
+    // (the shared bm25FromIdx chain) ⇒ identical oracle SQL — a drifted
+    // write path, a lossy round-trip, or a broken bucketed read all
+    // hash-mismatch against the from-raw replay.
+    GQ(
+      "q_retrieval_served",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") =!= 0)
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(split(col("text"), " ")).as("word")).distinct()
+        graft.sources.IndexLifecycle.writePostings(s, corpus, "served_qe", 8)
+        graft.sources.IndexLifecycle.servedQueryExpansion(s, "served_qe", qterms)
+      },
+      Some(queryexpOracleSql)
     ),
     // Boolean conjunctive retrieval with negation (round 5) — the
     // postings-intersection primitive under every ranked retriever:

@@ -51,16 +51,24 @@ object IndexLifecycle {
     * each a scan-side projection feeding one keyed write. */
   def writeTextIndex(
       s: SparkSession, corpus: DataFrame, prefix: String, buckets: Int): Unit = {
+    writePostings(s, corpus, prefix, buckets)
+    writeDedupIndex(s, corpus, prefix, buckets)
+  }
+
+  /** The retrieval artifacts alone: the (doc_id, word, tf) postings table
+    * bucketed by word + the model-sized per-doc length table. */
+  def writePostings(
+      s: SparkSession, corpus: DataFrame, prefix: String, buckets: Int): Unit = {
     val idx = corpus
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
     Warehouse.writeBucketed(idx, s"${prefix}_postings", "word", buckets)
+    Warehouse.dropStale(s, s"${prefix}_doclens")
     idx.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast(LongType).as("dl"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${prefix}_doclens")
-    writeDedupIndex(s, corpus, prefix, buckets)
   }
 
   /** Band + digest artifacts alone — what a daily batch writes about

@@ -39,13 +39,37 @@ object Warehouse {
     * bucketing on a subset leaves the planner free to disable the bucketed
     * scan and re-shuffle both sides. */
   def writeBucketedKeys(
-      df: DataFrame, table: String, buckets: Int, keys: String*): Unit =
+      df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    dropStale(df.sparkSession, table)
     df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Overwrite a managed table ACROSS PROCESSES (round 8): a fresh
+    * in-memory catalog doesn't know the previous run's table, so a bare
+    * `Overwrite` saveAsTable takes the CREATE path and dies on
+    * LOCATION_ALREADY_EXISTS against the stale warehouse directory. Drop
+    * the catalog entry (same-process reruns) AND clear the on-disk
+    * location (cross-process reruns) before writing — the "remove the
+    * existing location first" the error message prescribes, as the
+    * library's job rather than every caller's. */
+  def dropStale(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val uri = new java.net.URI(wh)
+    val base = if (uri.getScheme == null) wh else uri.getPath
+    val dir = java.nio.file.Paths.get(base, table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 
   /** Compressed JSON-Lines write — the interchange format crawl/annotation
     * corpora arrive in (round 2). Gzip per part-file; splittability comes

@@ -92,6 +92,7 @@ class RegistrySpec extends AnyFunSuite {
     "q_sketch_rollup" -> 6, // tile build + direct estimate + validation-only exact count (documented)
     "q_retrieval_bm25" -> 7, // stats + postings passes (documented two corpus passes) + tiny doc-0 query scans
     "q_retrieval_queryexp" -> 6, // persisted corpus relations + per-round tiny doc-0 query scans
+    "q_retrieval_served" -> 4, // corpus lives in the WRITTEN bucketed table (zero raw re-scans); the 4 sites are the tiny doc-0 query-term scans per round/vote
     "q_dq_checks" -> 4, // independent per-check pruned scans by design
     "q_dq_drift" -> 4, // the two compared halves × two audited columns
     "q_dq_entropy" -> 4, // one pruned 1-column scan per audited column
