@@ -84,6 +84,27 @@ class IndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("servedClassification: all three branches fire on a planted fixture") {
+    // the driver corpora contain no exact duplicate straddling the batch
+    // split, so q_dedup_served's dup_exact branch can only be proven here:
+    // batch doc 10 is byte-identical to index doc 1, doc 11 near-dups
+    // index doc 2 (shares most 3-shingles), doc 12 is unrelated.
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")   // 30 words
+    val near = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    val idx = Seq((1L, base), (2L, base + " tail1 tail2")).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (11L, near), (12L, other)).toDF("doc_id", "text")
+    IndexLifecycle.writeDedupIndex(spark, idx, "ilc_cls_idx", 2)
+    IndexLifecycle.writeDedupIndex(spark, batch, "ilc_cls_new", 2)
+    val got = graft.operators.Dedup
+      .servedClassification(spark, "ilc_cls_idx", "ilc_cls_new")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) === "dup_exact", s"byte-identical text must classify dup_exact: $got")
+    assert(got(11L) === "neardup", s"shared-shingle text must classify neardup: $got")
+    assert(got(12L) === "new", s"unrelated text must classify new: $got")
+  }
+
   test("written postings serve BOTH BM25 rounds: no word-keyed exchange over index lineage; output = q_retrieval_queryexp") {
     val docs = Tables.t(spark, sf, "documents")
     IndexLifecycle.writeTextIndex(
