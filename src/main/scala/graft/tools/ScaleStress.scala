@@ -147,7 +147,15 @@ object ScaleStress {
     "q_llm_pipeline_incremental",
     // round 7: the oracle-graded two-level quantizer at its fixed 16-leaf
     // geometry — three linear assignment passes + a cell-bounded join
-    "q_sim_ann_imi")
+    "q_sim_ann_imi",
+    // round 8: the declared write-then-serve pair — bucketed writes must
+    // stay scan-bound; q_dedup_served's verify volume is band-bounded
+    // (verbatim replicas inflate it quadratically per the standard caveat,
+    // so it stays OUT of the ×100 risky tier)
+    "q_retrieval_served", "q_dedup_served",
+    // round 8: product-IMI serving + the reconciled mix/split successor +
+    // the append-mode checkpoint restart
+    "q_sim_ann_pimi", "q_llm_pipeline_mix", "q_stream_sliding_ckpt")
 
   /** The ×100 tier (round 8, VERDICT item 2): the ~30 queries whose scale
     * paths carry the most risk, runnable at 6M docs / 10M events / 60M
@@ -176,8 +184,9 @@ object ScaleStress {
     // end-to-end including training (the round-7 rung under real load)
     "q_sim_cosine", "q_sim_ann_ivf", "q_sim_ann_centroids", "q_knn_join",
     "q_dedup_semantic", "q_sim_ann_pq", "q_sim_ann_lsh",
-    // retrieval (the round-6 slope offender, now index-backed) + pipelines
-    "q_retrieval_bm25", "q_retrieval_queryexp",
+    // retrieval (the round-6 slope offender, now index-backed; round 8
+    // adds the write-then-serve declared pipeline) + pipelines
+    "q_retrieval_bm25", "q_retrieval_queryexp", "q_retrieval_served",
     "q_llm_pipeline", "q_llm_pipeline_incremental", "q_llm_pipeline_mix",
     // curation / sampling / text
     "q_curation_pipeline", "q_contamination", "q_sample_stratified",
