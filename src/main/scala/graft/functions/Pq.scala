@@ -238,18 +238,27 @@ object pq {
 
   private val uniq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Register under a per-call UNIQUE name (`base_uN`) and return it —
-    * for plan-build-time registrations on a SHARED session (round 8,
-    * ADVICE): two plans built concurrently with a fixed name could resolve
-    * each other's factory between register and eager analysis; a unique
-    * name makes the registration private to the plan being built. Plan
-    * pins are unaffected — plans print the resolved expression's
-    * prettyName, not the registry key. */
+  /** Bound on live `_uN` registrations (round 9, ADVICE): names cycle
+    * through a ring of this many slots instead of growing forever, so a
+    * long-lived serving session that builds thousands of assign/probe
+    * plans holds a BOUNDED FunctionRegistry. Uniqueness only has to cover
+    * the window between a plan's registration and its eager analysis
+    * (microseconds on the building thread) — a collision needs RingSize
+    * interleaved registrations inside that window. */
+  private val RingSize = 1024L
+
+  /** Register under a per-call UNIQUE name (`base_uN`, N cycling through a
+    * bounded ring) and return it — for plan-build-time registrations on a
+    * SHARED session (round 8, ADVICE): two plans built concurrently with a
+    * fixed name could resolve each other's factory between register and
+    * eager analysis; a unique name makes the registration private to the
+    * plan being built. Plan pins are unaffected — plans print the resolved
+    * expression's prettyName, not the registry key. */
   def registerUnique(
       spark: SparkSession,
       base: String,
       builder: Seq[Expression] => Expression): String = {
-    val name = s"${base}_u${uniq.incrementAndGet()}"
+    val name = s"${base}_u${uniq.incrementAndGet() % RingSize}"
     register(spark, name, builder)
     name
   }

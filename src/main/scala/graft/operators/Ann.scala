@@ -573,14 +573,34 @@ object Ann {
         element_at(cellsCol(s, 1, 1, "ann_assignp"), 1)
           .cast("bigint").as("cid"))
 
-    def probe(s: SparkSession, e: DataFrame, nprobe: Int): DataFrame =
+    // probe emits the FULL pSide² multi-sequence frontier (round 9,
+    // VERDICT item 1): the frontier is the bounded shortlist, the
+    // consumer's exact quantized-cosine top-k over its members is the
+    // rescore — serving recall@3 0.80 → 1.00 at the 4×4 oracle geometry
+    // (tools/PimiProbe measured the r8 loss as frontier WIDTH: re-ranking
+    // a 4-cell prefix by exact centroid cosine left recall at 0.80).
+    // Assignment stays pure half-L2 argmin, so every cell-blocked
+    // consumer's cells (q_knn_join, q_dedup_semantic) are byte-unchanged.
+    def probe(s: SparkSession, e: DataFrame, nprobe: Int): DataFrame = {
+      val pSide = probeSide(nprobe)
       e.select(
         col("vec_id"), col("embedding"),
-        explode(cellsCol(s, nprobe, math.max(ProductProbe,
-          math.ceil(math.sqrt(nprobe.toDouble)).toInt), "ann_probep")).as("p"))
+        explode(cellsCol(s, pSide * pSide, pSide, "ann_probep")).as("p"))
         .select(
           col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
+    }
   }
+
+  /** Per-side frontier width for a product-grid probe — shared by
+    * [[ProductQuantizer.probe]] and the q_sim_ann_pimi oracle builder
+    * (round 9, ADVICE: the oracle used to hard-code pSide = ProductProbe,
+    * agreeing with the probe only while NumProbe ≤ ProductProbe²). The
+    * probe consumes pSide² ≥ nprobe cells: `nprobe` is a LOWER BOUND on
+    * probed cells for the product rung — axis-decomposed cells need a
+    * wider frontier than flat/hierarchical cells for the same recall
+    * (standard IMI trade; see [[graft.functions.ProductCells]]). */
+  private[graft] def probeSide(nprobe: Int): Int =
+    math.max(ProductProbe, math.ceil(math.sqrt(nprobe.toDouble)).toInt)
 
   /** Product-IMI training — one deterministic Lloyd iteration PER HALF
     * (the [[kmeansFrom]] recipe, axis-decomposed):
@@ -803,11 +823,14 @@ object Ann {
     // contract: per-half seed selection (first-4 vectors' halves) →
     // per-half seed argmin assignment → one exact-math Lloyd per half
     // (quantized-long sums, empty cells keep seeds) → final per-half
-    // argmin → cid = a·kB + b, and the query probe's pSide=3 per-side
-    // frontier ranked by the exact integer sum of the two quantized
-    // half-L2s with cid tie-break. Candidate ranking then follows the
-    // shared ANN cosine top-k (R7). Same leaf count as the flat IVF and
-    // hierarchical IMI queries, so all three families compare directly.
+    // argmin → cid = a·kB + b, and the query probe's FULL pSide² frontier
+    // (pSide = probeSide(NumProbe) best cells per half by quantized
+    // half-L2, the probe's own expression — round 9, VERDICT item 1: the
+    // frontier is the bounded shortlist, the exact cosine top-k below is
+    // the rescore; serving recall@3 0.80 → 1.00 without touching
+    // assignment). Candidate ranking then follows the shared ANN cosine
+    // top-k (R7). Same leaf count as the flat IVF and hierarchical IMI
+    // queries, so all three families compare directly.
     GQ(
       "q_sim_ann_pimi",
       (s, d) => {
@@ -820,7 +843,11 @@ object Ann {
         topkPerQuery(s, q.join(cand, "cid"))
       },
       Some {
-        val kSide = 4; val dimA = Dim / 2; val pSide = ProductProbe
+        val kSide = 4; val dimA = Dim / 2
+        // derived from the SAME expression as ProductQuantizer.probe
+        // (round 9, ADVICE — a hard-coded ProductProbe only agreed while
+        // NumProbe ≤ ProductProbe²)
+        val pSide = probeSide(NumProbe)
         // quantized half-space squared L2: the PqEncode accumulation
         // contract — left-assoc IEEE sum from 0.0, floor(·1e12) BIGINT
         def sqlD2Half(v: String, off: Int, c: String): String = {
@@ -849,11 +876,13 @@ object Ann {
              |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
              |         ORDER BY i) AS cent
              |  FROM $qn GROUP BY cid)""".stripMargin
-        // query-side pSide-best cells of one half, WITH the quantized d²
+        // query-side pSide-best cells of one half by quantized d² — the
+        // probe consumes the FULL pSide×pSide product of these (round 9:
+        // no leaf-level truncation; the exact cosine top-k downstream is
+        // the rescore stage)
         def sideProbe(name: String, t: String, off: Int): String =
-          s"""$name AS (SELECT vec_id, cid, d FROM (
+          s"""$name AS (SELECT vec_id, cid FROM (
              |    SELECT e.vec_id, $t.cid,
-             |      ${sqlD2Half("e.emb", off, s"$t.cent")} AS d,
              |      row_number() OVER (PARTITION BY e.vec_id
              |        ORDER BY ${sqlD2Half("e.emb", off, s"$t.cent")} ASC, $t.cid) AS rn
              |    FROM e CROSS JOIN $t WHERE e.vec_id < $NumQueries)
@@ -877,11 +906,8 @@ object Ann {
            |  FROM aa1 JOIN bb1 USING (vec_id)),
            |${sideProbe("qa", "ac1", 0)},
            |${sideProbe("qb", "bc1", dimA)},
-           |qp AS (SELECT vec_id, cid FROM (
-           |    SELECT qa.vec_id, qa.cid * $kSide + qb.cid AS cid,
-           |      row_number() OVER (PARTITION BY qa.vec_id
-           |        ORDER BY qa.d + qb.d ASC, qa.cid * $kSide + qb.cid) AS rn
-           |    FROM qa JOIN qb USING (vec_id)) WHERE rn <= $NumProbe),
+           |qp AS (SELECT qa.vec_id, qa.cid * $kSide + qb.cid AS cid
+           |  FROM qa JOIN qb USING (vec_id)),
            |q AS (SELECT qp.vec_id AS query_id, e.emb AS qe, qp.cid
            |  FROM qp JOIN e USING (vec_id)),
            |cand AS (SELECT asg.vec_id AS neighbor_id, e.emb AS ne, asg.cid

@@ -25,15 +25,16 @@ import org.apache.spark.sql.types.LongType
   *    index ([[servedQueryExpansion]]).
   *  - `{prefix}_doclens` (doc_id, dl) — model-sized per-doc lengths; the
   *    score join broadcasts it.
-  *  - `{prefix}_bands` (doc_id, bpos, bkey) BUCKETED BY bkey — the
-  *    MinHash band table q_llm_pipeline_incremental's near-dup probe
+  *  - `{prefix}_bands` (doc_id, bpos, bkey) BUCKETED BY (bpos, bkey) —
+  *    the MinHash band table q_llm_pipeline_incremental's near-dup probe
   *    joins on (bpos, bkey); a batch written with the SAME bucket count
-  *    joins it with zero exchange on either side (bucketing on bkey
-  *    co-locates every (bpos, bkey) group — HashPartitioning on a subset
-  *    of the join keys satisfies the join's clustering requirement).
-  *  - `{prefix}_digests` (h, text, doc_id) BUCKETED BY h — the exact-dedup
-  *    digest table; the batch's (h, text) anti-join runs shuffle-free the
-  *    same way.
+  *    and the SAME full-key bucket spec joins it with zero exchange on
+  *    either side. The bucket spec must be the FULL join key set
+  *    ([[Warehouse.writeBucketedKeys]]): a subset spec (bkey alone) lets
+  *    the planner disable the bucketed scan and re-shuffle both sides.
+  *  - `{prefix}_digests` (h, text, doc_id) BUCKETED BY (h, text) — the
+  *    exact-dedup digest table; the batch's (h, text) anti-join runs
+  *    shuffle-free the same way.
   *
   * `IndexLifecycleSpec` pins all of it from the physical plans: the
   * served near-dup candidate and exact-dedup probes plan ZERO

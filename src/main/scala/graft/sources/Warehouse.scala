@@ -59,16 +59,15 @@ object Warehouse {
     * library's job rather than every caller's. */
   def dropStale(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // round 9 (ADVICE): resolve the location through the Hadoop FileSystem
+    // API — the java.nio walk only worked for file:// warehouses (on
+    // hdfs://, s3a://… it silently no-op'd, letting the
+    // LOCATION_ALREADY_EXISTS failure this guard exists for return) and
+    // leaked the Files.walk stream handle on large tables.
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val uri = new java.net.URI(wh)
-    val base = if (uri.getScheme == null) wh else uri.getPath
-    val dir = java.nio.file.Paths.get(base, table)
-    if (java.nio.file.Files.exists(dir)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    val loc = new org.apache.hadoop.fs.Path(wh, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Compressed JSON-Lines write — the interchange format crawl/annotation

@@ -107,6 +107,80 @@ object ProductStress {
     println(f"""{"probe":"product_train","k":$kReal,"sf":"$sfDir",""" +
       f""""model_doubles":$realDoubles,"train_sec":$trainSec%.2f,""" +
       f""""nonempty_cells":$asgRows}""")
+
+    // SERVING-RECALL probe at k ≥ 4096 (round 9, VERDICT item 1
+    // done-criterion) — at the REAL CellTarget geometry: a synthetic
+    // 512k-vector corpus gives k = N/125 = 4096 (~125 vectors/cell),
+    // the regime the product rung actually owns, not the degenerate
+    // k > N overload the driver SFs would produce. Both the product and
+    // the hierarchical two-level quantizer are trained on the same
+    // corpus and measured at the same probed-cell widths, so the number
+    // that matters — does the O(√k·dim)-state rung pay a RECALL price
+    // over the O(k·dim) rung it replaces? — is read off directly.
+    // Uniform splitmix vectors are the no-manifold worst case for any
+    // coarse quantizer (the PQ recall-sweep caveat), so these are floor
+    // figures, honest to track round-over-round.
+    val recallDir = "/tmp/graft_pstress_corpus"
+    val recallN = 512L * 1024
+    val marker = new java.io.File(s"$recallDir/_done")
+    if (!marker.exists()) {
+      spark.range(0L, recallN, 1L, 32)
+        .select(col("id").as("vec_id"), emb.as("embedding"))
+        .write.mode("overwrite").parquet(s"$recallDir/embeddings.parquet")
+      marker.createNewFile()
+    }
+    val eDf = graft.Tables.t(spark, recallDir, "embeddings")
+    val kRecall = (recallN / 125L).toInt // = 4096
+    val nQ = 5; val topK = 3
+    graft.functions.vec.register(spark)
+    val qs = eDf.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def topkOf(cand: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      // exact quantized-cosine top-k per query over a candidate relation
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cq").desc, col("neighbor_id"))
+      cand.filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          floor(call_function("cosine_sim", col("qe"), col("ne")) * lit(1e12))
+            .cast("bigint").as("cq"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= topK)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    }
+    val brute = topkOf(qs.crossJoin(
+      eDf.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))))
+    def recallOf(
+        name: String,
+        qzAny: graft.operators.Ann.CoarseQuantizer,
+        trainSec: Double): Unit = {
+      val asg = qzAny.assign(spark, eDf)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+          col("cid"))
+        .persist()
+      asg.count()
+      for (np <- Seq(4, 16, 64)) {
+        val probe = qzAny.probe(spark, eDf.filter(col("vec_id") < nQ), np)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("cid"))
+        val served = topkOf(probe.join(asg, "cid"))
+        val hits = brute.map { case (q, n) =>
+          n.count(served.getOrElse(q, Set.empty)) }.sum
+        val cellsProbed = probe.select(col("query_id"), col("cid"))
+          .count() / nQ.toDouble
+        println(f"""{"probe":"serving_recall","quantizer":"$name",""" +
+          f""""k":$kRecall,"rows":$recallN,"nprobe":$np,""" +
+          f""""cells_probed":$cellsProbed%.1f,"train_sec":$trainSec%.2f,""" +
+          f""""recall_at3":${hits.toDouble / (nQ * topK)}%.2f}""")
+      }
+      asg.unpersist()
+    }
+    val tp0 = System.nanoTime()
+    val qzProd = graft.operators.Ann.trainProduct(spark, recallDir, kRecall)
+    recallOf("product", qzProd, (System.nanoTime() - tp0) / 1e9)
+    val th0 = System.nanoTime()
+    val qzHier = graft.operators.Ann.trainTwoLevel(spark, recallDir, kRecall)
+    recallOf("two_level", qzHier, (System.nanoTime() - th0) / 1e9)
     spark.stop()
   }
 }

@@ -208,29 +208,33 @@ class AnnSpec extends AnyFunSuite {
       s"product assignment must be a pure projection:\n$plan")
     assert(plan.contains("product_cells"),
       s"assignment must run through the native product expression:\n$plan")
-    // probe(nprobe) distinct cells per query; training bit-identical
+    // probe(nprobe) emits the FULL pSide² frontier (round 9 — nprobe is a
+    // lower bound; pSide = probeSide(4) = 3 ⇒ 9 distinct cells per query)
     val p4 = p.probe(spark, e.filter(col("vec_id") < 5), 4).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSeq)
-    assert(p4.values.forall(cids => cids.size === 4 && cids.distinct.size === 4))
+    assert(p4.values.forall(cids => cids.size === 9 && cids.distinct.size === 9))
     val q2 = Ann.quantizerFor(spark, sf, flatMax = 1, hierMax = 1)
       .asInstanceOf[Ann.ProductQuantizer]
     assert(p.a === q2.a && p.b === q2.b)
   }
 
-  test("product-IMI serving recall@3 vs brute cosine is measured and above chance") {
-    // recall probe for the q_sim_ann_pimi serving shape (cells are
-    // axis-decomposed L2 regions; ranking is cosine — a geometry mismatch
-    // the probe frontier must absorb): measured for round-over-round
-    // tracking, with a floor that catches a broken cell decomposition
-    // (chance level for 4/16 cells ≈ 0.25 of the corpus scanned).
+  test("product-IMI serving recall@3 vs brute cosine clears the servable-index bar") {
+    // recall probe for the q_sim_ann_pimi serving shape. Round 9 (VERDICT
+    // item 1): the probe consumes the FULL pSide² = 9-cell multi-sequence
+    // frontier (the bounded shortlist; the exact cosine top-k is the
+    // rescore) — the r8 4-cell prefix served 0.80, and tools/PimiProbe
+    // measured the loss as frontier WIDTH, not ranking geometry (cosine
+    // re-ranking of the prefix stayed 0.80; full-grid cosine ranking was
+    // WORSE at 0.73). Floor restored to the ≥0.9 bar every other ANN
+    // serving path holds (IVF 0.93, PQ 1.00).
     import org.apache.spark.sql.Row
     val pimi = Registry.byName("q_sim_ann_pimi").run(spark, sf).collect()
       .map { case Row(q: Long, n: Long, _, _) => (q, n) }.toSet
     val brute = bruteTop3
     val recall = pimi.intersect(brute).size.toDouble / brute.size
-    info(f"product-IMI recall@3 on sf0.001 (4x4 grid, probe 4): $recall%.2f")
-    assert(recall >= 0.5,
-      f"product-IMI serving recall collapsed: $recall%.2f")
+    info(f"product-IMI recall@3 on sf0.001 (4x4 grid, 9-cell frontier): $recall%.2f")
+    assert(recall >= 0.9,
+      f"product-IMI serving recall below the 0.9 bar: $recall%.2f")
   }
 
   test("two-level training is bit-identical across recomputation") {
