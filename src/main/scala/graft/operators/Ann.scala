@@ -652,6 +652,64 @@ object Ann {
         bRef.get(i).map(_.toVector).getOrElse(sv) })
   }
 
+  /** The k-NN JOIN math over an EXPLICIT assignment relation
+    * `(vec_id, embedding, cid)` — factored (round 9, VERDICT item 3) so
+    * the raw declared query (assignment computed in-run) and the SERVED
+    * path (assignment read from the bucketed `*_ann_cells` artifact,
+    * [[graft.sources.IndexLifecycle.writeAnnIndex]]) run the SAME chain:
+    * within-cell directed pairs → exact quantized cosine → per-vector
+    * top-[[TopK]]. On a cid-bucketed source the self-join is
+    * exchange-free; the only shuffle left is the per-vector ranking
+    * window (pinned in IndexLifecycleSpec). */
+  private[graft] def knnJoinFrom(s: SparkSession, asg: DataFrame): DataFrame = {
+    vec.register(s)
+    val a = asg.select(col("cid"), col("vec_id"), col("embedding").as("ea"))
+    val b = asg.select(col("cid"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"))
+    val wTop = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cq").desc, col("neighbor_id"))
+    a.join(b, "cid").filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        call_function("cosine_sim", col("ea"), col("eb")).as("c"))
+      .select(col("vec_id"), col("neighbor_id"),
+        vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
+      .withColumn("rn", row_number().over(wTop).cast("bigint"))
+      .filter(col("rn") <= TopK)
+      .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** The SemDeDup math over an explicit assignment relation — same
+    * factoring contract as [[knnJoinFrom]]: within-cell undirected pairs →
+    * global top-20 by quantized cosine. On a cid-bucketed source the plan
+    * is exchange-FREE (the global top-20 is a TakeOrderedAndProject, not a
+    * sort exchange). */
+  private[graft] def semanticDedupFrom(
+      s: SparkSession, asg: DataFrame): DataFrame = {
+    vec.register(s)
+    val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"))
+    val b = asg.select(col("cid"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"))
+    a.join(b, "cid").filter(col("a_id") < col("b_id"))
+      .select(col("cid"), col("a_id"), col("b_id"),
+        call_function("cosine_sim", col("ea"), col("eb")).as("c"))
+      .select(col("cid"), col("a_id"), col("b_id"),
+        vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
+      .orderBy(col("cq").desc, col("a_id"), col("b_id"))
+      .limit(20)
+      .select(col("cid"), col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
+  /** The ANN query-serving math over an explicit probed-queries relation
+    * `(query_id, qe, cid)` and candidate relation `(neighbor_id, ne, cid)`
+    * — the q_sim_ann_ivf chain factored for the served path (probe through
+    * a quantizer REBUILT from the written codebook, candidates from the
+    * bucketed cells artifact — zero retraining). */
+  private[graft] def annSearchFrom(
+      s: SparkSession, q: DataFrame, cand: DataFrame): DataFrame =
+    topkPerQuery(s, q.join(cand, "cid"))
+
   /** R7 top-k: rank on the floor-quantized cosine with unique id
     * tie-break — quantization kills last-ulp cross-engine drift without the
     * round-2 artifact where ranking on the 3-dp DISPLAY value let a
@@ -674,6 +732,58 @@ object Ann {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  /** Oracle SQL for the IVF ANN serving shape — shared VERBATIM by
+    * q_sim_ann_ivf and its write-then-serve twin q_sim_ann_served
+    * (round 9, VERDICT item 3: identical oracle text means a lossy
+    * codebook/cells round-trip hash-fails the served query). */
+  private lazy val sqlAnnIvf: String =
+    s"""$sqlAssignCte,
+       |q AS (SELECT query_id, qe, cid FROM (
+       |    SELECT e.vec_id AS query_id, e.emb AS qe, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCosQ("e.emb", "c1.cent")} DESC, c1.cid) AS rn
+       |    FROM e CROSS JOIN c1 WHERE e.vec_id < $NumQueries)
+       |  WHERE rn <= $NumProbe),
+       |cand AS (SELECT a1.vec_id AS neighbor_id, e.emb AS ne, a1.cid
+       |  FROM a1 JOIN e USING (vec_id)),
+       |p AS (SELECT q.query_id, cand.neighbor_id,
+       |    (ROUND(${sqlCos("q.qe", "cand.ne")}, 3) + 0.0) AS cos_sim,
+       |    ${sqlCosQ("q.qe", "cand.ne")} AS cq
+       |  FROM q JOIN cand USING (cid) WHERE q.query_id <> cand.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+       |SELECT query_id, neighbor_id, cos_sim, rn FROM r
+       |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
+
+  /** Oracle SQL for the k-NN join / SemDeDup shapes — shared verbatim with
+    * their served twins (same contract as [[sqlAnnIvf]]). */
+  private lazy val sqlKnnJoin: String =
+    s"""$sqlAssignCte,
+       |v AS (SELECT a1.cid, a1.vec_id, e.emb
+       |  FROM a1 JOIN e USING (vec_id)),
+       |p AS (SELECT x.vec_id, y.vec_id AS neighbor_id,
+       |    (ROUND(${sqlCos("x.emb", "y.emb")}, 3) + 0.0) AS cos_sim,
+       |    ${sqlCosQ("x.emb", "y.emb")} AS cq
+       |  FROM v x JOIN v y
+       |  ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+       |r AS (SELECT vec_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
+       |SELECT vec_id, neighbor_id, cos_sim, rn FROM r
+       |WHERE rn <= $TopK ORDER BY vec_id, rn""".stripMargin
+
+  private lazy val sqlSemanticDedup: String =
+    s"""$sqlAssignCte,
+       |v AS (SELECT a1.cid, a1.vec_id, e.emb
+       |  FROM a1 JOIN e USING (vec_id)),
+       |p AS (SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
+       |    (ROUND(${sqlCos("x.emb", "y.emb")}, 3) + 0.0) AS cos_sim,
+       |    ${sqlCosQ("x.emb", "y.emb")} AS cq
+       |  FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+       |SELECT cid, a_id, b_id, cos_sim FROM p
+       |ORDER BY cq DESC, a_id, b_id LIMIT 20""".stripMargin
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_sim_ann_ivf",
@@ -688,24 +798,7 @@ object Ann {
           .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
         topkPerQuery(s, q.join(cand, "cid"))
       },
-      Some(s"""$sqlAssignCte,
-             |q AS (SELECT query_id, qe, cid FROM (
-             |    SELECT e.vec_id AS query_id, e.emb AS qe, c1.cid,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${sqlCosQ("e.emb", "c1.cent")} DESC, c1.cid) AS rn
-             |    FROM e CROSS JOIN c1 WHERE e.vec_id < $NumQueries)
-             |  WHERE rn <= $NumProbe),
-             |cand AS (SELECT a1.vec_id AS neighbor_id, e.emb AS ne, a1.cid
-             |  FROM a1 JOIN e USING (vec_id)),
-             |p AS (SELECT q.query_id, cand.neighbor_id,
-             |    (ROUND(${sqlCos("q.qe", "cand.ne")}, 3) + 0.0) AS cos_sim,
-             |    ${sqlCosQ("q.qe", "cand.ne")} AS cq
-             |  FROM q JOIN cand USING (cid) WHERE q.query_id <> cand.neighbor_id),
-             |r AS (SELECT query_id, neighbor_id, cos_sim,
-             |    CAST(row_number() OVER (PARTITION BY query_id
-             |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
-             |SELECT query_id, neighbor_id, cos_sim, rn FROM r
-             |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin)
+      Some(sqlAnnIvf)
     ),
     // Two-level IMI ANN, ORACLE-GRADED (round 7): the same serving shape
     // as q_sim_ann_ivf but through the TWO-LEVEL quantizer at a FIXED
@@ -1013,31 +1106,10 @@ object Ann {
     // displayed at 3 dp with sign-zero normalization (R8).
     GQ(
       "q_dedup_semantic",
-      (s, d) => {
-        vec.register(s)
-        val asg = quantizerFor(s, d).assign(s, Tables.t(s, d, "embeddings"))
-        val a = asg.select(col("cid"), col("vec_id").as("a_id"),
-          col("embedding").as("ea"))
-        val b = asg.select(col("cid"), col("vec_id").as("b_id"),
-          col("embedding").as("eb"))
-        a.join(b, "cid").filter(col("a_id") < col("b_id"))
-          .select(col("cid"), col("a_id"), col("b_id"),
-            call_function("cosine_sim", col("ea"), col("eb")).as("c"))
-          .select(col("cid"), col("a_id"), col("b_id"),
-            vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
-          .orderBy(col("cq").desc, col("a_id"), col("b_id"))
-          .limit(20)
-          .select(col("cid"), col("a_id"), col("b_id"), col("cos_sim"))
-      },
-      Some(s"""$sqlAssignCte,
-             |v AS (SELECT a1.cid, a1.vec_id, e.emb
-             |  FROM a1 JOIN e USING (vec_id)),
-             |p AS (SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id,
-             |    (ROUND(${sqlCos("x.emb", "y.emb")}, 3) + 0.0) AS cos_sim,
-             |    ${sqlCosQ("x.emb", "y.emb")} AS cq
-             |  FROM v x JOIN v y ON x.cid = y.cid AND x.vec_id < y.vec_id)
-             |SELECT cid, a_id, b_id, cos_sim FROM p
-             |ORDER BY cq DESC, a_id, b_id LIMIT 20""".stripMargin)
+      (s, d) =>
+        semanticDedupFrom(s,
+          quantizerFor(s, d).assign(s, Tables.t(s, d, "embeddings"))),
+      Some(sqlSemanticDedup)
     ),
     // k-NN JOIN (round 4) — ANN as a JOIN, not query serving: EVERY vector
     // gets its top-3 most-similar neighbors, the per-row enrichment an
@@ -1053,37 +1125,10 @@ object Ann {
     // R8 display.
     GQ(
       "q_knn_join",
-      (s, d) => {
-        vec.register(s)
-        val asg = quantizerFor(s, d).assign(s, Tables.t(s, d, "embeddings"))
-        val a = asg.select(col("cid"), col("vec_id"), col("embedding").as("ea"))
-        val b = asg.select(col("cid"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("eb"))
-        val wTop = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cq").desc, col("neighbor_id"))
-        a.join(b, "cid").filter(col("vec_id") =!= col("neighbor_id"))
-          .select(col("vec_id"), col("neighbor_id"),
-            call_function("cosine_sim", col("ea"), col("eb")).as("c"))
-          .select(col("vec_id"), col("neighbor_id"),
-            vec.roundz(col("c"), 3).as("cos_sim"), quant(col("c")).as("cq"))
-          .withColumn("rn", row_number().over(wTop).cast("bigint"))
-          .filter(col("rn") <= TopK)
-          .select(col("vec_id"), col("neighbor_id"), col("cos_sim"), col("rn"))
-          .orderBy(col("vec_id"), col("rn"))
-      },
-      Some(s"""$sqlAssignCte,
-             |v AS (SELECT a1.cid, a1.vec_id, e.emb
-             |  FROM a1 JOIN e USING (vec_id)),
-             |p AS (SELECT x.vec_id, y.vec_id AS neighbor_id,
-             |    (ROUND(${sqlCos("x.emb", "y.emb")}, 3) + 0.0) AS cos_sim,
-             |    ${sqlCosQ("x.emb", "y.emb")} AS cq
-             |  FROM v x JOIN v y
-             |  ON x.cid = y.cid AND x.vec_id <> y.vec_id),
-             |r AS (SELECT vec_id, neighbor_id, cos_sim,
-             |    CAST(row_number() OVER (PARTITION BY vec_id
-             |      ORDER BY cq DESC, neighbor_id) AS BIGINT) AS rn FROM p)
-             |SELECT vec_id, neighbor_id, cos_sim, rn FROM r
-             |WHERE rn <= $TopK ORDER BY vec_id, rn""".stripMargin)
+      (s, d) =>
+        knnJoinFrom(s,
+          quantizerFor(s, d).assign(s, Tables.t(s, d, "embeddings"))),
+      Some(sqlKnnJoin)
     ),
     // IVF cell statistics via the custom typed UDAF: per-cell vector count
     // and the exact-math centroid (graft.functions.VectorCentroid — the
@@ -1367,6 +1412,62 @@ object Ann {
            |SELECT query_id, neighbor_id, approx_d2, exact_d2, rn FROM r
            |WHERE rn <= $TopK ORDER BY query_id, rn""".stripMargin
       }
+    ),
+    // WRITE-THEN-SERVE ANN, DECLARED (round 9, VERDICT item 3 — the ANN
+    // third of the lifecycle q_retrieval_served/q_dedup_served declare
+    // for retrieval/dedup): the trained coarse quantizer's codebook and
+    // the full (vec_id, embedding, cid) assignment are written ONCE
+    // (IndexLifecycle.writeAnnIndex — the cells table bucketed by cid,
+    // the codebook a model-sized managed table), then query serving runs
+    // with ZERO RETRAINING: the quantizer is REBUILT from the stored
+    // codebook (floats round-trip parquet exactly), queries probe through
+    // it, and candidates come from the bucketed cells artifact — the raw
+    // embeddings table is never re-scanned after the write. Oracle SQL is
+    // q_sim_ann_ivf's VERBATIM, so a lossy codebook round-trip, a broken
+    // cells write, or a rebuilt-quantizer drift hash-mismatches. At
+    // 100 TB this is the posture that removes the per-query training the
+    // ×100 ScaleStress slopes attributed (q_knn_join 16.7×: the tier
+    // switch pays two-level training per run) — training is paid at
+    // write time, serving is probe + bucketed join (tools/AnnServedStress
+    // measures the serve-only slopes).
+    GQ(
+      "q_sim_ann_served",
+      (s, d) => {
+        import graft.sources.IndexLifecycle
+        IndexLifecycle.writeAnnIndex(s, d, "served_ann", 8)
+        IndexLifecycle.servedAnnSearch(s, "served_ann", NumQueries, NumProbe)
+      },
+      Some(sqlAnnIvf)
+    ),
+    // Served k-NN JOIN (round 9): the per-row enrichment run from the
+    // written cells artifact — a SELF-JOIN of the cid-bucketed table, so
+    // the within-cell pair generation plans ZERO exchanges (both sides
+    // read the same bucketed layout); the only shuffle is the per-vector
+    // ranking window (IndexLifecycleSpec pins exactly that). No quantizer,
+    // no training, no raw-table scan at serve time. Oracle verbatim from
+    // q_knn_join.
+    GQ(
+      "q_knn_join_served",
+      (s, d) => {
+        import graft.sources.IndexLifecycle
+        IndexLifecycle.writeAnnIndex(s, d, "served_knn", 8)
+        knnJoinFrom(s, s.table("served_knn_ann_cells"))
+      },
+      Some(sqlKnnJoin)
+    ),
+    // Served SemDeDup (round 9): within-cell near-dup candidates from the
+    // written cells artifact — the bucketed self-join plus a global
+    // top-20 TakeOrderedAndProject ⇒ the serving plan holds ZERO
+    // ShuffleExchange nodes at all (pinned). Oracle verbatim from
+    // q_dedup_semantic.
+    GQ(
+      "q_dedup_semantic_served",
+      (s, d) => {
+        import graft.sources.IndexLifecycle
+        IndexLifecycle.writeAnnIndex(s, d, "served_sem", 8)
+        semanticDedupFrom(s, s.table("served_sem_ann_cells"))
+      },
+      Some(sqlSemanticDedup)
     )
   )
 }

@@ -396,9 +396,14 @@ object LlmPipeline {
     * s2 (proved round 7), and since the successor machinery is shared,
     * m3..m6 then equal the full run's s3..s6 EXACTLY — the daily run and
     * the from-scratch run ship the identical release. */
-  private[graft] def reconciledMix(
+  /** The reconciled corpus + its successor stages, exposed for the stage
+    * profiler (round 9, VERDICT item 4 — ProfileLlm ticks each hand-off
+    * of the most expensive declared query individually). */
+  private[graft] final case class Reconciled(c2: DataFrame, suc: Successors)
+
+  private[graft] def reconciledStages(
       s: SparkSession, docs: DataFrame, isNew: Column,
-      benchDocs: DataFrame): DataFrame = {
+      benchDocs: DataFrame): Reconciled = {
     val ex = incrementalExact(s, docs, isNew)
     val cols = Seq("doc_id", "lang", "text", "n_tok", "fp").map(col)
     // persist MEASURED justified (round-8 A/B, Explain ×3 at sf0.1:
@@ -407,7 +412,15 @@ object LlmPipeline {
     // one materialization beats re-reading both cached inputs per branch
     val c2 = Caches.persist(
       ex.idxS2.select(cols: _*).unionByName(ex.d2.select(cols: _*)))
-    val suc = successorsOf(c2, benchDocs, "m6_")
+    Reconciled(c2, successorsOf(c2, benchDocs, "m6_"))
+  }
+
+  private[graft] def reconciledMix(
+      s: SparkSession, docs: DataFrame, isNew: Column,
+      benchDocs: DataFrame): DataFrame = {
+    val rs = reconciledStages(s, docs, isNew, benchDocs)
+    val c2 = rs.c2
+    val suc = rs.suc
     Seq(
       ledgerRow("c2_corpus",
         c2.select(col("doc_id"), col("lang"), col("n_tok"), col("fp"))),

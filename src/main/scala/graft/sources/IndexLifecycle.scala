@@ -1,9 +1,9 @@
 package graft.sources
 
-import graft.operators.{Dedup, Retrieval}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import graft.operators.{Ann, Dedup, Retrieval}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** WRITE-THEN-SERVE index lifecycle (round 8, VERDICT item 4): the 100 TB
   * posture for the retrieval/dedup index state is WRITTEN ARTIFACTS — the
@@ -107,6 +107,101 @@ object IndexLifecycle {
     s.table(s"${batchPrefix}_digests")
       .join(s.table(s"${idxPrefix}_digests"), Seq("h", "text"), "left_anti")
       .select(col("doc_id"), col("text"))
+
+  /** Build + write the ANN artifacts (round 9, VERDICT item 3 — the ANN
+    * third of the lifecycle):
+    *
+    *  - `{prefix}_ann_cells` (vec_id, embedding, cid) BUCKETED BY cid —
+    *    the full assignment; every cell-blocked serving consumer
+    *    (kNN join, SemDeDup, query-probe candidates) joins on cid with
+    *    zero exchange against this layout.
+    *  - `{prefix}_ann_codebook` (part, idx, cent) — the trained coarse
+    *    quantizer's OWN model rows, tier-agnostic: `flat` centroid rows,
+    *    `top`+`sub` for the hierarchical two-level tier, `a`+`b`
+    *    half-space rows for the product tier. Model-sized (O(k·dim) at
+    *    worst, O(√k·dim) on the product rung); floats round-trip parquet
+    *    exactly, so [[readAnnQuantizer]] rebuilds the quantizer
+    *    BIT-IDENTICALLY — serving never retrains.
+    *
+    * Training (quantizerFor) runs ONCE here; at 100 TB this is the
+    * amortization the ×100 ScaleStress slopes asked for (per-run
+    * quantizer training past the flat tier was the only super-linear
+    * term in the kNN/semantic paths). */
+  def writeAnnIndex(
+      s: SparkSession, d: String, prefix: String, buckets: Int): Unit = {
+    val qz = Ann.quantizerFor(s, d)
+    val e = graft.Tables.t(s, d, "embeddings")
+    Warehouse.writeBucketedKeys(
+      qz.assign(s, e), s"${prefix}_ann_cells", buckets, "cid")
+    val model: Seq[(String, Int, Seq[Float])] = qz match {
+      case Ann.FlatQuantizer(cents) =>
+        cents.map { case (cid, c) => ("flat", cid, c.toSeq) }
+      case Ann.TwoLevelQuantizer(top, sub, _) =>
+        top.zipWithIndex.map { case (c, i) => ("top", i, c) } ++
+          sub.zipWithIndex.map { case (c, i) => ("sub", i, c) }
+      case Ann.ProductQuantizer(a, b) =>
+        a.zipWithIndex.map { case (c, i) => ("a", i, c) } ++
+          b.zipWithIndex.map { case (c, i) => ("b", i, c) }
+    }
+    val schema = StructType(Seq(
+      StructField("part", StringType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("cent", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    Warehouse.dropStale(s, s"${prefix}_ann_codebook")
+    s.createDataFrame(
+      java.util.Arrays.asList(model.map(r => Row(r._1, r._2, r._3)): _*),
+      schema)
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${prefix}_ann_codebook")
+  }
+
+  /** Rebuild the trained coarse quantizer from the written codebook — a
+    * model-sized driver fetch (the standard "load the trained model"
+    * step), ZERO retraining, bit-identical to the quantizer that wrote it
+    * (pinned in IndexLifecycleSpec). */
+  def readAnnQuantizer(s: SparkSession, prefix: String): Ann.CoarseQuantizer = {
+    val rows = s.table(s"${prefix}_ann_codebook").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2)))
+    def part(p: String): Vector[Vector[Float]] =
+      rows.filter(_._1 == p).sortBy(_._2).map(_._3.toVector).toVector
+    val flat = part("flat")
+    if (flat.nonEmpty)
+      Ann.FlatQuantizer(flat.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+    else {
+      val (top, sub) = (part("top"), part("sub"))
+      if (top.nonEmpty) Ann.TwoLevelQuantizer(top, sub, sub.size / top.size)
+      else Ann.ProductQuantizer(part("a"), part("b"))
+    }
+  }
+
+  /** ANN query serving from storage: the first `nQueries` vectors (read
+    * from the CELLS artifact — the raw table stays untouched) probe
+    * through the REBUILT quantizer; candidates are the bucketed cells
+    * rows, so the cid join never shuffles the index side. Identical math
+    * to q_sim_ann_ivf (the shared [[Ann.annSearchFrom]] chain). */
+  def servedAnnSearch(
+      s: SparkSession, prefix: String, nQueries: Int, nprobe: Int): DataFrame = {
+    val cells = s.table(s"${prefix}_ann_cells")
+    val qz = readAnnQuantizer(s, prefix)
+    val q = qz.probe(s,
+      cells.filter(col("vec_id") < nQueries)
+        .select(col("vec_id"), col("embedding")), nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cid"))
+    val cand = cells.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("cid"))
+    Ann.annSearchFrom(s, q, cand)
+  }
+
+  /** Served k-NN join / SemDeDup: the cells artifact self-joined on its
+    * own bucket key — zero-exchange pair generation, no quantizer, no
+    * training ([[Ann.knnJoinFrom]] / [[Ann.semanticDedupFrom]]). */
+  def servedKnnJoin(s: SparkSession, prefix: String): DataFrame =
+    Ann.knnJoinFrom(s, s.table(s"${prefix}_ann_cells"))
+
+  def servedSemanticDedup(s: SparkSession, prefix: String): DataFrame =
+    Ann.semanticDedupFrom(s, s.table(s"${prefix}_ann_cells"))
 
   /** BOTH BM25 rounds of q_retrieval_queryexp served from the written
     * postings index — identical math (the shared [[Retrieval.bm25FromIdx]]

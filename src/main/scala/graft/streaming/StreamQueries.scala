@@ -103,6 +103,74 @@ object StreamQueries {
     ss
   }
 
+  /** The q_stream_sessions_ckpt two-run protocol, factored so the spec
+    * can pin that the restart boundary genuinely SPLITS the emission
+    * (run 1 emits a nonempty strict subset; run 2 closes the rest).
+    * Returns (final sink read, run-1 emitted-row count). */
+  private[streaming] def sessionsCkptPipeline(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Long) = {
+    import java.nio.file.{Files, Paths}
+    val ss = stateSession(s, 4)
+    val orig = Paths.get(s"$d/events.parquet")
+    val fileSchema = ss.read.parquet(orig.toString).schema
+    val root = Files.createTempDirectory("graft_ckpt_sess").toString
+    val src = s"$root/src"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(src))
+    if (Files.isDirectory(orig)) {
+      new java.io.File(orig.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) =>
+          Files.createSymbolicLink(
+            Paths.get(s"$src/f0_$i.parquet"), f.toPath.toAbsolutePath)
+        }
+    } else {
+      Files.createSymbolicLink(
+        Paths.get(s"$src/f0.parquet"), orig.toAbsolutePath)
+    }
+    def runOnce(): Unit = {
+      val raw = ss.readStream.schema(fileSchema).parquet(src)
+      val ev = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
+      val q = EventStreams.sessions(ev, gap = "30 minutes",
+          watermark = "10 minutes")
+        .select(
+          col("user_id"),
+          expr("unix_micros(CAST(session_start AS TIMESTAMP))").as("start_us"),
+          expr("unix_micros(CAST(session_end AS TIMESTAMP))").as("end_us"),
+          col("n_events"), col("session_value"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce() // run 1: real events; sessions the watermark passed emit
+    val run1Rows = ss.read.parquet(sink).count()
+    val batch = ss.read.parquet(orig.toString)
+    val sentinel = batch.agg(max(col("ts")).as("ts")).select(
+      fileSchema.fields.map { f =>
+        if (f.name == "ts") (f.dataType match {
+          case LongType => col("ts") + lit(30L * 24 * 3600 * 1000000000L)
+          case _        => expr("ts + INTERVAL 30 DAYS")
+        }).as("ts")
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val staging = Files.createTempDirectory("graft_sess_sentinel").toString
+    sentinel.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(s"$src/f1.parquet"))
+    runOnce() // run 2: cold restart — recovered session state closes
+    (ss.read.parquet(sink)
+      .orderBy(col("user_id"), col("start_us")), run1Rows)
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_stream_tumbling",
@@ -412,6 +480,41 @@ object StreamQueries {
               |SELECT w * 3600 AS win_start_s, event_type,
               |  COUNT(*) AS cnt, ${graft.C.sqlSumDec2("value")} AS sum_value
               |FROM e GROUP BY 1, 2 ORDER BY win_start_s, event_type""".stripMargin)
+    ),
+    // SESSION-WINDOW checkpoint restart, DECLARED (round 9, VERDICT
+    // item 5 — the second restart SHAPE beside the hopping-window
+    // q_stream_sliding_ckpt; the session-state restart laws previously
+    // lived only in StreamStatefulRestartSpec). Same two-run protocol
+    // over one on-disk checkpoint + parquet sink, but the recovered state
+    // is MERGEABLE per-user session ranges, not fixed window slots — the
+    // restart must re-open every session the run-1 watermark hadn't
+    // closed, merge any in-flight range state from the checkpoint, and
+    // close each session EXACTLY ONCE across the two process-boundary
+    // runs when the sentinel pushes the watermark. The sentinel row's
+    // null user_id forms its own session group that never closes (nothing
+    // pushes the watermark past it), so it cannot reach the output. The
+    // oracle is q_stream_sessions' gaps-and-islands replay verbatim — a
+    // lost/duplicated session, a dropped in-flight range, or a replayed
+    // source file all hash-mismatch.
+    GQ(
+      "q_stream_sessions_ckpt",
+      (s, d) => sessionsCkptPipeline(s, d)._1,
+      // q_stream_sessions' oracle verbatim: the append-mode restart must
+      // produce the complete-mode session answer exactly once
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+              |o AS (SELECT user_id, us, value,
+              |    CASE WHEN LAG(us) OVER w IS NULL
+              |         OR us - LAG(us) OVER w > ${30L * 60 * 1000000}
+              |      THEN 1 ELSE 0 END AS brk
+              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+              |g AS (SELECT user_id, us, value,
+              |    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+              |      ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+              |SELECT user_id, MIN(us) AS start_us,
+              |  MAX(us) + ${30L * 60 * 1000000} AS end_us,
+              |  COUNT(*) AS n_events, ${graft.C.sqlSumDec2("value")} AS session_value
+              |FROM g GROUP BY user_id, sid
+              |ORDER BY user_id, start_us""".stripMargin)
     )
   )
 }

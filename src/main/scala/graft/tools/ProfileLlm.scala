@@ -74,6 +74,33 @@ object ProfileLlm {
       tick("inc-full2") {
         graft.Registry.byName("q_llm_pipeline_incremental").run(spark, sfDir).count()
       }
+
+      // round 9 (VERDICT item 4): the reconciled-mix query's stage anatomy
+      // — the shared incremental exact state (idxS2 + d2), the persisted
+      // reconciled corpus c2, then each successor hand-off (near-dup m3,
+      // decontam m4, mix m5, split) ticked INCREMENTALLY in funnel order;
+      // mix-full re-runs the whole declared query for the composition
+      // overhead read (full − Σ parts).
+      println(s"[llm] mix, pass $rep")
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+      val rs = graft.operators.LlmPipeline.reconciledStages(
+        spark, docs.filter(col("doc_id") >= 4),
+        pmod(col("doc_id"), lit(10L)) === 0L,
+        docs.filter(col("doc_id") < 4))
+      tick("mix-c2")(rs.c2.count())
+      tick("mix-m3")(rs.suc.s3.count())
+      tick("mix-m4")(rs.suc.s4.count())
+      tick("mix-m5")(rs.suc.s5.count())
+      tick("mix-split")(rs.suc.splitRows.count())
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+      tick("mix-full") {
+        graft.Registry.byName("q_llm_pipeline_mix").run(spark, sfDir).count()
+      }
+      tick("mix-full2") {
+        graft.Registry.byName("q_llm_pipeline_mix").run(spark, sfDir).count()
+      }
     }
     spark.stop()
   }

@@ -155,7 +155,10 @@ object ScaleStress {
     "q_retrieval_served", "q_dedup_served",
     // round 8: product-IMI serving + the reconciled mix/split successor +
     // the append-mode checkpoint restart
-    "q_sim_ann_pimi", "q_llm_pipeline_mix", "q_stream_sliding_ckpt")
+    "q_sim_ann_pimi", "q_llm_pipeline_mix", "q_stream_sliding_ckpt",
+    // round 9: the ANN write-then-serve lifecycle — per-run train+write is
+    // oracle-forced (AnnServedStress records the serve-only slopes)
+    "q_sim_ann_served", "q_knn_join_served", "q_dedup_semantic_served")
 
   /** The ×100 tier (round 8, VERDICT item 2): the ~30 queries whose scale
     * paths carry the most risk, runnable at 6M docs / 10M events / 60M
@@ -184,6 +187,10 @@ object ScaleStress {
     // end-to-end including training (the round-7 rung under real load)
     "q_sim_cosine", "q_sim_ann_ivf", "q_sim_ann_centroids", "q_knn_join",
     "q_dedup_semantic", "q_sim_ann_pq", "q_sim_ann_lsh",
+    // round 9: the served ANN twins — their in-run train+write is the
+    // oracle-forced term (tools/AnnServedStress separates it: serve-only
+    // ×10→×100 slopes 2.9/2.0/1.4, strongly sub-linear)
+    "q_sim_ann_served", "q_knn_join_served",
     // retrieval (the round-6 slope offender, now index-backed; round 8
     // adds the write-then-serve declared pipeline) + pipelines
     "q_retrieval_bm25", "q_retrieval_queryexp", "q_retrieval_served",

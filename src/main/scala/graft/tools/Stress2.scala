@@ -29,25 +29,8 @@ object JaccardBlockStress {
   def main(args: Array[String]): Unit = {
     val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 4, 8)
     val spark = Stress2.session()
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val maxId = base.agg(max("doc_id")).head.getLong(0) + 1
     for (k <- copiesList) {
-      val dst = s"/tmp/graft_jacblock_x$k"
-      val marker = Paths.get(dst, "_COMPLETE")
-      if (!Files.exists(marker)) {
-        Files.createDirectories(Paths.get(dst))
-        (0 until k).map { i =>
-          base
-            .withColumn("doc_id", col("doc_id") + lit(i * maxId))
-            // copy-distinct vocabulary: every word tagged with its copy id,
-            // so blocks grow ×k with zero cross-copy item overlap
-            .withColumn("text",
-              array_join(transform(split(col("text"), " "),
-                w => concat(w, lit(s"_$i"))), " "))
-        }.reduce(_ unionByName _)
-          .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
-        Files.createFile(marker)
-      }
+      val dst = Stress2.variedVocabDocsDir(spark, k)
       for (q <- Seq("q_dedup_jaccard_words", "q_dedup_jaccard_ngram")) {
         Registry.byName(q).run(spark, dst).count() // warm
         spark.catalog.clearCache() // drop per-plan persists between runs
@@ -325,6 +308,48 @@ object PatternSkewStress {
   }
 }
 
+/** Served-dedup classification scale probe (round 9, VERDICT item 6):
+  * q_dedup_served is excluded from the ×100 replica tier by the
+  * verbatim-replica caveat (near-dup verify volume is quadratic on
+  * replicated text — output physics), so its honest algorithmic curve
+  * comes from a VARIED-VOCAB ×k corpus (the JaccardBlockStress trick:
+  * every copy's words carry the copy index, so blocks grow ×k with zero
+  * cross-copy similarity and the served classification's candidate/verify
+  * volume must grow linearly). At each k the probe splits the corpus by
+  * the q_dedup_served convention, writes BOTH dedup indexes (timed), then
+  * times the storage-served classification min-of-2.
+  */
+object DedupServedStress {
+  def main(args: Array[String]): Unit = {
+    val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 4, 8)
+    val spark = Stress2.session()
+    for (k <- copiesList) {
+      val dir = Stress2.variedVocabDocsDir(spark, k)
+      val docs = Tables.t(spark, dir, "documents").filter(col("doc_id") >= 4)
+      val idx = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select(col("doc_id"), col("text"))
+      val tw0 = System.nanoTime()
+      graft.sources.IndexLifecycle.writeDedupIndex(spark, idx, s"sds_idx_$k", 8)
+      graft.sources.IndexLifecycle.writeDedupIndex(spark, batch, s"sds_new_$k", 8)
+      val writeSec = (System.nanoTime() - tw0) / 1e9
+      def once(): Long = graft.operators.Dedup
+        .servedClassification(spark, s"sds_idx_$k", s"sds_new_$k").count()
+      val rows = once() // warm
+      val t1 = System.nanoTime(); once()
+      val s1 = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime(); once()
+      val s2 = (System.nanoTime() - t2) / 1e9
+      println(f"""{"probe":"dedup_served","copies":$k,"batch_rows":$rows,""" +
+        f""""write_sec":$writeSec%.2f,"serve_sec":${math.min(s1, s2)}%.2f}""")
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+    }
+    spark.stop()
+  }
+}
+
 private object Stress2 {
   def session(): SparkSession = {
     val s = SparkSession.builder()
@@ -336,6 +361,33 @@ private object Stress2 {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** The varied-vocab ×k documents corpus shared by JaccardBlockStress and
+    * DedupServedStress: every copy's words carry the copy index, so
+    * (lang, source) blocks grow ×k with ZERO cross-copy similarity — the
+    * algorithmic-curve corpus for near-dup machinery (verbatim replicas
+    * measure output growth instead). */
+  def variedVocabDocsDir(spark: SparkSession, k: Int): String = {
+    val dst = s"/tmp/graft_jacblock_x$k"
+    val marker = Paths.get(dst, "_COMPLETE")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(Paths.get(dst))
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val maxId = base.agg(max("doc_id")).head.getLong(0) + 1
+      (0 until k).map { i =>
+        base
+          .withColumn("doc_id", col("doc_id") + lit(i * maxId))
+          // copy-distinct vocabulary: every word tagged with its copy id,
+          // so blocks grow ×k with zero cross-copy item overlap
+          .withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"_$i"))), " "))
+      }.reduce(_ unionByName _)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dst/documents.parquet")
+      Files.createFile(marker)
+    }
+    dst
   }
 
   /** The hot-user events corpus shared by SessionSkewStress and

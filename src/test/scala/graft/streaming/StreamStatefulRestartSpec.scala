@@ -237,6 +237,20 @@ class StreamStatefulRestartSpec extends AnyFunSuite {
       "restarted session replay diverged from the uninterrupted replay")
   }
 
+  test("q_stream_sessions_ckpt: the restart boundary genuinely splits the emission") {
+    // round 9 (VERDICT item 5): the declared session-restart query's
+    // exactly-once story is only meaningful if BOTH runs emit — run 1 a
+    // nonempty strict subset (the watermark closed early sessions), run 2
+    // the recovered remainder. A protocol bug that drained everything in
+    // run 1 (or nothing until the sentinel) would still pass the oracle.
+    val (sinkDf, run1Rows) =
+      StreamQueries.sessionsCkptPipeline(spark, "/root/testdata/sf0.001")
+    val total = sinkDf.count()
+    assert(run1Rows > 0, "run 1 emitted nothing — watermark never advanced")
+    assert(run1Rows < total,
+      s"run 1 emitted everything ($run1Rows of $total) — restart closed no state")
+  }
+
   test("streamSourceDir: a corrupted link directory is detected and rebuilt") {
     // round 6 (VERDICT r5 item 4): pin the round-5 hardening — a
     // half-created dir (entry missing) and a wrong-target link must both
