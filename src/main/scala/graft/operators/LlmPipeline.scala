@@ -281,9 +281,20 @@ object LlmPipeline {
 
   private[graft] def incrementalExact(
       s: SparkSession, docs: DataFrame, isNew: Column): IncrementalExact = {
-    // index state: the exact-dedup survivor corpus the run diffs against
+    // index state: the exact-dedup survivor corpus the run diffs against.
+    // idxS2 and d2 are NOT persisted (round 9, VERDICT item 4 — measured
+    // A/B, Explain ×3 at sf0.1, two independent baseline runs): warm reps
+    // WITH both persists — mix 9.0–10.6 s, incremental 4.7–5.7 s;
+    // WITHOUT — mix 6.7–7.3 s, incremental 3.8–3.9 s (~25–30% faster).
+    // The round-6 barrier physics: each persist serializes the DAG behind
+    // one materialization, while the unpersisted digest-cluster lineages
+    // are INDEPENDENT stages the scheduler replays concurrently on the
+    // idle core pool. The downstream c2 persist (reconciledStages) and d3
+    // persist (incremental ledger) remain — their r8 A/Bs showed the
+    // opposite sign because their replayed lineage contains the expensive
+    // band-verify join.
     val idxBase = measured(docs.filter(!isNew)).withColumn("q", qualityGate)
-    val idxS2 = Caches.persist(measured(
+    val idxS2 = (measured(
       Dedup.digestClustered(idxBase.filter(col("q"))
         .select(col("doc_id"), col("lang"), col("text")))
         .groupBy(col("h"), col("text"))
@@ -299,7 +310,7 @@ object LlmPipeline {
         min_by(col("lang"), col("doc_id")).as("lang"))
       .select(col("h"), col("text"), col("doc_id"), col("lang"))
     val idxKeyed = idxS2.select(xxhash64(col("text")).as("h"), col("text"))
-    val d2 = Caches.persist(measured(
+    val d2 = (measured(
       b2within.join(idxKeyed, Seq("h", "text"), "left_anti")
         .select(col("doc_id"), col("lang"), col("text"))))
     IncrementalExact(idxS2, batchBase, d2)
