@@ -519,15 +519,29 @@ object Dedup {
     * corpora have no exact dup straddling the batch split — dup_exact is
     * fixture-proven, the other branches oracle-proven). */
   private[graft] def servedClassification(
-      s: SparkSession, idxPrefix: String, newPrefix: String): DataFrame = {
+      s: SparkSession, idxPrefix: String, newPrefix: String): DataFrame =
+    servedClassification(s, Seq(idxPrefix), newPrefix)
+
+  /** Multi-generation form (round 9 — index MAINTENANCE): the index side
+    * is main ∪ any number of delta generations ([[graft.sources
+    * .IndexLifecycle.upsertDedupIndex]] writes a batch's accepted docs as
+    * one). Band membership is a per-doc function of the text, so the
+    * candidate join against each generation is the same exchange-free
+    * bucketed probe, and the union adds one delta-sized scan per live
+    * generation — the main artifacts are never rewritten per batch. */
+  private[graft] def servedClassification(
+      s: SparkSession, idxPrefixes: Seq[String], newPrefix: String)
+      : DataFrame = {
     import graft.sources.IndexLifecycle
-    val idxDig = s.table(s"${idxPrefix}_digests")
+    val idxDig = idxPrefixes.map(p => s.table(s"${p}_digests"))
+      .reduce(_.unionByName(_))
     val newDig = s.table(s"${newPrefix}_digests")
     val exact = newDig
       .join(idxDig.select(col("h"), col("text")), Seq("h", "text"), "left_semi")
       .select(col("doc_id"), lit(1).as("e"))
-    val cand = IndexLifecycle
-      .servedNearDupCandidates(s, idxPrefix, newPrefix)
+    val cand = idxPrefixes
+      .map(p => IndexLifecycle.servedNearDupCandidates(s, p, newPrefix))
+      .reduce(_.unionByName(_))
       .distinct()
     val sets = shingleItemsOf(
         idxDig.select(col("doc_id"), col("text"))
@@ -1184,6 +1198,74 @@ object Dedup {
              |       WHEN nw.doc_id IN (SELECT doc_id FROM nd) THEN 'neardup'
              |       ELSE 'new' END AS status
              |FROM nw ORDER BY doc_id""".stripMargin)
+    ),
+    // DEDUP-INDEX UPSERT, DECLARED (round 9 — the lifecycle's third verb
+    // for the dedup family: write, serve, MAINTAIN). Two ingest rounds
+    // against a GROWING index: batch 2 classifies against the main index
+    // exactly as q_dedup_served; its ACCEPTED ('new') docs then fold into
+    // the index as a delta generation (delta-sized semi-join of the
+    // batch's own artifacts + bucketed writes — the main index is never
+    // rewritten); batch 3 classifies against main ∪ delta through the
+    // same multi-generation probe. The growth is observable: a batch-3
+    // doc near-duplicating an ACCEPTED batch-2 doc must come back
+    // 'neardup' — serving from a stale index returns 'new' and
+    // hash-mismatches. Rejected batch-2 docs must NOT enter the index
+    // (merging them would misclassify their batch-3 twins via the wrong
+    // anchor — same answer here, but the oracle pins the accepted-only
+    // contract via idx2's definition). Output: both rounds' rows, tagged.
+    GQ(
+      "q_dedup_upsert",
+      (s, d) => {
+        import graft.sources.IndexLifecycle
+        val docs = Tables.t(s, d, "documents").filter(col("doc_id") >= 4)
+          .select(col("doc_id"), col("text"))
+        val m10 = pmod(col("doc_id"), lit(10L))
+        val idx1 = docs.filter(m10 =!= 0L && m10 =!= 5L)
+        val b2 = docs.filter(m10 === 5L)
+        val b3 = docs.filter(m10 === 0L)
+        IndexLifecycle.writeDedupIndex(s, idx1, "du_idx", 8)
+        IndexLifecycle.writeDedupIndex(s, b2, "du_b2", 8)
+        val cls2 = servedClassification(s, Seq("du_idx"), "du_b2")
+        IndexLifecycle.upsertDedupIndex(s, "du_b2",
+          cls2.filter(col("status") === "new").select(col("doc_id")),
+          "du_d1", 8)
+        IndexLifecycle.writeDedupIndex(s, b3, "du_b3", 8)
+        val cls3 = servedClassification(s, Seq("du_idx", "du_d1"), "du_b3")
+        cls2.withColumn("round", lit(2L))
+          .unionByName(cls3.withColumn("round", lit(3L)))
+          .orderBy(col("round"), col("doc_id"))
+      },
+      Some(s"""WITH idx AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id >= 4 AND doc_id % 10 NOT IN (0, 5)),
+             |b2 AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id >= 4 AND doc_id % 10 = 5),
+             |b3 AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id >= 4 AND doc_id % 10 = 0),
+             |u AS (SELECT doc_id, text FROM documents WHERE doc_id >= 4),
+             |${sqlVerifiedEdgesCtes("u", "ver")},
+             |cls2 AS (SELECT b2.doc_id,
+             |  CASE WHEN b2.text IN (SELECT text FROM idx) THEN 'dup_exact'
+             |       WHEN EXISTS (SELECT 1 FROM ver
+             |         WHERE (ver.a_id = b2.doc_id
+             |                AND ver.b_id IN (SELECT doc_id FROM idx))
+             |            OR (ver.b_id = b2.doc_id
+             |                AND ver.a_id IN (SELECT doc_id FROM idx)))
+             |       THEN 'neardup' ELSE 'new' END AS status FROM b2),
+             |idx2 AS (SELECT doc_id, text FROM idx
+             |  UNION ALL SELECT b2.doc_id, b2.text FROM b2
+             |  JOIN cls2 USING (doc_id) WHERE cls2.status = 'new'),
+             |cls3 AS (SELECT b3.doc_id,
+             |  CASE WHEN b3.text IN (SELECT text FROM idx2) THEN 'dup_exact'
+             |       WHEN EXISTS (SELECT 1 FROM ver
+             |         WHERE (ver.a_id = b3.doc_id
+             |                AND ver.b_id IN (SELECT doc_id FROM idx2))
+             |            OR (ver.b_id = b3.doc_id
+             |                AND ver.a_id IN (SELECT doc_id FROM idx2)))
+             |       THEN 'neardup' ELSE 'new' END AS status FROM b3)
+             |SELECT doc_id, status, CAST(2 AS BIGINT) AS round FROM cls2
+             |UNION ALL
+             |SELECT doc_id, status, CAST(3 AS BIGINT) AS round FROM cls3
+             |ORDER BY round, doc_id""".stripMargin)
     )
   )
 }

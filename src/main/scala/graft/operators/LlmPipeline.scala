@@ -282,18 +282,32 @@ object LlmPipeline {
   private[graft] def incrementalExact(
       s: SparkSession, docs: DataFrame, isNew: Column): IncrementalExact = {
     // index state: the exact-dedup survivor corpus the run diffs against.
-    // idxS2 and d2 are NOT persisted (round 9, VERDICT item 4 — measured
-    // A/B, Explain ×3 at sf0.1, two independent baseline runs): warm reps
+    // Persist placement (round 9): idxS2 and d2 — the DEEP relations at
+    // the end of the digest-cluster lineages — are NOT persisted (measured
+    // A/B, Explain ×3 at sf0.1, two independent baseline runs: warm reps
     // WITH both persists — mix 9.0–10.6 s, incremental 4.7–5.7 s;
-    // WITHOUT — mix 6.7–7.3 s, incremental 3.8–3.9 s (~25–30% faster).
-    // The round-6 barrier physics: each persist serializes the DAG behind
-    // one materialization, while the unpersisted digest-cluster lineages
-    // are INDEPENDENT stages the scheduler replays concurrently on the
-    // idle core pool. The downstream c2 persist (reconciledStages) and d3
-    // persist (incremental ledger) remain — their r8 A/Bs showed the
+    // WITHOUT — mix 6.7–7.3 s, incremental 3.8–3.9 s, ~25–30% faster).
+    // The round-6 barrier physics: a deep persist serializes the DAG
+    // behind one expensive materialization, while the unpersisted
+    // digest-cluster lineages are INDEPENDENT stages the scheduler
+    // replays concurrently on the idle core pool. But replaying them from
+    // the RAW TABLE multiplied the corpus scan sites to 25 — locally free
+    // (page cache), at 100 TB 25 full passes over the corpus — so the
+    // SHALLOW scan projection is persisted instead: one cheap
+    // materialization (a single corpus pass) that every replayed lineage
+    // reads from memory. Same concurrency (the barrier is at the scan,
+    // before the lineages fork) at bounded raw passes: warm incremental
+    // reps 4.7–5.0 s with the shallow persist vs 3.8–4.3 s without
+    // (same-session A/B, Explain ×5 at sf0.1) — the ~0.7 s is the cache
+    // write, accepted because the "free" replays only exist in the local
+    // page cache; at 100 TB they are 25 corpus passes.
+    // The downstream c2 persist (reconciledStages) and
+    // d3 persist (incremental ledger) remain — their r8 A/Bs showed the
     // opposite sign because their replayed lineage contains the expensive
     // band-verify join.
-    val idxBase = measured(docs.filter(!isNew)).withColumn("q", qualityGate)
+    val base = Caches.persist(
+      docs.select(col("doc_id"), col("lang"), col("text")))
+    val idxBase = measured(base.filter(!isNew)).withColumn("q", qualityGate)
     val idxS2 = (measured(
       Dedup.digestClustered(idxBase.filter(col("q"))
         .select(col("doc_id"), col("lang"), col("text")))
@@ -301,7 +315,7 @@ object LlmPipeline {
         .agg(min(col("doc_id")).as("doc_id"),
           min_by(col("lang"), col("doc_id")).as("lang"))
         .select(col("doc_id"), col("lang"), col("text"))))
-    val batchBase = measured(docs.filter(isNew)).withColumn("q", qualityGate)
+    val batchBase = measured(base.filter(isNew)).withColumn("q", qualityGate)
     // d2 — in-batch exact dedup, then drop texts the index already holds
     val b2within = Dedup.digestClustered(batchBase.filter(col("q"))
       .select(col("doc_id"), col("lang"), col("text")))

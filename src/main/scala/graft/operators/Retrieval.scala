@@ -671,6 +671,41 @@ object Retrieval {
       },
       Some(queryexpOracleSql)
     ),
+    // INDEX UPSERT retrieval, DECLARED (round 9 — the lifecycle's third
+    // verb: write, serve, MAINTAIN): the standing corpus writes the main
+    // postings generation once; a later doc batch is indexed as its own
+    // DELTA generation (delta-sized scan + delta-sized bucketed write —
+    // the main index is never rewritten), and both BM25 rounds serve from
+    // main ∪ delta. BM25's corpus state is additive over disjoint doc
+    // sets — df, N, avgdl all re-derive from the merged index rows at
+    // serve time — so the upsert path must reproduce the from-scratch
+    // full-corpus computation TO THE BIT: the oracle is the same
+    // full-corpus SQL q_retrieval_queryexp and q_retrieval_served run
+    // under (one oracle, now THREE engine paths — recompute, write-then-
+    // serve, write-then-upsert-then-serve). A stats drift (delta doclens
+    // dropped), a doc double-indexed into both generations, or a lossy
+    // delta write all hash-mismatch. IndexLifecycleSpec pins that
+    // compacting the generations and re-serving is byte-identical.
+    GQ(
+      "q_retrieval_upsert",
+      (s, d) => {
+        val docs = Tables.t(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") =!= 0)
+        // model-sized (doc 0's distinct words); persisted so the five
+        // serving-side consumers share ONE pruned scan instead of five
+        val qterms = graft.Caches.persist(docs.filter(col("doc_id") === 0)
+          .select(explode(split(col("text"), " ")).as("word")).distinct())
+        // main = the standing corpus, delta = today's batch — disjoint by
+        // id, as an ingest pipeline's append-only id assignment makes them
+        val main = corpus.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+        val delta = corpus.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+        graft.sources.IndexLifecycle.writePostings(s, main, "upsert_qe_main", 8)
+        graft.sources.IndexLifecycle.upsertPostings(s, delta, "upsert_qe_d1", 8)
+        graft.sources.IndexLifecycle.servedQueryExpansionFrom(
+          s, Seq("upsert_qe_main", "upsert_qe_d1"), qterms)
+      },
+      Some(queryexpOracleSql)
+    ),
     // Boolean conjunctive retrieval with negation (round 5) — the
     // postings-intersection primitive under every ranked retriever:
     // docs containing ALL of {key, order, sort} AND NOT {slow},

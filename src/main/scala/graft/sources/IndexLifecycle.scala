@@ -98,6 +98,29 @@ object IndexLifecycle {
         col("n.bpos") === col("i.bpos") && col("n.bkey") === col("i.bkey"))
       .select(col("n.doc_id").as("new_id"), col("i.doc_id").as("p_id"))
 
+  /** Dedup-index MAINTENANCE (round 9): fold a classified batch's ACCEPTED
+    * docs into the index as a DELTA GENERATION — the batch already wrote
+    * its own band/digest artifacts to probe with, so the merge is a
+    * delta-sized semi-join of those artifacts against the accepted ids
+    * plus two delta-sized bucketed writes; the main index is NEVER
+    * rewritten per batch. Later batches classify against main ∪ deltas
+    * ([[graft.operators.Dedup.servedClassification]]'s multi-generation
+    * form); compaction (folding generations into one table, the
+    * [[compactPostings]] pattern) runs on the operator's schedule. */
+  def upsertDedupIndex(
+      s: SparkSession, batchPrefix: String, acceptedIds: DataFrame,
+      deltaPrefix: String, buckets: Int): Unit = {
+    val ids = acceptedIds.select(col("doc_id"))
+    val bands = s.table(s"${batchPrefix}_bands")
+      .join(ids, Seq("doc_id"), "left_semi")
+    Warehouse.writeBucketedKeys(bands, s"${deltaPrefix}_bands", buckets,
+      "bpos", "bkey")
+    val digests = s.table(s"${batchPrefix}_digests")
+      .join(ids, Seq("doc_id"), "left_semi")
+    Warehouse.writeBucketedKeys(digests, s"${deltaPrefix}_digests", buckets,
+      "h", "text")
+  }
+
   /** Exact-dedup delta: batch texts the index does NOT already hold — the
     * d2 anti-join served from storage. Both sides bucketed by h ⇒ zero
     * exchange (equality is still confirmed on the text BYTES, the
@@ -128,9 +151,39 @@ object IndexLifecycle {
     * quantizer training past the flat tier was the only super-linear
     * term in the kNN/semantic paths). */
   def writeAnnIndex(
-      s: SparkSession, d: String, prefix: String, buckets: Int): Unit = {
-    val qz = Ann.quantizerFor(s, d)
-    val e = graft.Tables.t(s, d, "embeddings")
+      s: SparkSession, d: String, prefix: String, buckets: Int): Unit =
+    writeAnnArtifacts(s, Ann.quantizerFor(s, d),
+      graft.Tables.t(s, d, "embeddings"), prefix, buckets)
+
+  /** ANN-index MAINTENANCE, main-generation write (round 9): train the
+    * coarse quantizer on an EXPLICIT corpus frame — the STANDING corpus,
+    * not the full table — and write its artifacts. Later batches flow
+    * through [[upsertAnnCells]]: assigned via the codebook READ BACK from
+    * storage (zero retraining — the exact per-run cost the ×100
+    * ScaleStress slopes flagged) into their own delta cells generation;
+    * serving unions the generations ([[servedAnnSearchFrom]]). Cell
+    * geometry freezes at main-write time — the standard IVF maintain
+    * posture; the periodic retrain-and-rebuild is this family's
+    * compaction analog, on the operator's schedule. */
+  def writeAnnIndexFor(
+      s: SparkSession, main: DataFrame, prefix: String, buckets: Int): Unit =
+    writeAnnArtifacts(s, Ann.flatQuantizerTrainedOn(s, main), main, prefix,
+      buckets)
+
+  /** Assign a vector batch through the STORED codebook (no retraining)
+    * and write it as a delta cells generation — delta-sized scan,
+    * delta-sized bucketed write; the main artifacts are never touched. */
+  def upsertAnnCells(
+      s: SparkSession, delta: DataFrame, mainPrefix: String,
+      deltaPrefix: String, buckets: Int): Unit = {
+    val qz = readAnnQuantizer(s, mainPrefix)
+    Warehouse.writeBucketedKeys(
+      qz.assign(s, delta), s"${deltaPrefix}_ann_cells", buckets, "cid")
+  }
+
+  private def writeAnnArtifacts(
+      s: SparkSession, qz: Ann.CoarseQuantizer, e: DataFrame,
+      prefix: String, buckets: Int): Unit = {
     Warehouse.writeBucketedKeys(
       qz.assign(s, e), s"${prefix}_ann_cells", buckets, "cid")
     val model: Seq[(String, Int, Seq[Float])] = qz match {
@@ -181,9 +234,19 @@ object IndexLifecycle {
     * rows, so the cid join never shuffles the index side. Identical math
     * to q_sim_ann_ivf (the shared [[Ann.annSearchFrom]] chain). */
   def servedAnnSearch(
-      s: SparkSession, prefix: String, nQueries: Int, nprobe: Int): DataFrame = {
-    val cells = s.table(s"${prefix}_ann_cells")
-    val qz = readAnnQuantizer(s, prefix)
+      s: SparkSession, prefix: String, nQueries: Int, nprobe: Int): DataFrame =
+    servedAnnSearchFrom(s, prefix, Seq(prefix), nQueries, nprobe)
+
+  /** [[servedAnnSearch]] over main + delta cells generations: the codebook
+    * lives with the MAIN generation (deltas are assignment-only); every
+    * generation shares its bucket layout, so the cid join stays
+    * exchange-free per side. */
+  def servedAnnSearchFrom(
+      s: SparkSession, mainPrefix: String, prefixes: Seq[String],
+      nQueries: Int, nprobe: Int): DataFrame = {
+    val cells = prefixes.map(p => s.table(s"${p}_ann_cells"))
+      .reduce(_.unionByName(_))
+    val qz = readAnnQuantizer(s, mainPrefix)
     val q = qz.probe(s,
       cells.filter(col("vec_id") < nQueries)
         .select(col("vec_id"), col("embedding")), nprobe)
@@ -209,9 +272,54 @@ object IndexLifecycle {
     * Word-keyed joins/aggregates consume the bucketed partitioning, so
     * the only exchanges are per-doc score aggregations and 1-row stats. */
   def servedQueryExpansion(
-      s: SparkSession, prefix: String, qterms: DataFrame): DataFrame = {
-    val idx = s.table(s"${prefix}_postings")
-    val dl = s.table(s"${prefix}_doclens")
+      s: SparkSession, prefix: String, qterms: DataFrame): DataFrame =
+    servedQueryExpansionFrom(s, Seq(prefix), qterms)
+
+  /** INDEX MAINTENANCE, LSM-style (round 9 — the lifecycle's third verb
+    * after write and serve): a new doc batch is indexed as its own DELTA
+    * GENERATION (one delta-sized scan + one delta-sized bucketed write —
+    * the main index is NEVER rewritten per batch), serving reads
+    * main ∪ deltas, and periodic [[compactPostings]] folds the generations
+    * back into one bucketed table. Postings, doc lengths, and the corpus
+    * stats BM25 needs (N, avgdl, df) are all ADDITIVE over disjoint doc
+    * sets — df and the stats are re-derived from the merged index rows at
+    * serve time (index-sized, never raw-sized) — so serving over
+    * main ∪ delta is bit-equal to a from-scratch index of the full corpus
+    * (q_retrieval_upsert pins that under the verbatim full-corpus oracle).
+    * Append-only contract: a REPLACED doc_id would need an anti-join of
+    * older generations at compaction; the declared surface keeps batches
+    * disjoint, as an ingest pipeline's id assignment does.
+    *
+    * At 100 TB: per-batch cost is O(delta), the union costs serving one
+    * extra scan per live generation (each side still bucket-pruned by the
+    * query's words), and compaction — the only main-sized rewrite — runs
+    * on the operator's schedule, not per batch. */
+  def upsertPostings(
+      s: SparkSession, delta: DataFrame, deltaPrefix: String, buckets: Int)
+      : Unit =
+    writePostings(s, delta, deltaPrefix, buckets)
+
+  /** Fold main + delta generations into one bucketed generation. */
+  def compactPostings(
+      s: SparkSession, prefixes: Seq[String], outPrefix: String,
+      buckets: Int): Unit = {
+    val idx = prefixes.map(p => s.table(s"${p}_postings"))
+      .reduce(_.unionByName(_))
+    Warehouse.writeBucketed(idx, s"${outPrefix}_postings", "word", buckets)
+    Warehouse.dropStale(s, s"${outPrefix}_doclens")
+    prefixes.map(p => s.table(s"${p}_doclens")).reduce(_.unionByName(_))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${outPrefix}_doclens")
+  }
+
+  /** [[servedQueryExpansion]] over main + any number of delta
+    * generations. */
+  def servedQueryExpansionFrom(
+      s: SparkSession, prefixes: Seq[String], qterms: DataFrame): DataFrame = {
+    val idx = prefixes.map(p => s.table(s"${p}_postings"))
+      .reduce(_.unionByName(_))
+    val dl = prefixes.map(p => s.table(s"${p}_doclens"))
+      .reduce(_.unionByName(_))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
     val fb = Retrieval.bm25FromIdx(idx, broadcast(dl), stats, qterms)
       .orderBy(col("score_q").desc, col("doc_id")).limit(10)

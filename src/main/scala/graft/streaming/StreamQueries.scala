@@ -171,6 +171,99 @@ object StreamQueries {
       .orderBy(col("user_id"), col("start_us")), run1Rows)
   }
 
+  /** The q_stream_join_ckpt two-run protocol, factored so the spec can pin
+    * (a) the restart boundary genuinely splits the emission and (b) run 2
+    * emits CROSS-BOUNDARY matches — purchases from the second half joined
+    * to clicks the run-1 state store buffered before the restart.
+    * Returns (final sink read, run-1 emitted-row count, split point in µs).
+    *
+    * Protocol: the events table is split at the midpoint of its ts range
+    * into f0/f1; run 1 streams f0 through the two-sided interval join
+    * (parquet sink + on-disk checkpoint) and terminates; f1 lands; run 2 is
+    * a COLD start from the checkpoint files — recovered source offsets skip
+    * f0, and the recovered join state supplies the f0 clicks that f1
+    * purchases look back on. No sentinel is needed: inner-join results emit
+    * in the microbatch that matches them (the watermark only governs state
+    * cleanup), so after run 2 the sink holds the complete batch answer.
+    *
+    * Exactly-once, by cases on the match (click c, purchase p) — the join
+    * requires c.ts ≤ p.ts, so (c∈f1, p∈f0) is impossible:
+    * (f0, f0) emits in run 1 only (run 2 never re-reads f0);
+    * (f0, f1) and (f1, f1) emit in run 2 only. No needed state is lost:
+    * run 1's final watermark is maxTs(f0) − 10 min, clicks are evicted
+    * below watermark − lookback < split − 1 h, and an f1 purchase only
+    * looks back to p.ts − 1 h > split − 1 h. */
+  private[streaming] def joinCkptPipeline(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      splitUs: Option[Long] = None)
+      : (org.apache.spark.sql.DataFrame, Long, Long) = {
+    import java.nio.file.{Files, Paths}
+    val ss = stateSession(s, 4)
+    val orig = Paths.get(s"$d/events.parquet")
+    val batch = ss.read.parquet(orig.toString)
+    val fileSchema = batch.schema
+    val root = Files.createTempDirectory("graft_ckpt_join").toString
+    val src = s"$root/src"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(src))
+    // temporal split, default at the midpoint of the raw ts range — a
+    // monotone unit in both physical encodings (BIGINT nanos / TIMESTAMP),
+    // so the split is the same set of rows either way. The exactly-once
+    // case analysis below holds for ANY ts split, so the spec may pass an
+    // explicit µs split chosen to land inside a click→purchase gap (the
+    // cross-boundary recovered-state law needs one to exist).
+    val isNanos = fileSchema("ts").dataType == LongType
+    val tsRaw =
+      if (isNanos) col("ts")
+      else expr("unix_micros(CAST(ts AS TIMESTAMP))") // driver ships NTZ
+    val mid = splitUs match {
+      case Some(us) => if (isNanos) us * 1000 else us
+      case None =>
+        val b = batch.agg(min(tsRaw).as("lo"), max(tsRaw).as("hi")).head()
+        (b.getLong(0) + b.getLong(1)) / 2
+    }
+    val midUs = if (isNanos) mid / 1000 else mid
+    def landHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val staging = Files.createTempDirectory(s"graft_join_half_$name").toString
+      batch.filter(pred).coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(s"$src/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val raw = ss.readStream.schema(fileSchema).parquet(src)
+      val ev = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
+      val q = EventStreams.purchaseAttribution(ev, lookback = "1 hour",
+          watermark = "10 minutes")
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          expr("unix_micros(purchase_ts)").as("p_us"),
+          expr("unix_micros(click_ts)").as("c_us"),
+          col("value"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    landHalf(tsRaw <= mid, "f0")
+    runOnce() // run 1: first half; same-half matches emit
+    // a bounded first half may legally hold no same-half match (the tiny
+    // test fixture does) — a parquet sink with zero committed files can't
+    // infer a read schema, so an unreadable sink here means 0 rows
+    val run1Rows =
+      scala.util.Try(ss.read.parquet(sink).count()).getOrElse(0L)
+    landHalf(tsRaw > mid, "f1")
+    runOnce() // run 2: COLD restart — f1 purchases match buffered f0 clicks
+    (ss.read.parquet(sink)
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id")),
+      run1Rows, midUs)
+  }
+
   val queries: Seq[GQ] = Seq(
     GQ(
       "q_stream_tumbling",
@@ -515,6 +608,36 @@ object StreamQueries {
               |  COUNT(*) AS n_events, ${graft.C.sqlSumDec2("value")} AS session_value
               |FROM g GROUP BY user_id, sid
               |ORDER BY user_id, start_us""".stripMargin)
+    ),
+    // STREAM-STREAM JOIN checkpoint restart, DECLARED (round 9 — the third
+    // and final stateful restart SHAPE beside the hopping-window and
+    // session-window pipelines; the join's buffered-state restart law
+    // previously lived only in StreamStatefulRestartSpec). The recovered
+    // state here is neither window slots nor mergeable ranges but the two
+    // sides' BUFFERED ROW stores: the events table is split temporally at
+    // its midpoint, run 1 streams the first half through the two-sided
+    // interval join (clicks ↔ purchases within 1 h, parquet sink + on-disk
+    // checkpoint), and run 2 cold-starts from the checkpoint files — the
+    // second half's purchases must find first-half clicks in the RECOVERED
+    // click store to emit their cross-boundary matches (spec-pinned).
+    // Unlike the aggregating restarts no sentinel exists: inner-join
+    // emission is immediate, so two bounded runs = the complete answer,
+    // each match exactly once (see joinCkptPipeline's case analysis). The
+    // oracle is q_stream_join's batch interval-join replay verbatim — a
+    // lost buffer, a re-read source file, or a double-emitted match all
+    // hash-mismatch.
+    GQ(
+      "q_stream_join_ckpt",
+      (s, d) => joinCkptPipeline(s, d)._1,
+      Some("""SELECT c.user_id AS user_id, p.event_id AS purchase_id,
+             |  c.event_id AS click_id,
+             |  epoch_us(p.ts) AS p_us, epoch_us(c.ts) AS c_us, p.value
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             | AND c.event_type = 'click' AND p.event_type = 'purchase'
+             | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000
+             |   AND epoch_us(p.ts)
+             |ORDER BY user_id, purchase_id, click_id""".stripMargin)
     )
   )
 }

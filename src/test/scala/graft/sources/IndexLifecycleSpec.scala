@@ -200,4 +200,103 @@ class IndexLifecycleSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("postings upsert: delta generation + compaction both serve the full-corpus answer") {
+    // round 9 (MAINTAIN): serving main ∪ delta must equal the from-scratch
+    // full-corpus query, and folding the generations (compactPostings)
+    // must not move a byte — BM25's corpus state (df, N, avgdl) is
+    // additive over disjoint doc sets, so any drift is a lifecycle bug.
+    val docs = Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") =!= 0)
+    val qterms = docs.filter(col("doc_id") === 0)
+      .select(explode(split(col("text"), " ")).as("word")).distinct()
+    IndexLifecycle.writePostings(spark,
+      corpus.filter(pmod(col("doc_id"), lit(7L)) =!= 3L), "ilu_qe_main", 4)
+    IndexLifecycle.upsertPostings(spark,
+      corpus.filter(pmod(col("doc_id"), lit(7L)) === 3L), "ilu_qe_d1", 4)
+    val merged = IndexLifecycle.servedQueryExpansionFrom(
+      spark, Seq("ilu_qe_main", "ilu_qe_d1"), qterms)
+    val got = merged.collect().map(_.toSeq)
+    graft.Caches.release(spark)
+    val want = Registry.byName("q_retrieval_queryexp").run(spark, sf)
+      .collect().map(_.toSeq)
+    graft.Caches.release(spark)
+    assert(got.toSeq === want.toSeq,
+      "upsert serving diverged from the full-corpus computation")
+    IndexLifecycle.compactPostings(spark,
+      Seq("ilu_qe_main", "ilu_qe_d1"), "ilu_qe_c", 4)
+    val compacted = IndexLifecycle
+      .servedQueryExpansion(spark, "ilu_qe_c", qterms)
+      .collect().map(_.toSeq)
+    graft.Caches.release(spark)
+    assert(compacted.toSeq === want.toSeq,
+      "compaction moved the served answer")
+  }
+
+  test("dedup upsert: accepted docs grow the index, rejected docs never enter it") {
+    // round 9 (MAINTAIN): the growth laws a stale or over-merged index
+    // would break. Batch 2: doc 10 near-dups the index (REJECTED), docs
+    // 11/12 are fresh (ACCEPTED). Batch 3 then probes main ∪ delta:
+    //  - 20 re-sends doc 10's exact text — 'neardup', NOT 'dup_exact':
+    //    its only byte-identical twin was rejected, so it must match via
+    //    the index anchor, not a digest hit (over-merging flips this);
+    //  - 21 near-dups ACCEPTED doc 11 — 'neardup' (a stale index that
+    //    never folded the delta in says 'new');
+    //  - 22 re-sends ACCEPTED doc 12's exact text — 'dup_exact' via the
+    //    DELTA digest generation;
+    //  - 23 shares nothing — 'new'.
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 28).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val fresh = (1 to 30).map(i => s"z$i").mkString(" ")
+    val nearFresh = ((1 to 28).map(i => s"z$i") ++ Seq("y1", "y2")).mkString(" ")
+    val fresh2 = (1 to 30).map(i => s"v$i").mkString(" ")
+    val other = (1 to 30).map(i => s"q$i").mkString(" ")
+    IndexLifecycle.writeDedupIndex(spark,
+      Seq((1L, base)).toDF("doc_id", "text"), "ilu_dd_idx", 4)
+    IndexLifecycle.writeDedupIndex(spark,
+      Seq((10L, near), (11L, fresh), (12L, fresh2)).toDF("doc_id", "text"),
+      "ilu_dd_b2", 4)
+    val cls2 = Dedup.servedClassification(spark, Seq("ilu_dd_idx"), "ilu_dd_b2")
+    val got2 = cls2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 === Map(10L -> "neardup", 11L -> "new", 12L -> "new"))
+    IndexLifecycle.upsertDedupIndex(spark, "ilu_dd_b2",
+      cls2.filter(col("status") === "new").select(col("doc_id")),
+      "ilu_dd_d1", 4)
+    IndexLifecycle.writeDedupIndex(spark,
+      Seq((20L, near), (21L, nearFresh), (22L, fresh2), (23L, other))
+        .toDF("doc_id", "text"),
+      "ilu_dd_b3", 4)
+    val got3 = Dedup
+      .servedClassification(spark, Seq("ilu_dd_idx", "ilu_dd_d1"), "ilu_dd_b3")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3 === Map(20L -> "neardup", 21L -> "neardup",
+      22L -> "dup_exact", 23L -> "new"))
+  }
+
+  test("ANN upsert: delta assigned through the stored codebook equals the in-memory main-trained serve") {
+    // round 9 (MAINTAIN): the storage round trip may not move a byte —
+    // write(main) → upsert(delta via read-back codebook) → serve(union)
+    // must equal the same math with the main-trained quantizer held in
+    // memory and never written.
+    import graft.operators.Ann
+    val e = Tables.t(spark, sf, "embeddings")
+    val m = 4L * e.count() / 5L
+    val main = e.filter(col("vec_id") < m)
+    val delta = e.filter(col("vec_id") >= m)
+    IndexLifecycle.writeAnnIndexFor(spark, main, "ilu_ann", 4)
+    IndexLifecycle.upsertAnnCells(spark, delta, "ilu_ann", "ilu_ann_d1", 4)
+    val got = IndexLifecycle.servedAnnSearchFrom(spark, "ilu_ann",
+      Seq("ilu_ann", "ilu_ann_d1"), 5, 4).collect().map(_.toSeq)
+    val qz = Ann.flatQuantizerTrainedOn(spark, main)
+    val cells = qz.assign(spark, main).unionByName(qz.assign(spark, delta))
+    val q = qz.probe(spark, e.filter(col("vec_id") < 5), 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cid"))
+    val cand = cells.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("cid"))
+    val want = Ann.annSearchFrom(spark, q, cand).collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq,
+      "the codebook/cells round trip drifted the served answer")
+  }
 }
