@@ -244,35 +244,33 @@ object Ann {
   /** First-n seed vectors (deterministic: vec_id < n, pushdown-pruned scan
     * of n rows). At 100 TB seeds would come from a tiny `sample(seed)` —
     * the collect is n rows either way. */
-  /** Flat quantizer trained on an EXPLICIT corpus frame (round 9 — index
-    * MAINTENANCE trains on the MAIN generation only; later batches are
-    * assigned through the codebook read back from storage, never
-    * retrained). k derives from the TRAINING corpus (k = max(16,
-    * n/[[CellTarget]])); seeds are its first-k vectors by vec_id, so
-    * callers keep main an id-PREFIX of the full corpus and the oracle can
-    * replay seed selection from the raw table. Loud on a corpus past the
-    * flat tier — the maintain posture freezes cell geometry at main-write
-    * time, and the tiered rungs write through [[quantizerFor]] instead. */
-  private[graft] def flatQuantizerTrainedOn(
-      s: SparkSession, eMain: DataFrame): FlatQuantizer = {
-    val n = eMain.count()
+  /** The size-appropriate coarse quantizer trained on an EXPLICIT corpus
+    * frame (round 9 — index MAINTENANCE trains on the MAIN generation
+    * only; later batches are assigned through the codebook read back from
+    * storage, never retrained). Same tier routing and k derivation as
+    * [[quantizerFor]] (which delegates here), with k from the TRAINING
+    * corpus: k = max(16, n/[[CellTarget]]). Seed selection filters
+    * `vec_id < k` — callers keep main an id-PREFIX of the full corpus
+    * (append-only ingest ids), so seeds are reproducible from the raw
+    * table and the oracle can replay them. */
+  private[graft] def quantizerOn(
+      s: SparkSession, e: DataFrame,
+      flatMax: Int = FlatMaxCells,
+      hierMax: Int = HierMaxCells): CoarseQuantizer = {
+    val n = e.count()
     val k = math.max(NumCentroids, (n / CellTarget).toInt)
-    require(k <= FlatMaxCells,
-      s"training corpus needs k=$k > FlatMaxCells=$FlatMaxCells cells; " +
-        "train the tiered quantizerFor and write its codebook instead")
-    val seeds = eMain.filter(col("vec_id") < k)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-      .toSeq
-    FlatQuantizer(kmeansFrom(s, eMain, seeds))
+    if (k <= flatMax) FlatQuantizer(kmeansFrom(s, e, firstVectorsOf(e, k)))
+    else if (k <= hierMax) trainTwoLevelOn(s, e, k)
+    else trainProductOn(s, e, k)
   }
 
   private def firstVectors(
       s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
-    Tables.t(s, d, "embeddings")
-      .filter(col("vec_id") < n)
+    firstVectorsOf(Tables.t(s, d, "embeddings"), n)
+
+  private def firstVectorsOf(
+      e: DataFrame, n: Int): Seq[(Int, Array[Float])] =
+    e.filter(col("vec_id") < n)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
@@ -484,14 +482,8 @@ object Ann {
   private[graft] def quantizerFor(
       s: SparkSession, d: String,
       flatMax: Int = FlatMaxCells,
-      hierMax: Int = HierMaxCells): CoarseQuantizer = {
-    val e = Tables.t(s, d, "embeddings")
-    val n = e.count()
-    val k = math.max(NumCentroids, (n / CellTarget).toInt)
-    if (k <= flatMax) FlatQuantizer(kmeansFrom(s, e, firstVectors(s, d, k)))
-    else if (k <= hierMax) trainTwoLevel(s, d, k)
-    else trainProduct(s, d, k)
-  }
+      hierMax: Int = HierMaxCells): CoarseQuantizer =
+    quantizerOn(s, Tables.t(s, d, "embeddings"), flatMax, hierMax)
 
   /** Two-level training — each level the flat recipe (deterministic seeds,
     * one exact-math Lloyd iteration), each level's per-row work O(√k):
@@ -514,13 +506,16 @@ object Ann {
     * passes: three corpus scans (top Lloyd, sub seeding, sub Lloyd), each
     * a projection plus one bounded-key aggregation/window. */
   private[graft] def trainTwoLevel(
-      s: SparkSession, d: String, k: Int): TwoLevelQuantizer = {
+      s: SparkSession, d: String, k: Int): TwoLevelQuantizer =
+    trainTwoLevelOn(s, Tables.t(s, d, "embeddings"), k)
+
+  private[graft] def trainTwoLevelOn(
+      s: SparkSession, e: DataFrame, k: Int): TwoLevelQuantizer = {
     val kTop = math.ceil(math.sqrt(k.toDouble)).toInt
     val subK = math.ceil(k.toDouble / kTop).toInt
-    val e = Tables.t(s, d, "embeddings")
 
     val top: Vector[Vector[Float]] =
-      kmeansFrom(s, e, firstVectors(s, d, kTop)).map(_._2.toVector).toVector
+      kmeansFrom(s, e, firstVectorsOf(e, kTop)).map(_._2.toVector).toVector
     val centroidOf = udaf(new VectorCentroid(top.head.size))
     val topCents = top.zipWithIndex.map { case (v, i) => (i, v.toArray) }
 
@@ -645,10 +640,13 @@ object Ann {
     * hierarchical model). Distributed passes: two corpus scans (seed
     * assignment feeding each side's bounded-key aggregation). */
   private[graft] def trainProduct(
-      s: SparkSession, d: String, k: Int): ProductQuantizer = {
+      s: SparkSession, d: String, k: Int): ProductQuantizer =
+    trainProductOn(s, Tables.t(s, d, "embeddings"), k)
+
+  private[graft] def trainProductOn(
+      s: SparkSession, e: DataFrame, k: Int): ProductQuantizer = {
     val kSide = math.ceil(math.sqrt(k.toDouble)).toInt
-    val e = Tables.t(s, d, "embeddings")
-    val seeds = firstVectors(s, d, kSide)
+    val seeds = firstVectorsOf(e, kSide)
     val dim = seeds.head._2.length
     val dimA = dim / 2
     val dimB = dim - dimA

@@ -167,8 +167,7 @@ object IndexLifecycle {
     * compaction analog, on the operator's schedule. */
   def writeAnnIndexFor(
       s: SparkSession, main: DataFrame, prefix: String, buckets: Int): Unit =
-    writeAnnArtifacts(s, Ann.flatQuantizerTrainedOn(s, main), main, prefix,
-      buckets)
+    writeAnnArtifacts(s, Ann.quantizerOn(s, main), main, prefix, buckets)
 
   /** Assign a vector batch through the STORED codebook (no retraining)
     * and write it as a delta cells generation — delta-sized scan,

@@ -158,7 +158,15 @@ object ScaleStress {
     "q_sim_ann_pimi", "q_llm_pipeline_mix", "q_stream_sliding_ckpt",
     // round 9: the ANN write-then-serve lifecycle — per-run train+write is
     // oracle-forced (AnnServedStress records the serve-only slopes)
-    "q_sim_ann_served", "q_knn_join_served", "q_dedup_semantic_served")
+    "q_sim_ann_served", "q_knn_join_served", "q_dedup_semantic_served",
+    // round 9: the MAINTAIN lifecycle (delta generations) + the remaining
+    // two checkpoint-restart shapes; q_dedup_upsert shares q_dedup_served's
+    // verbatim-replica caveat (candidate volume is copies²·texts by
+    // construction), so like it, ×10 only — DedupServedStress carries the
+    // varied-vocab curve; the stream ckpt shapes' join/session output is
+    // replica-correlated the same way
+    "q_retrieval_upsert", "q_dedup_upsert", "q_sim_ann_upsert",
+    "q_stream_sessions_ckpt", "q_stream_join_ckpt")
 
   /** The ×100 tier (round 8, VERDICT item 2): the ~30 queries whose scale
     * paths carry the most risk, runnable at 6M docs / 10M events / 60M
@@ -194,6 +202,10 @@ object ScaleStress {
     // retrieval (the round-6 slope offender, now index-backed; round 8
     // adds the write-then-serve declared pipeline) + pipelines
     "q_retrieval_bm25", "q_retrieval_queryexp", "q_retrieval_served",
+    // round 9: the maintain paths — delta-sized writes + union serving
+    // (retrieval) and main-prefix training + frozen-codebook delta
+    // assignment (ANN) must both stay corpus-linear
+    "q_retrieval_upsert", "q_sim_ann_upsert",
     "q_llm_pipeline", "q_llm_pipeline_incremental", "q_llm_pipeline_mix",
     // curation / sampling / text
     "q_curation_pipeline", "q_contamination", "q_sample_stratified",

@@ -288,7 +288,7 @@ class IndexLifecycleSpec extends AnyFunSuite {
     IndexLifecycle.upsertAnnCells(spark, delta, "ilu_ann", "ilu_ann_d1", 4)
     val got = IndexLifecycle.servedAnnSearchFrom(spark, "ilu_ann",
       Seq("ilu_ann", "ilu_ann_d1"), 5, 4).collect().map(_.toSeq)
-    val qz = Ann.flatQuantizerTrainedOn(spark, main)
+    val qz = Ann.quantizerOn(spark, main)
     val cells = qz.assign(spark, main).unionByName(qz.assign(spark, delta))
     val q = qz.probe(spark, e.filter(col("vec_id") < 5), 4)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
