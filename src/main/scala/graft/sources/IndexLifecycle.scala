@@ -121,6 +121,23 @@ object IndexLifecycle {
       "h", "text")
   }
 
+  /** Fold dedup-index generations into one bucketed generation — the
+    * [[compactPostings]] pattern for the band/digest artifacts (the ANN
+    * family's compaction analog is a retrain-and-rebuild via
+    * [[writeAnnIndexFor]], since its cell geometry is model state). */
+  def compactDedupIndex(
+      s: SparkSession, prefixes: Seq[String], outPrefix: String,
+      buckets: Int): Unit = {
+    val bands = prefixes.map(p => s.table(s"${p}_bands"))
+      .reduce(_.unionByName(_))
+    Warehouse.writeBucketedKeys(bands, s"${outPrefix}_bands", buckets,
+      "bpos", "bkey")
+    val digests = prefixes.map(p => s.table(s"${p}_digests"))
+      .reduce(_.unionByName(_))
+    Warehouse.writeBucketedKeys(digests, s"${outPrefix}_digests", buckets,
+      "h", "text")
+  }
+
   /** Exact-dedup delta: batch texts the index does NOT already hold — the
     * d2 anti-join served from storage. Both sides bucketed by h ⇒ zero
     * exchange (equality is still confirmed on the text BYTES, the

@@ -345,6 +345,40 @@ object DedupServedStress {
         f""""write_sec":$writeSec%.2f,"serve_sec":${math.min(s1, s2)}%.2f}""")
       spark.catalog.clearCache()
       graft.Caches.release(spark)
+
+      // the MAINTAIN round (round 9, q_dedup_upsert's curve), under the
+      // declared query's own splits (idx ∌ batch — the q_dedup_served idx
+      // above CONTAINS the %10=5 docs, which would make every batch-2 doc
+      // dup_exact and the delta empty): fold the accepted batch docs into
+      // a delta generation, classify a second batch against main ∪ delta —
+      // upsert cost must track the delta, the two-generation
+      // classification the batch
+      val m10 = pmod(col("doc_id"), lit(10L))
+      val idxU = docs.filter(m10 =!= 0L && m10 =!= 5L)
+        .select(col("doc_id"), col("text"))
+      val b2 = docs.filter(m10 === 5L).select(col("doc_id"), col("text"))
+      graft.sources.IndexLifecycle.writeDedupIndex(spark, idxU, s"sds_idxu_$k", 8)
+      graft.sources.IndexLifecycle.writeDedupIndex(spark, b2, s"sds_b2_$k", 8)
+      val cls2 = graft.operators.Dedup
+        .servedClassification(spark, Seq(s"sds_idxu_$k"), s"sds_b2_$k")
+      val tu0 = System.nanoTime()
+      graft.sources.IndexLifecycle.upsertDedupIndex(spark, s"sds_b2_$k",
+        cls2.filter(col("status") === "new").select(col("doc_id")),
+        s"sds_d1_$k", 8)
+      val upsertSec = (System.nanoTime() - tu0) / 1e9
+      def onceUp(): Long = graft.operators.Dedup
+        .servedClassification(spark, Seq(s"sds_idxu_$k", s"sds_d1_$k"),
+          s"sds_new_$k").count()
+      onceUp() // warm
+      val tu1 = System.nanoTime(); onceUp()
+      val u1 = (System.nanoTime() - tu1) / 1e9
+      val tu2 = System.nanoTime(); onceUp()
+      val u2 = (System.nanoTime() - tu2) / 1e9
+      println(f"""{"probe":"dedup_upsert","copies":$k,""" +
+        f""""upsert_sec":$upsertSec%.2f,""" +
+        f""""serve2gen_sec":${math.min(u1, u2)}%.2f}""")
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
     }
     spark.stop()
   }

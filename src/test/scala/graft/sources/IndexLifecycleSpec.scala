@@ -272,6 +272,14 @@ class IndexLifecycleSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got3 === Map(20L -> "neardup", 21L -> "neardup",
       22L -> "dup_exact", 23L -> "new"))
+    // compaction moves no byte: folding main + delta into one generation
+    // classifies batch 3 identically
+    IndexLifecycle.compactDedupIndex(spark,
+      Seq("ilu_dd_idx", "ilu_dd_d1"), "ilu_dd_c", 4)
+    val gotC = Dedup
+      .servedClassification(spark, Seq("ilu_dd_c"), "ilu_dd_b3")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotC === got3, "dedup-index compaction changed the classification")
   }
 
   test("ANN upsert: delta assigned through the stored codebook equals the in-memory main-trained serve") {
