@@ -66,6 +66,15 @@ object IndexLifecycle {
       .agg(count(lit(1)).as("tf"))
     Warehouse.writeBucketed(idx, s"${prefix}_postings", "word", buckets)
     Warehouse.dropStale(s, s"${prefix}_doclens")
+    // The doclens agg REPLAYS the idx lineage — a second write-time corpus
+    // pass. Round-9 A/B of the three shapes (Explain ×3 warm,
+    // q_retrieval_upsert at sf0.1): lineage replay 6.8 s, doclens from the
+    // just-written postings table 8.1 s (the 8-bucket read caps the agg at
+    // 8 tasks — a toy-scale parallelism artifact), persisted idx feeding
+    // both writes 9.6 s (the cache-write barrier costs more than two
+    // replays). Kept on the replay: write-time passes are one-time and
+    // amortized; a 100 TB operator would flip to the one-line
+    // table-derived form, whose cost is index-sized, not corpus-sized.
     idx.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast(LongType).as("dl"))
       .write.mode(SaveMode.Overwrite).format("parquet")
