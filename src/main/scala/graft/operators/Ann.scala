@@ -241,18 +241,17 @@ object Ann {
       .select(
         col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
 
-  /** First-n seed vectors (deterministic: vec_id < n, pushdown-pruned scan
-    * of n rows). At 100 TB seeds would come from a tiny `sample(seed)` —
-    * the collect is n rows either way. */
   /** The size-appropriate coarse quantizer trained on an EXPLICIT corpus
     * frame (round 9 — index MAINTENANCE trains on the MAIN generation
     * only; later batches are assigned through the codebook read back from
     * storage, never retrained). Same tier routing and k derivation as
     * [[quantizerFor]] (which delegates here), with k from the TRAINING
-    * corpus: k = max(16, n/[[CellTarget]]). Seed selection filters
-    * `vec_id < k` — callers keep main an id-PREFIX of the full corpus
-    * (append-only ingest ids), so seeds are reproducible from the raw
-    * table and the oracle can replay them. */
+    * corpus: k = max(16, n/[[CellTarget]]). Each tier seeds from the
+    * frame's first vectors by id — `vec_id < k` on the flat rung,
+    * `< kTop ≈ √k` (two-level) / `< kSide ≈ √k` (product) on the tiered
+    * rungs — so callers keep main an id-PREFIX of the full corpus
+    * (append-only ingest ids) and the oracle can replay seed selection
+    * from the raw table. */
   private[graft] def quantizerOn(
       s: SparkSession, e: DataFrame,
       flatMax: Int = FlatMaxCells,
@@ -268,6 +267,9 @@ object Ann {
       s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
     firstVectorsOf(Tables.t(s, d, "embeddings"), n)
 
+  /** First-n seed vectors (deterministic: vec_id < n, pushdown-pruned scan
+    * of n rows). At 100 TB seeds would come from a tiny `sample(seed)` —
+    * the collect is n rows either way. */
   private def firstVectorsOf(
       e: DataFrame, n: Int): Seq[(Int, Array[Float])] =
     e.filter(col("vec_id") < n)

@@ -47,6 +47,21 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, 
   */
 object IndexLifecycle {
 
+  /** Compaction may not write onto a generation it reads (round 9,
+    * review): the write path drops the stale output location BEFORE the
+    * lazy union that reads the inputs executes, so
+    * `compact(Seq("main", "d1"), "main")` — the natural fold-back-into-
+    * main call — would delete main's files mid-read
+    * (FileNotFoundException, or with ignoreMissingFiles a silently
+    * truncated index holding only the delta). Fail loudly instead; the
+    * production pattern is generation flipping: compact into a fresh
+    * prefix, point readers at it, drop the old generation. */
+  private def requireFreshOut(prefixes: Seq[String], outPrefix: String): Unit =
+    require(!prefixes.contains(outPrefix),
+      s"compaction output '$outPrefix' is also an input generation — " +
+        "compact into a fresh prefix and flip readers (the overwrite " +
+        "would delete an input's files mid-read)")
+
   /** Build + write the text-index artifacts for a deduped corpus. One
     * corpus pass per artifact family (postings; shingle bands; digests) —
     * each a scan-side projection feeding one keyed write. */
@@ -137,6 +152,7 @@ object IndexLifecycle {
   def compactDedupIndex(
       s: SparkSession, prefixes: Seq[String], outPrefix: String,
       buckets: Int): Unit = {
+    requireFreshOut(prefixes, outPrefix)
     val bands = prefixes.map(p => s.table(s"${p}_bands"))
       .reduce(_.unionByName(_))
     Warehouse.writeBucketedKeys(bands, s"${outPrefix}_bands", buckets,
@@ -206,7 +222,7 @@ object IndexLifecycle {
       qz.assign(s, delta), s"${deltaPrefix}_ann_cells", buckets, "cid")
   }
 
-  private def writeAnnArtifacts(
+  private[sources] def writeAnnArtifacts(
       s: SparkSession, qz: Ann.CoarseQuantizer, e: DataFrame,
       prefix: String, buckets: Int): Unit = {
     Warehouse.writeBucketedKeys(
@@ -324,10 +340,12 @@ object IndexLifecycle {
       : Unit =
     writePostings(s, delta, deltaPrefix, buckets)
 
-  /** Fold main + delta generations into one bucketed generation. */
+  /** Fold main + delta generations into one bucketed generation.
+    * `outPrefix` must be FRESH — see [[requireFreshOut]]. */
   def compactPostings(
       s: SparkSession, prefixes: Seq[String], outPrefix: String,
       buckets: Int): Unit = {
+    requireFreshOut(prefixes, outPrefix)
     val idx = prefixes.map(p => s.table(s"${p}_postings"))
       .reduce(_.unionByName(_))
     Warehouse.writeBucketed(idx, s"${outPrefix}_postings", "word", buckets)

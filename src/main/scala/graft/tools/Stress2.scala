@@ -349,22 +349,37 @@ object DedupServedStress {
       // the MAINTAIN round (round 9, q_dedup_upsert's curve), under the
       // declared query's own splits (idx ∌ batch — the q_dedup_served idx
       // above CONTAINS the %10=5 docs, which would make every batch-2 doc
-      // dup_exact and the delta empty): fold the accepted batch docs into
-      // a delta generation, classify a second batch against main ∪ delta —
-      // upsert cost must track the delta, the two-generation
-      // classification the batch
+      // dup_exact and the delta empty). Band/digest rows are per-doc
+      // functions of text, so the idxU and b2 generations are doc_id
+      // FILTERS of the sds_idx artifacts already written above, re-
+      // bucketed — no extra raw-corpus shingle passes (review: the first
+      // cut re-derived both from raw, ~doubling untimed setup).
       val m10 = pmod(col("doc_id"), lit(10L))
-      val idxU = docs.filter(m10 =!= 0L && m10 =!= 5L)
-        .select(col("doc_id"), col("text"))
-      val b2 = docs.filter(m10 === 5L).select(col("doc_id"), col("text"))
-      graft.sources.IndexLifecycle.writeDedupIndex(spark, idxU, s"sds_idxu_$k", 8)
-      graft.sources.IndexLifecycle.writeDedupIndex(spark, b2, s"sds_b2_$k", 8)
+      def filteredGen(pred: org.apache.spark.sql.Column, out: String): Unit = {
+        graft.sources.Warehouse.writeBucketedKeys(
+          spark.table(s"sds_idx_${k}_bands").filter(pred),
+          s"${out}_bands", 8, "bpos", "bkey")
+        graft.sources.Warehouse.writeBucketedKeys(
+          spark.table(s"sds_idx_${k}_digests").filter(pred),
+          s"${out}_digests", 8, "h", "text")
+      }
+      filteredGen(m10 =!= 0L && m10 =!= 5L, s"sds_idxu_$k")
+      filteredGen(m10 === 5L, s"sds_b2_$k")
       val cls2 = graft.operators.Dedup
         .servedClassification(spark, Seq(s"sds_idxu_$k"), s"sds_b2_$k")
+      // MATERIALIZE the accepted ids before the timer starts (review: the
+      // lazy cls2 frame would otherwise charge the whole batch-2
+      // classification — an index-sized shingle aggregation — to
+      // "upsert_sec", which claims to measure only the delta fold)
+      val accepted = cls2.filter(col("status") === "new")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val acceptedDf = {
+        import spark.implicits._
+        accepted.toDF("doc_id")
+      }
       val tu0 = System.nanoTime()
       graft.sources.IndexLifecycle.upsertDedupIndex(spark, s"sds_b2_$k",
-        cls2.filter(col("status") === "new").select(col("doc_id")),
-        s"sds_d1_$k", 8)
+        acceptedDf, s"sds_d1_$k", 8)
       val upsertSec = (System.nanoTime() - tu0) / 1e9
       def onceUp(): Long = graft.operators.Dedup
         .servedClassification(spark, Seq(s"sds_idxu_$k", s"sds_d1_$k"),

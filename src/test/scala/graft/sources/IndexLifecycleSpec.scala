@@ -307,4 +307,27 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq,
       "the codebook/cells round trip drifted the served answer")
   }
+
+  test("ANN codebook round-trips bit-identically on the two-level and product tiers too") {
+    // round 9 (review): quantizerOn routes the maintain path into all
+    // three tiers, but only the flat tier had a write/read round-trip
+    // pin — a serialization regression in the top/sub or a/b model rows
+    // would otherwise surface only as wrong ×100 stress candidates.
+    import graft.operators.Ann
+    val e = Tables.t(spark, sf, "embeddings")
+    val two = Ann.trainTwoLevelOn(spark, e, 16)
+    IndexLifecycle.writeAnnArtifacts(spark, two, e, "ilu_ann_two", 4)
+    IndexLifecycle.readAnnQuantizer(spark, "ilu_ann_two") match {
+      case r: Ann.TwoLevelQuantizer =>
+        assert(r.top === two.top && r.sub === two.sub && r.subK === two.subK)
+      case other => fail(s"two-level codebook read back as $other")
+    }
+    val prod = Ann.trainProductOn(spark, e, 16)
+    IndexLifecycle.writeAnnArtifacts(spark, prod, e, "ilu_ann_prod", 4)
+    IndexLifecycle.readAnnQuantizer(spark, "ilu_ann_prod") match {
+      case r: Ann.ProductQuantizer =>
+        assert(r.a === prod.a && r.b === prod.b)
+      case other => fail(s"product codebook read back as $other")
+    }
+  }
 }
