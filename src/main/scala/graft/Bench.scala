@@ -141,23 +141,9 @@ object Bench {
     // measured BEFORE the query passes so a contended tail can't skew the
     // anchor away from the conditions most queries ran under
     calibOnce(spark)
-    val calibRuns = Seq.fill(5)(calibOnce(spark)).sorted
-    val calib = calibRuns(calibRuns.size / 2)
+    val calibRuns0 = Seq.fill(5)(calibOnce(spark)).sorted
     val (pass1, failed1) = timedPass()
     val (pass2, failed2) = timedPass()
-    val failed = (failed1 ++ failed2).distinct.sorted
-    val minPass: Map[String, Double] = pass1.map { case (k, v1) =>
-      k -> math.min(v1, pass2.getOrElse(k, v1))
-    }
-    def fmt(m: Iterable[(String, Double)]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def totalOf(m: Map[String, Double]) =
-      m.collect { case (k, v) if !failed.contains(k) => v }.sum
-    val worst10 = minPass.filterNot(kv => failed.contains(kv._1))
-      .toSeq.sortBy(-_._2).take(10)
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val rt = Runtime.getRuntime
-    val loadPost = loadAvg()
     // sbt's own JVM always accompanies this fork; more than one foreign
     // JVM, or a pre-existing load beyond half the cores, means some other
     // workload shared the box with the timed passes. Round 9 (VERDICT
@@ -166,36 +152,113 @@ object Bench {
     // contended:false and carried two contention-inflated entries — so the
     // verdict now also reads the run's own variance evidence: the
     // calibration samples' max/min spread (identical deterministic job —
-    // any spread beyond jitter is foreign load), and the two timed passes'
+    // any spread beyond jitter is foreign load), and the timed passes'
     // total disagreement (same queries, same session, back-to-back).
-    val calibSpread = calibRuns.last / calibRuns.head
-    val passSkew = {
-      val (t1, t2) = (totalOf(pass1), totalOf(pass2))
-      math.max(t1, t2) / math.max(math.min(t1, t2), 1e-9)
+    //
+    // Round 10 (VERDICT item 1): Bench now ACTS on its own verdict instead
+    // of just recording it. The r9 graded artifact was a 506 s contaminated
+    // pass beside a 219 s clean one (pass_skew 2.30) — min-of-2 recovered
+    // the total, but any query unlucky in BOTH passes kept an inflated
+    // number (q_stats_corrmat shipped 6.11 s vs 1.5 s quiet). When the
+    // run's own evidence says contention (pre-load, foreign JVMs, calib
+    // spread, or pass skew), run up to two EXTRA timed passes — stopping
+    // early once the fastest two passes agree (skew ≤ 1.3, i.e. one clean
+    // replicate confirms another) — and emit min-of-N per query: a load
+    // burst must now hit the same query in every pass to survive into the
+    // record. A calibration whose own 5 samples disagree (> 1.5 spread) is
+    // re-measured after the passes and the lower-spread set is kept — the
+    // anchor should reflect the box, not one burst.
+    def skewOf(ps: Seq[Map[String, Double]], fl: Seq[String]): Double = {
+      val totals = ps.map(_.collect {
+        case (k, v) if !fl.contains(k) && v >= 0 => v
+      }.sum).sorted
+      totals.last / math.max(totals.head, 1e-9)
     }
+    // fastest-two agreement: min-of-N is only as trustworthy as its two
+    // fastest witnesses — if they disagree >1.3× the run is still dirty
+    def minSkewOf(ps: Seq[Map[String, Double]], fl: Seq[String]): Double = {
+      val totals = ps.map(_.collect {
+        case (k, v) if !fl.contains(k) && v >= 0 => v
+      }.sum).sorted
+      if (totals.size < 2) 1.0
+      else totals(1) / math.max(totals.head, 1e-9)
+    }
+    var passes = Vector(pass1, pass2)
+    var failedAcc = (failed1 ++ failed2).distinct
+    val calibSpread0 = calibRuns0.last / calibRuns0.head
+    val preContended = loadPre > cpus.toDouble / 2 || jvmsPre > 1 ||
+      calibSpread0 > 1.5 || skewOf(passes, failedAcc) > 1.3
+    // preContended alone buys ONE extra pass (a dirty-looking box deserves
+    // a third witness even when the first two agree — they may agree on
+    // inflated numbers); fastest-two disagreement keeps buying passes up
+    // to the cap of 4 total.
+    def needMore: Boolean = passes.size < 4 &&
+      (minSkewOf(passes, failedAcc) > 1.3 ||
+        (preContended && passes.size == 2))
+    while (needMore) {
+      val (p, f) = timedPass()
+      passes :+= p
+      failedAcc = (failedAcc ++ f).distinct
+    }
+    val (calibRuns, calibRetried) =
+      if (calibSpread0 > 1.5) {
+        val retry = Seq.fill(5)(calibOnce(spark)).sorted
+        val pick = if (retry.last / retry.head < calibSpread0) retry
+          else calibRuns0
+        (pick, true)
+      } else (calibRuns0, false)
+    val calib = calibRuns(calibRuns.size / 2)
+    val failed = failedAcc.sorted
+    val minPass: Map[String, Double] = pass1.keys.map { k =>
+      val vs = passes.flatMap(_.get(k)).filter(_ >= 0)
+      k -> (if (vs.isEmpty) -1.0 else vs.min)
+    }.toMap
+    def fmt(m: Iterable[(String, Double)]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def totalOf(m: Map[String, Double]) =
+      m.collect { case (k, v) if !failed.contains(k) && v >= 0 => v }.sum
+    val worst10 = minPass.filterNot(kv => failed.contains(kv._1))
+      .toSeq.sortBy(-_._2).take(10)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rt = Runtime.getRuntime
+    val loadPost = loadAvg()
+    val calibSpread = calibRuns.last / calibRuns.head
+    val passSkew = skewOf(passes, failed)
+    val minSkew = minSkewOf(passes, failed)
+    // the record's contention verdict reads the FASTEST TWO passes'
+    // agreement (the witnesses min-of-N actually stands on), not the
+    // worst pass — a recovered run is labeled clean WITH its recovery
+    // evidence (passes, pass_skew) still in the record
     val contended = loadPre > cpus.toDouble / 2 || jvmsPre > 1 ||
-      calibSpread > 1.5 || passSkew > 1.3
+      calibSpread > 1.5 || minSkew > 1.3
     val guardJson =
       s""""load_pre":$loadPre,"load_post":$loadPost,""" +
         s""""other_jvms":$jvmsPre,"contended":$contended,""" +
         s""""calib_spread":$calibSpread,"pass_skew":$passSkew,""" +
+        s""""min_pass_skew":$minSkew,"passes":${passes.size},""" +
+        s""""calib_retried":$calibRetried,""" +
         s""""calib_sec":$calib,"calib_anchor":"${calibAnchorId(cpus)}",""" +
         s""""calib_runs":${calibRuns.mkString("[", ",", "]")}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL_latest.json")
+    val passTotalsJson = passes.zipWithIndex
+      .map { case (p, i) => s""""total${i + 1}":${totalOf(p)}""" }
+      .mkString(",")
+    val passQueriesJson = passes.zipWithIndex
+      .map { case (p, i) => s""""queries${i + 1}":${fmt(p)}""" }
+      .mkString(",")
     val full =
       s"""{"sf":"$sfDir","cpus":$cpus,""" +
-        s""""total_min":${totalOf(minPass)},"total1":${totalOf(pass1)},""" +
-        s""""total2":${totalOf(pass2)},"failed":$failedJson,""" +
+        s""""total_min":${totalOf(minPass)},$passTotalsJson,""" +
+        s""""failed":$failedJson,""" +
         s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},$guardJson,""" +
-        s""""queries_min":${fmt(minPass)},""" +
-        s""""queries1":${fmt(pass1)},"queries2":${fmt(pass2)}}"""
+        s""""queries_min":${fmt(minPass)},$passQueriesJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
     catch { case _: Throwable => () } // the short line must still print
     println(
       s"""{"metric":"total","value":${totalOf(minPass)},"unit":"sec",""" +
-        s""""sf":"$sfDir","pass":"min-of-2","nq":${pass1.size},""" +
-        s""""total1":${totalOf(pass1)},"total2":${totalOf(pass2)},""" +
+        s""""sf":"$sfDir","pass":"min-of-${passes.size}","nq":${pass1.size},""" +
+        s"""$passTotalsJson,""" +
         s""""queries":${fmt(worst10)},""" +
         s""""failed":$failedJson,"cpus":$cpus,""" +
         s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},$guardJson,""" +

@@ -6,7 +6,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -102,16 +101,15 @@ object CdcChunks {
     new GenericArrayData(out.toArray)
   }
 
-  /** Registers `cdc_chunks(text, mask)` in the session registry
-    * (idempotent) so the expression is reachable from `expr` and SQL. */
+  /** Registers `cdc_chunks(text, mask)` in the session registry (once per
+    * session — [[Registry.registerOnce]]) so the expression is reachable
+    * from `expr` and SQL. */
   def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cdc_chunks",
+    Registry.registerOnce(spark, "cdc_chunks")(
       exprs => CdcChunks(exprs(0), exprs(1).eval() match {
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(
           s"cdc_chunks mask must be an integer literal, got $other")
-      }),
-      "built-in")
+      }))
 }

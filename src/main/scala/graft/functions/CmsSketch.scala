@@ -7,7 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -139,12 +138,12 @@ object CmsEstimate {
 }
 
 object cms {
-  /** Registers SQL `cms_sketch(expr)` + `cms_estimate(sketch, expr)`. */
+  /** Registers SQL `cms_sketch(expr)` + `cms_estimate(sketch, expr)`;
+    * once per session via [[Registry.registerOnce]]. */
   def register(spark: SparkSession): Unit = {
-    val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cms_sketch",
-      exprs => CmsSketch(exprs.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("cms_estimate",
-      exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
+    Registry.registerOnce(spark, "cms_sketch")(
+      exprs => CmsSketch(exprs.head).toAggregateExpression())
+    Registry.registerOnce(spark, "cms_estimate")(
+      exprs => CmsEstimate(exprs(0), exprs(1)))
   }
 }

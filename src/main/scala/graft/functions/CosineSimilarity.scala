@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.functions.{expr, lit, round}
 import org.apache.spark.sql.types._
 
@@ -90,14 +89,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object vec {
-  /** Registers `cosine_sim` in the session's function registry (idempotent)
-    * so the native expression is reachable from both the Column API and SQL.
-    */
+  /** Registers `cosine_sim` in the session's function registry (once per
+    * session — [[Registry.registerOnce]]) so the native expression is
+    * reachable from both the Column API and SQL. */
   def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+    Registry.registerOnce(spark, "cosine_sim")(
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 
   /** Column-API entry point over attribute names: `vec.cosine(spark, "a", "b")`. */
   def cosine(spark: SparkSession, a: String, b: String): Column = {

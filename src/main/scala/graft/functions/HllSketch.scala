@@ -5,7 +5,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.types._
 
 /** From-scratch HyperLogLog as a native `TypedImperativeAggregate`
@@ -185,13 +184,12 @@ object HllSketch {
 }
 
 object hll {
-  /** Registers SQL `hll_distinct(expr)` (expr must be castable to BIGINT). */
+  /** Registers SQL `hll_distinct(expr)` (expr must be castable to BIGINT);
+    * once per session via [[Registry.registerOnce]]. */
   def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hll_distinct",
+    Registry.registerOnce(spark, "hll_distinct")(
       exprs => {
         require(exprs.length == 1, s"hll_distinct expects 1 argument, got ${exprs.length}")
         HllSketch(exprs.head).toAggregateExpression()
-      },
-      "built-in")
+      })
 }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -70,16 +69,15 @@ object KGrams {
     new GenericArrayData(out)
   }
 
-  /** Registers `kgrams(text, k)` in the session registry (idempotent) so the
-    * expression is reachable from the Column API (`expr`) and SQL. */
+  /** Registers `kgrams(text, k)` in the session registry (once per session —
+    * [[Registry.registerOnce]]) so the expression is reachable from the
+    * Column API (`expr`) and SQL. */
   def register(spark: SparkSession): Unit =
-    castToImpl(spark).sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kgrams",
+    Registry.registerOnce(spark, "kgrams")(
       exprs => KGrams(exprs(0), exprs(1).eval() match {
         case i: Int => i
         case l: Long => l.toInt
         case other => throw new IllegalArgumentException(
           s"kgrams k must be an integer literal, got $other")
-      }),
-      "built-in")
+      }))
 }

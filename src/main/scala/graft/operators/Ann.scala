@@ -258,10 +258,33 @@ object Ann {
       hierMax: Int = HierMaxCells): CoarseQuantizer = {
     val n = e.count()
     val k = math.max(NumCentroids, (n / CellTarget).toInt)
-    if (k <= flatMax) FlatQuantizer(kmeansFrom(s, e, firstVectorsOf(e, k)))
-    else if (k <= hierMax) trainTwoLevelOn(s, e, k)
-    else trainProductOn(s, e, k)
+    if (k <= flatMax) {
+      val seeds = firstVectorsOf(e, k)
+      assertPrefixSeeds(seeds, k, n)
+      FlatQuantizer(kmeansFrom(s, e, seeds))
+    }
+    else if (k <= hierMax) trainTwoLevelOn(s, e, k, n)
+    else trainProductOn(s, e, k, n)
   }
+
+  /** The id-prefix invariant, ASSERTED (round 10, ADVICE): seed selection
+    * is `vec_id < want` (a pushdown-pruned scan), which only yields the
+    * frame's first vectors when the frame is an id-PREFIX of the corpus —
+    * append-only ingest ids, the documented caller contract. A non-prefix
+    * frame (e.g. a pmod split) would silently yield fewer seeds (quietly
+    * degraded clustering) or none (a downstream `seeds.head` throw). Fail
+    * loudly at the source instead. `nRows < 0` means the caller didn't
+    * count the frame — legacy full-table paths, where the prefix property
+    * holds by construction. */
+  private def assertPrefixSeeds(
+      seeds: Seq[(Int, Array[Float])], want: Int, nRows: Long): Unit =
+    if (nRows >= 0)
+      require(seeds.length == math.min(want.toLong, nRows).toInt,
+        s"seed scan (vec_id < $want) returned ${seeds.length} of the " +
+          s"expected ${math.min(want.toLong, nRows)} seeds — the training " +
+          "frame is not an id-prefix of the corpus (quantizerOn requires " +
+          "append-only prefix frames; pass the standing corpus, not a " +
+          "filtered split)")
 
   private def firstVectors(
       s: SparkSession, d: String, n: Int): Seq[(Int, Array[Float])] =
@@ -512,12 +535,15 @@ object Ann {
     trainTwoLevelOn(s, Tables.t(s, d, "embeddings"), k)
 
   private[graft] def trainTwoLevelOn(
-      s: SparkSession, e: DataFrame, k: Int): TwoLevelQuantizer = {
+      s: SparkSession, e: DataFrame, k: Int,
+      nRows: Long = -1L): TwoLevelQuantizer = {
     val kTop = math.ceil(math.sqrt(k.toDouble)).toInt
     val subK = math.ceil(k.toDouble / kTop).toInt
 
+    val topSeeds = firstVectorsOf(e, kTop)
+    assertPrefixSeeds(topSeeds, kTop, nRows)
     val top: Vector[Vector[Float]] =
-      kmeansFrom(s, e, firstVectorsOf(e, kTop)).map(_._2.toVector).toVector
+      kmeansFrom(s, e, topSeeds).map(_._2.toVector).toVector
     val centroidOf = udaf(new VectorCentroid(top.head.size))
     val topCents = top.zipWithIndex.map { case (v, i) => (i, v.toArray) }
 
@@ -646,9 +672,11 @@ object Ann {
     trainProductOn(s, Tables.t(s, d, "embeddings"), k)
 
   private[graft] def trainProductOn(
-      s: SparkSession, e: DataFrame, k: Int): ProductQuantizer = {
+      s: SparkSession, e: DataFrame, k: Int,
+      nRows: Long = -1L): ProductQuantizer = {
     val kSide = math.ceil(math.sqrt(k.toDouble)).toInt
     val seeds = firstVectorsOf(e, kSide)
+    assertPrefixSeeds(seeds, kSide, nRows)
     val dim = seeds.head._2.length
     val dimA = dim / 2
     val dimB = dim - dimA

@@ -5,7 +5,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -36,11 +35,10 @@ object BloomPrune {
     * `graft_bloom_agg` / `graft_bloom_might_contain` through the same
     * session bridge `graft.functions.vec` uses. */
   def register(spark: SparkSession): Unit = {
-    val reg = castToImpl(spark).sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    graft.functions.Registry.registerOnce(spark, "graft_bloom_agg")(
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)))
+    graft.functions.Registry.registerOnce(spark, "graft_bloom_might_contain")(
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   /** `fact` reduced to rows whose `factKey` probably appears among
