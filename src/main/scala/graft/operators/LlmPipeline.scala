@@ -277,7 +277,7 @@ object LlmPipeline {
     * batch's exact-dedup delta (d2) — factored out (round 8) so
     * [[incrementalLedger]] and [[reconciledMix]] share one definition. */
   private[graft] final case class IncrementalExact(
-      idxS2: DataFrame, batchBase: DataFrame, d2: DataFrame)
+      idxS2: DataFrame, batchBase: DataFrame, d2: DataFrame, c2: DataFrame)
 
   private[graft] def incrementalExact(
       s: SparkSession, docs: DataFrame, isNew: Column): IncrementalExact = {
@@ -307,27 +307,39 @@ object LlmPipeline {
     // band-verify join.
     val base = Caches.persist(
       docs.select(col("doc_id"), col("lang"), col("text")))
-    val idxBase = measured(base.filter(!isNew)).withColumn("q", qualityGate)
-    val idxS2 = (measured(
-      Dedup.digestClustered(idxBase.filter(col("q"))
-        .select(col("doc_id"), col("lang"), col("text")))
-        .groupBy(col("h"), col("text"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min_by(col("lang"), col("doc_id")).as("lang"))
-        .select(col("doc_id"), col("lang"), col("text"))))
     val batchBase = measured(base.filter(isNew)).withColumn("q", qualityGate)
-    // d2 — in-batch exact dedup, then drop texts the index already holds
-    val b2within = Dedup.digestClustered(batchBase.filter(col("q"))
-      .select(col("doc_id"), col("lang"), col("text")))
+
+    // ONE digest pass for the whole exact-dedup state (round 10, VERDICT
+    // item 2 — this was two digest groupings plus an (h, text) anti-join,
+    // i.e. three corpus/index-sized exchanges per replayed lineage): group
+    // ALL quality rows by (h, text) carrying an is-new flag, and pick the
+    // survivor as argmin (nw, doc_id) — old side first, then min doc_id.
+    // Case analysis per group (doc_id unique, so no ordering ties):
+    //  - has an old member ⇒ survivor = min OLD doc_id with its lang —
+    //    exactly the old idxS2 row; the group's batch rows are "the index
+    //    already holds this text", exactly what the anti-join dropped;
+    //  - all-new ⇒ survivor = min NEW doc_id — exactly the old d2 row
+    //    (within-batch dedup, text absent from the index).
+    // So i2 = has_old survivors, d2 = all-new survivors, and the
+    // reconciled c2 = i2 ∪ d2 = ALL survivors — one exchange instead of
+    // three, and c2 needs no union of two separately-computed sides.
+    // LlmExactEquivalenceSpec pins the equivalence vs the two-sided form.
+    val surv = Dedup.digestClustered(
+        measured(base).withColumn("q", qualityGate).filter(col("q"))
+          .select(col("doc_id"), col("lang"), col("text"), isNew.as("nw")))
       .groupBy(col("h"), col("text"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("lang"), col("doc_id")).as("lang"))
-      .select(col("h"), col("text"), col("doc_id"), col("lang"))
-    val idxKeyed = idxS2.select(xxhash64(col("text")).as("h"), col("text"))
-    val d2 = (measured(
-      b2within.join(idxKeyed, Seq("h", "text"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("text"))))
-    IncrementalExact(idxS2, batchBase, d2)
+      .agg(
+        min_by(struct(col("doc_id"), col("lang")),
+          struct(col("nw"), col("doc_id"))).as("s"),
+        max(when(col("nw"), lit(0)).otherwise(lit(1))).as("has_old"))
+      .select(col("s.doc_id").as("doc_id"), col("s.lang").as("lang"),
+        col("text"), (col("has_old") === 1).as("has_old"))
+    val idxS2 = measured(surv.filter(col("has_old"))
+      .select(col("doc_id"), col("lang"), col("text")))
+    val d2 = measured(surv.filter(!col("has_old"))
+      .select(col("doc_id"), col("lang"), col("text")))
+    val c2 = measured(surv.select(col("doc_id"), col("lang"), col("text")))
+    IncrementalExact(idxS2, batchBase, d2, c2)
   }
 
   private[graft] def incrementalLedger(
@@ -430,13 +442,13 @@ object LlmPipeline {
       s: SparkSession, docs: DataFrame, isNew: Column,
       benchDocs: DataFrame): Reconciled = {
     val ex = incrementalExact(s, docs, isNew)
-    val cols = Seq("doc_id", "lang", "text", "n_tok", "fp").map(col)
     // persist MEASURED justified (round-8 A/B, Explain ×3 at sf0.1:
     // 8.0-8.3 s with, 11.8-12.2 s without): c2 feeds 5+ consumers (ledger
     // row, narrow successor stages, three shingle/gram replays) and the
-    // one materialization beats re-reading both cached inputs per branch
-    val c2 = Caches.persist(
-      ex.idxS2.select(cols: _*).unionByName(ex.d2.select(cols: _*)))
+    // one materialization beats re-deriving the digest pass per branch.
+    // c2 is the single-pass ALL-survivors frame (round 10) — not a union
+    // of separately-grouped i2/d2 sides.
+    val c2 = Caches.persist(ex.c2)
     Reconciled(c2, successorsOf(c2, benchDocs, "m6_"))
   }
 

@@ -81,16 +81,16 @@ object IndexLifecycle {
       .agg(count(lit(1)).as("tf"))
     Warehouse.writeBucketed(idx, s"${prefix}_postings", "word", buckets)
     Warehouse.dropStale(s, s"${prefix}_doclens")
-    // The doclens agg REPLAYS the idx lineage — a second write-time corpus
-    // pass. Round-9 A/B of the three shapes (Explain ×3 warm,
-    // q_retrieval_upsert at sf0.1): lineage replay 6.8 s, doclens from the
-    // just-written postings table 8.1 s (the 8-bucket read caps the agg at
-    // 8 tasks — a toy-scale parallelism artifact), persisted idx feeding
-    // both writes 9.6 s (the cache-write barrier costs more than two
-    // replays). Kept on the replay: write-time passes are one-time and
-    // amortized; a 100 TB operator would flip to the one-line
-    // table-derived form, whose cost is index-sized, not corpus-sized.
-    idx.groupBy(col("doc_id"))
+    // doclens from the JUST-WRITTEN postings table — an index-sized read
+    // feeding one doc-keyed agg, instead of replaying the idx lineage (a
+    // second write-time CORPUS pass: scan + explode + (doc, word) agg).
+    // Round-9 kept the replay on a toy-geometry A/B (8 buckets capped the
+    // table read at 8 tasks); round 10 re-ran the A/B at non-toy geometry
+    // (VERDICT item 6 — ×10 documents, buckets = 32, tools/DoclensAb):
+    // table-derived wins there and is the only form whose cost stays
+    // index-sized as the corpus grows. Numbers in BASELINE.md.
+    s.table(s"${prefix}_postings")
+      .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast(LongType).as("dl"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${prefix}_doclens")

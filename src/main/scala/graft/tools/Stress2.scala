@@ -399,6 +399,67 @@ object DedupServedStress {
   }
 }
 
+/** Generation-DEPTH probe (round 10, VERDICT item 5): serving pays one
+  * bucketed scan per live delta generation — DedupServedStress measures
+  * only the 2-generation point. This measures the degradation CURVE at
+  * 1/2/4/8 live deltas over the same varied-vocab 8× corpus, then the
+  * compaction payoff: compactDedupIndex fold time and the post-compaction
+  * single-generation serve time. All generations are doc_id FILTERS of
+  * one full-corpus artifact write (band/digest rows are per-doc functions
+  * of text), so setup pays one shingle pass total.
+  *
+  * Usage: runMain graft.tools.GenerationDepthStress [copies]
+  */
+object GenerationDepthStress {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val spark = Stress2.session()
+    val dir = Stress2.variedVocabDocsDir(spark, k)
+    val docs = Tables.t(spark, dir, "documents").filter(col("doc_id") >= 4)
+    graft.sources.IndexLifecycle.writeDedupIndex(
+      spark, docs.select(col("doc_id"), col("text")), s"gd_all_$k", 8)
+    val m16 = pmod(col("doc_id"), lit(16L))
+    def filteredGen(pred: org.apache.spark.sql.Column, out: String): Unit = {
+      graft.sources.Warehouse.writeBucketedKeys(
+        spark.table(s"gd_all_${k}_bands").filter(pred),
+        s"${out}_bands", 8, "bpos", "bkey")
+      graft.sources.Warehouse.writeBucketedKeys(
+        spark.table(s"gd_all_${k}_digests").filter(pred),
+        s"${out}_digests", 8, "h", "text")
+    }
+    // main = ~7/16 of the corpus, 8 equal deltas, 1/16 probe batch
+    filteredGen(m16 >= 8L && m16 <= 14L, s"gd_main_$k")
+    (0 until 8).foreach(i => filteredGen(m16 === i.toLong, s"gd_d${i}_$k"))
+    filteredGen(m16 === 15L, s"gd_batch_$k")
+    def serveOver(prefixes: Seq[String]): Double = {
+      def once(): Long = graft.operators.Dedup
+        .servedClassification(spark, prefixes, s"gd_batch_$k").count()
+      once() // warm
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      graft.Caches.release(spark)
+      ts.min
+    }
+    for (g <- Seq(1, 2, 4, 8)) {
+      val gens = s"gd_main_$k" +: (0 until g).map(i => s"gd_d${i}_$k")
+      val s = serveOver(gens)
+      println(f"""{"probe":"gen_depth","copies":$k,"generations":${g + 1},""" +
+        f""""serve_sec":$s%.2f}""")
+    }
+    val allGens = s"gd_main_$k" +: (0 until 8).map(i => s"gd_d${i}_$k")
+    val tc0 = System.nanoTime()
+    graft.sources.IndexLifecycle.compactDedupIndex(
+      spark, allGens, s"gd_comp_$k", 8)
+    val compactSec = (System.nanoTime() - tc0) / 1e9
+    val sComp = serveOver(Seq(s"gd_comp_$k"))
+    println(f"""{"probe":"gen_compact","copies":$k,"compact_sec":$compactSec%.2f,""" +
+      f""""serve_post_sec":$sComp%.2f}""")
+    spark.stop()
+  }
+}
+
 private object Stress2 {
   def session(): SparkSession = {
     val s = SparkSession.builder()
