@@ -191,9 +191,14 @@ object Bench {
     // preContended alone buys ONE extra pass (a dirty-looking box deserves
     // a third witness even when the first two agree — they may agree on
     // inflated numbers); fastest-two disagreement keeps buying passes up
-    // to the cap of 4 total.
+    // to the cap of 4 total. The RETRY trigger (1.15) is deliberately
+    // tighter than the disqualification label (1.3): a same-session r10
+    // run shipped pass totals 344/420 s (skew 1.22 — load arrived mid-run,
+    // under the old 1.3 trigger) whose min-of-2 was still ~1.4× the quiet
+    // value; an extra pass is minutes, a contaminated graded sidecar is a
+    // round of lost perf signal.
     def needMore: Boolean = passes.size < 4 &&
-      (minSkewOf(passes, failedAcc) > 1.3 ||
+      (minSkewOf(passes, failedAcc) > 1.15 ||
         (preContended && passes.size == 2))
     while (needMore) {
       val (p, f) = timedPass()

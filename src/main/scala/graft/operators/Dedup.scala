@@ -543,27 +543,21 @@ object Dedup {
       .map(p => IndexLifecycle.servedNearDupCandidates(s, p, newPrefix))
       .reduce(_.unionByName(_))
       .distinct()
-    // verify sets for CANDIDATE docs only (round 10, VERDICT item 2):
-    // `sets` is consumed solely through joins on cand's (new_id, p_id),
-    // so shingling + collect_set over the full index ∪ batch was wasted
-    // work on every non-candidate doc — at 100 TB a corpus-sized exchange
-    // for a candidate-sized consumer. The semi-join input replays only
-    // the stored-table band probe (bucketed, exchange-free), not an
-    // in-memory band lineage, so restricting is pure win here — unlike
-    // verifiedPairsFrom, where cand's replay is the expensive part.
-    // BROADCAST the candidate ids: the semi-join then filters the text
-    // scan MAP-SIDE (a shuffle semi-join would exchange the whole corpus
-    // by doc_id — worse than the full agg it replaces). Candidate volume
-    // is band-collision-bounded; if a deployment's candidate set ever
-    // outgrows broadcast, drop the hint and the plan degrades to the
-    // corpus-exchange it had before this optimization, never worse.
-    val candIds = cand.select(col("new_id").as("doc_id"))
-      .unionByName(cand.select(col("p_id").as("doc_id")))
-      .distinct()
+    // sets over the FULL index ∪ batch, deliberately (round-10 A/B):
+    // restricting the shingle/collect_set input to candidate-pair docs
+    // (broadcast semi-join on cand's ids) reads as the obvious win — the
+    // agg is consumed only through joins on cand — but measured ~2 s
+    // SLOWER per q_dedup_upsert run at sf0.1 (Explain ×5 same-session:
+    // min 6.92 s vs 4.82 s reverted): the candIds derivation re-instantiates
+    // cand (stored probes + a distinct exchange), adds a broadcast build
+    // and, persisted, a cache-write barrier — three extra jobs that cost
+    // more than the corpus-sized agg they trim at any tested scale. At a
+    // true 100 TB index the trade flips (the agg becomes a corpus-sized
+    // exchange for a candidate-sized consumer) — re-run the A/B on the
+    // cluster before re-introducing it; the shape is in git history.
     val sets = shingleItemsOf(
         idxDig.select(col("doc_id"), col("text"))
-          .unionByName(newDig.select(col("doc_id"), col("text")))
-          .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+          .unionByName(newDig.select(col("doc_id"), col("text"))))
       .groupBy(col("doc_id"))
       .agg(collect_set(xxhash64(col("item"))).as("sh"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")

@@ -277,7 +277,8 @@ object LlmPipeline {
     * batch's exact-dedup delta (d2) — factored out (round 8) so
     * [[incrementalLedger]] and [[reconciledMix]] share one definition. */
   private[graft] final case class IncrementalExact(
-      idxS2: DataFrame, batchBase: DataFrame, d2: DataFrame, c2: DataFrame)
+      idxS2: DataFrame, batchBase: DataFrame, d2: DataFrame, c2: DataFrame,
+      surv: DataFrame)
 
   private[graft] def incrementalExact(
       s: SparkSession, docs: DataFrame, isNew: Column): IncrementalExact = {
@@ -339,13 +340,23 @@ object LlmPipeline {
     val d2 = measured(surv.filter(!col("has_old"))
       .select(col("doc_id"), col("lang"), col("text")))
     val c2 = measured(surv.select(col("doc_id"), col("lang"), col("text")))
-    IncrementalExact(idxS2, batchBase, d2, c2)
+    IncrementalExact(idxS2, batchBase, d2, c2, surv)
   }
 
   private[graft] def incrementalLedger(
       s: SparkSession, docs: DataFrame, isNew: Column,
       benchDocs: DataFrame): DataFrame = {
     val ex = incrementalExact(s, docs, isNew)
+    // The LEDGER path consumes idxS2 and d2 through MANY separate
+    // lineages (both shingle relations, both narrow ledger rows, the c2
+    // union row) — each would replay the single digest pass. Persist the
+    // shared survivor frame ONCE here (plan-based cache matching makes
+    // every derived frame hit it); the mix path doesn't need this — its
+    // one consumer tree is covered by the c2 persist in reconciledStages.
+    // Measured round 10: without this, the single-pass refactor cost the
+    // incremental query ~0.65 s at sf0.1 (each consumer re-grouping the
+    // full corpus); with it the replays are cache reads.
+    graft.Caches.persist(ex.surv)
     val idxS2 = ex.idxS2
     val batchBase = ex.batchBase
     val d2 = ex.d2

@@ -617,8 +617,11 @@ object Retrieval {
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
         val corpus = docs.filter(col("doc_id") =!= 0)
-        val qterms = docs.filter(col("doc_id") === 0)
-          .select(explode(split(col("text"), " ")).as("word")).distinct()
+        // model-sized; persisted — three consumers (round-1 broadcast,
+        // expansion anti-join, q2 union) each re-ran the pruned scan +
+        // the distinct's exchange unpersisted (round 10)
+        val qterms = graft.Caches.persist(docs.filter(col("doc_id") === 0)
+          .select(explode(split(col("text"), " ")).as("word")).distinct())
         // THE one corpus pass: explode → (doc, word) tf agg → persist
         val idx = graft.Caches.persist(corpus
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -691,10 +694,11 @@ object Retrieval {
       (s, d) => {
         val docs = Tables.t(s, d, "documents")
         val corpus = docs.filter(col("doc_id") =!= 0)
-        // model-sized (doc 0's distinct words); persisted so the five
-        // serving-side consumers share ONE pruned scan instead of five
-        val qterms = graft.Caches.persist(docs.filter(col("doc_id") === 0)
-          .select(explode(split(col("text"), " ")).as("word")).distinct())
+        // model-sized (doc 0's distinct words); servedQueryExpansionFrom
+        // persists it for its serving-side consumers (round 10 — a second
+        // caller-side persist here would just log cache-already-cached)
+        val qterms = docs.filter(col("doc_id") === 0)
+          .select(explode(split(col("text"), " ")).as("word")).distinct()
         // main = the standing corpus, delta = today's batch — disjoint by
         // id, as an ingest pipeline's append-only id assignment makes them
         val main = corpus.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)

@@ -389,7 +389,12 @@ object IndexLifecycle {
   /** [[servedQueryExpansion]] over main + any number of delta
     * generations. */
   def servedQueryExpansionFrom(
-      s: SparkSession, prefixes: Seq[String], qterms: DataFrame): DataFrame = {
+      s: SparkSession, prefixes: Seq[String], qtermsRaw: DataFrame): DataFrame = {
+    // model-sized (a query's distinct terms); persisted because THREE
+    // serving-side consumers instantiate it (round-1 broadcast, the
+    // expansion anti-join, the q2 union) — each replay re-ran the pruned
+    // scan plus the distinct's exchange (round 10)
+    val qterms = graft.Caches.persist(qtermsRaw)
     val idx = prefixes.map(p => s.table(s"${p}_postings"))
       .reduce(_.unionByName(_))
     val dl = prefixes.map(p => s.table(s"${p}_doclens"))
