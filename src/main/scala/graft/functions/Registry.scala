@@ -22,10 +22,17 @@ import org.apache.spark.sql.classic.ClassicConversions.castToImpl
   * replace semantics are intentional and the names are unique per call.
   */
 object Registry {
+  /** check-then-act, synchronized on the session registry (round-10
+    * ADVICE): the race was benign for these constant builders (both
+    * winners register the identical expression constructor), but the
+    * class invites reuse and a future non-idempotent builder must not
+    * inherit a latent double-register. */
   def registerOnce(spark: SparkSession, name: String)(
       builder: Seq[Expression] => Expression): Unit = {
     val reg = castToImpl(spark).sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    reg.synchronized {
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -488,12 +488,13 @@ object Ann {
     * k ≥ 4096. */
   private[graft] val HierMaxCells = 65536
 
-  /** Multi-probe frontier width per SIDE of the product grid: a query's
-    * candidate leaves are the product of its [[ProductProbe]] best a-cells
-    * × best b-cells, ranked by the exact integer sum of the half
-    * distances. pSide² candidates bound the frontier; selection is exact
-    * whenever pSide ≥ the requested probe width (guaranteed for
-    * assignment, where topN = 1 needs only pSide = 1). */
+  /** Multi-probe frontier SIZE parameter for the product grid: a query
+    * probes [[probeSide]]² cells. Since round 11 (VERDICT item 4) those
+    * are the EXACT top-pSide² cells of the whole grid by the integer sum
+    * of the half distances (per-side candidate pool widened to pSide² —
+    * multi-sequence exactness), not the product of the pSide best cells
+    * per side; assignment (topN = 1) needs only a 1-wide pool and is
+    * exact either way. */
   private[graft] val ProductProbe = 3
 
   /** Train the size-appropriate coarse quantizer: flat Lloyd-refined
@@ -621,19 +622,27 @@ object Ann {
         element_at(cellsCol(s, 1, 1, "ann_assignp"), 1)
           .cast("bigint").as("cid"))
 
-    // probe emits the FULL pSide² multi-sequence frontier (round 9,
-    // VERDICT item 1): the frontier is the bounded shortlist, the
-    // consumer's exact quantized-cosine top-k over its members is the
-    // rescore — serving recall@3 0.80 → 1.00 at the 4×4 oracle geometry
-    // (tools/PimiProbe measured the r8 loss as frontier WIDTH: re-ranking
-    // a 4-cell prefix by exact centroid cosine left recall at 0.80).
+    // probe emits a pSide²-cell multi-sequence frontier; since round 11
+    // (VERDICT item 4) the frontier is the EXACT top-pSide² cells of the
+    // WHOLE grid by summed half-distance, not the product of the pSide
+    // best cells per side: the candidate pool per side is widened to
+    // pSide² (multi-sequence exactness — the t-th best cell of the grid
+    // has per-side rank ≤ t, so pool = topN guarantees the true top-topN),
+    // which costs nothing extra per row on the distance side (all kSide
+    // half-distances are computed regardless; only the insert arrays
+    // grow) and keeps the CONSUMER cost identical (same pSide² cells
+    // joined). The round-9 form truncated the pool at 3/side, so a true
+    // frontier cell ranked 4th on one axis was unreachable — the 0.80
+    // recall@3 plateau ProductStress recorded at the 512k/k=4096
+    // geometry. The frontier is the bounded shortlist, the consumer's
+    // exact quantized-cosine top-k over its members is the rescore.
     // Assignment stays pure half-L2 argmin, so every cell-blocked
     // consumer's cells (q_knn_join, q_dedup_semantic) are byte-unchanged.
     def probe(s: SparkSession, e: DataFrame, nprobe: Int): DataFrame = {
       val pSide = probeSide(nprobe)
       e.select(
         col("vec_id"), col("embedding"),
-        explode(cellsCol(s, pSide * pSide, pSide, "ann_probep")).as("p"))
+        explode(cellsCol(s, pSide * pSide, pSide * pSide, "ann_probep")).as("p"))
         .select(
           col("vec_id"), col("embedding"), col("p").cast("bigint").as("cid"))
     }
@@ -1066,17 +1075,22 @@ object Ann {
              |    list(CAST(CAST(CAST(s AS DOUBLE) / 1000000.0 / n AS FLOAT) AS DOUBLE)
              |         ORDER BY i) AS cent
              |  FROM $qn GROUP BY cid)""".stripMargin
-        // query-side pSide-best cells of one half by quantized d² — the
-        // probe consumes the FULL pSide×pSide product of these (round 9:
-        // no leaf-level truncation; the exact cosine top-k downstream is
-        // the rescore stage)
+        // query-side per-half candidate pool, carrying the quantized d² —
+        // the probe's frontier is the EXACT top-pSide² cells of the whole
+        // grid by summed half-distance (round 11, VERDICT item 4), so the
+        // pool per side is pSide² (multi-sequence exactness: the t-th best
+        // grid cell has per-side rank ≤ t) and the qp CTE below ranks the
+        // pool product by (d²a + d²b ASC, cid ASC); the exact cosine
+        // top-k downstream is the rescore stage
+        val frontier = pSide * pSide
         def sideProbe(name: String, t: String, off: Int): String =
-          s"""$name AS (SELECT vec_id, cid FROM (
+          s"""$name AS (SELECT vec_id, cid, d2 FROM (
              |    SELECT e.vec_id, $t.cid,
+             |      ${sqlD2Half("e.emb", off, s"$t.cent")} AS d2,
              |      row_number() OVER (PARTITION BY e.vec_id
              |        ORDER BY ${sqlD2Half("e.emb", off, s"$t.cent")} ASC, $t.cid) AS rn
              |    FROM e CROSS JOIN $t WHERE e.vec_id < $NumQueries)
-             |  WHERE rn <= $pSide)""".stripMargin
+             |  WHERE rn <= $frontier)""".stripMargin
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
            |a0 AS (SELECT vec_id AS cid, emb[1:$dimA] AS cent FROM e
            |  WHERE vec_id < $kSide),
@@ -1096,8 +1110,11 @@ object Ann {
            |  FROM aa1 JOIN bb1 USING (vec_id)),
            |${sideProbe("qa", "ac1", 0)},
            |${sideProbe("qb", "bc1", dimA)},
-           |qp AS (SELECT qa.vec_id, qa.cid * $kSide + qb.cid AS cid
-           |  FROM qa JOIN qb USING (vec_id)),
+           |qp AS (SELECT vec_id, cid FROM (
+           |    SELECT qa.vec_id, qa.cid * $kSide + qb.cid AS cid,
+           |      row_number() OVER (PARTITION BY qa.vec_id
+           |        ORDER BY qa.d2 + qb.d2 ASC, qa.cid * $kSide + qb.cid ASC) AS rn
+           |    FROM qa JOIN qb USING (vec_id)) WHERE rn <= $frontier),
            |q AS (SELECT qp.vec_id AS query_id, e.emb AS qe, qp.cid
            |  FROM qp JOIN e USING (vec_id)),
            |cand AS (SELECT asg.vec_id AS neighbor_id, e.emb AS ne, asg.cid

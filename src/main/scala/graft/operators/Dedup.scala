@@ -1237,7 +1237,14 @@ object Dedup {
         val b3 = docs.filter(m10 === 0L)
         IndexLifecycle.writeDedupIndex(s, idx1, "du_idx", 8)
         IndexLifecycle.writeDedupIndex(s, b2, "du_b2", 8)
-        val cls2 = servedClassification(s, Seq("du_idx"), "du_b2")
+        // persisted (round 11, VERDICT item 1): cls2 has TWO consumers —
+        // the upsert's accepted-ids filter (materialized when du_d1 is
+        // written) and the final output union — and unpersisted the second
+        // replayed the ENTIRE round-2 classification (the corpus-sized
+        // shingle collect_set agg, the band probe, the verify join).
+        // Output is one narrow row per batch doc — the cacheable size.
+        val cls2 = graft.Caches.persist(
+          servedClassification(s, Seq("du_idx"), "du_b2"))
         IndexLifecycle.upsertDedupIndex(s, "du_b2",
           cls2.filter(col("status") === "new").select(col("doc_id")),
           "du_d1", 8)

@@ -46,13 +46,16 @@ import org.apache.spark.sql.types._
   * and the three split rows partition s5 exactly — counts and token sums
   * add up, fingerprints XOR to the s5 fingerprint.
   *
-  * Plan shape (100 TB): TWO pruned corpus passes over the funnel head —
-  * one for the combined s0+s1 conditional ledger agg, one as the exact-
-  * dedup build input — because the quality flags are scan-side and
-  * re-scanning beats caching the raw text corpus (measured: the cache
-  * write alone cost 2.5 s at sf0.1 vs ~0.2 s per re-scan; at 100 TB a
-  * corpus cache does not exist, and "checkpoint s1 to parquet" IS this
-  * same second pass). The exact-dedup SURVIVOR set is the one persisted
+  * Plan shape (100 TB): ONE corpus scan, persisted SHALLOW (doc_id, lang,
+  * text — [[incrementalExact]]'s round-9 posture, shared by all three
+  * pipeline queries since round 11): the combined s0+s1 conditional
+  * ledger agg and the exact-dedup digest pass both read the one cached
+  * scan; quality flags stay scan-side projections of it. (The round-6
+  * A/B that kept two parquet passes cached the WIDE measured corpus —
+  * 2.5 s of cache write at sf0.1; the shallow persist costs ~0.7 s and
+  * bounds raw passes, the honest trade at 100 TB where the replayed
+  * lineages would otherwise each be a full corpus pass.) The exact-dedup
+  * SURVIVOR set is the one persisted
   * text-bearing hand-off (already deduped, it is what a production run
   * checkpoints); every later stage travels as narrow
   * (doc_id, lang, n_tok, fp) rows. The benchmark slice is a third, tiny
@@ -96,8 +99,10 @@ object LlmPipeline {
 
   /** The staged hand-off relations — exposed so the profiler
     * (graft.tools.ProfileLlm) and specs can drive stages individually.
-    * `base`/`s1` are UNPERSISTED scan-side views (see below); `s01Rows` is
-    * the pre-assembled two-row funnel head; s3/s4/s5 are NARROW
+    * `base`/`s1` are scan-side projections of [[incrementalExact]]'s one
+    * SHALLOW cached (doc_id, lang, text) corpus scan (round 11 — the full
+    * run shares the incremental path's machinery); `s01Rows` is the
+    * pre-assembled two-row funnel head; s3/s4/s5 are NARROW
     * (doc_id, lang, n_tok, fp) — after s2, document text lives only in
     * the one cached s2 relation that the shingle stages read. */
   private[graft] final case class Stages(
@@ -186,16 +191,19 @@ object LlmPipeline {
   }
 
   private[graft] def stages(s: SparkSession, d: String): Stages = {
-    // s0/s1 — scan-side flags, NOT persisted: caching the full text corpus
-    // measured 2.5 s of pure cache write at sf0.1 vs ~0.2 s per pruned
-    // parquet re-scan (round-6 A/B, ProfileLlm), so the funnel head is
-    // consumed twice from parquet instead — once by the combined s0+s1
-    // conditional ledger agg, once as s2's build input. That is also the
-    // only honest 100 TB posture: a corpus cache does not exist at that
-    // scale; quality flags are recomputed scan-side (or s1 is checkpointed
-    // to parquet, which IS this same second pass).
-    val base = measured(Tables.t(s, d, "documents").filter(col("doc_id") >= 4))
-      .withColumn("q", qualityGate)
+    // ONE exact-dedup machinery for all three pipeline queries (round 11,
+    // VERDICT item 1): the full run is [[incrementalExact]] with an
+    // all-old batch selector — isNew = false makes every (h, text) group
+    // "has an old member", so c2 = the min-doc_id-per-text survivors,
+    // exactly the old standalone s2 definition (and batchBase folds to an
+    // empty relation at optimization time). The full run now also
+    // inherits the round-9 SHALLOW corpus persist: the s0+s1 ledger agg
+    // and the digest pass read the one cached (doc_id, lang, text) scan
+    // instead of two parquet passes — at 100 TB, the bounded-raw-passes
+    // argument documented at the persist site.
+    val ex = incrementalExact(
+      s, Tables.t(s, d, "documents").filter(col("doc_id") >= 4), lit(false))
+    val base = ex.allBase
     val s1 = base.filter(col("q"))
       .select(col("doc_id"), col("lang"), col("text"), col("n_tok"), col("fp"))
 
@@ -217,17 +225,11 @@ object LlmPipeline {
       .select(col("r.stage"), col("r.n_docs"), col("r.n_tokens"),
         col("r.membership_fp"))
 
-    // s2 — exact dedup, digest-clustered (8-byte exchange key, round 6):
-    // group on (xxhash64(text), text); min_by keeps the survivor's lang
-    // deterministically (doc_id is unique). n_tok/fp recomputed from the
-    // surviving (doc_id, text). The ONE text-bearing persisted relation —
-    // every downstream shingle/gram pass reads it.
-    val s2 = Caches.persist(measured(
-      Dedup.digestClustered(s1)
-        .groupBy(col("h"), col("text"))
-        .agg(min(col("doc_id")).as("doc_id"),
-          min_by(col("lang"), col("doc_id")).as("lang"))
-        .select(col("doc_id"), col("lang"), col("text"))))
+    // s2 — exact dedup: the shared single-digest-pass survivors (ex.c2 =
+    // min doc_id per text with its lang, n_tok/fp recomputed from the
+    // surviving rows). The ONE text-bearing persisted relation — every
+    // downstream shingle/gram pass reads it.
+    val s2 = Caches.persist(ex.c2)
 
     // s3..s6 — the shared successor machinery (successorsOf) over the s2
     // survivor corpus, with the doc_id < 4 held-out slice as benchmark
@@ -278,7 +280,7 @@ object LlmPipeline {
     * [[incrementalLedger]] and [[reconciledMix]] share one definition. */
   private[graft] final case class IncrementalExact(
       idxS2: DataFrame, batchBase: DataFrame, d2: DataFrame, c2: DataFrame,
-      surv: DataFrame)
+      surv: DataFrame, allBase: DataFrame)
 
   private[graft] def incrementalExact(
       s: SparkSession, docs: DataFrame, isNew: Column): IncrementalExact = {
@@ -309,6 +311,10 @@ object LlmPipeline {
     val base = Caches.persist(
       docs.select(col("doc_id"), col("lang"), col("text")))
     val batchBase = measured(base.filter(isNew)).withColumn("q", qualityGate)
+    // the full measured+quality-flagged funnel head over the SAME cached
+    // scan — exposed (round 11) so the full run's s0/s1 ledger shares the
+    // one corpus materialization instead of a second parquet pass
+    val allBase = measured(base).withColumn("q", qualityGate)
 
     // ONE digest pass for the whole exact-dedup state (round 10, VERDICT
     // item 2 — this was two digest groupings plus an (h, text) anti-join,
@@ -326,7 +332,7 @@ object LlmPipeline {
     // three, and c2 needs no union of two separately-computed sides.
     // LlmExactEquivalenceSpec pins the equivalence vs the two-sided form.
     val surv = Dedup.digestClustered(
-        measured(base).withColumn("q", qualityGate).filter(col("q"))
+        allBase.filter(col("q"))
           .select(col("doc_id"), col("lang"), col("text"), isNew.as("nw")))
       .groupBy(col("h"), col("text"))
       .agg(
@@ -340,7 +346,7 @@ object LlmPipeline {
     val d2 = measured(surv.filter(!col("has_old"))
       .select(col("doc_id"), col("lang"), col("text")))
     val c2 = measured(surv.select(col("doc_id"), col("lang"), col("text")))
-    IncrementalExact(idxS2, batchBase, d2, c2, surv)
+    IncrementalExact(idxS2, batchBase, d2, c2, surv, allBase)
   }
 
   private[graft] def incrementalLedger(

