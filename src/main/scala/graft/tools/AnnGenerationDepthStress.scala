@@ -14,13 +14,13 @@ import org.apache.spark.sql.functions._
   * unlike the dedup family's pure fold — and the post-compaction
   * single-generation serve.
   *
-  * The query set is FIXED across depths (10 vectors drawn from the MAIN
-  * generation's id range, present at every depth): `servedAnnSearchFrom`'s
-  * own `vec_id < n` query rule would draw a different query count per
-  * depth here because the deltas own the low ids, conflating query volume
-  * with generation count. The serve math is otherwise identical — the
-  * rebuilt quantizer probes, candidates come from the bucketed cells
-  * union, scored by the shared [[graft.operators.Ann.annSearchFrom]].
+  * Split shape: main = the id-PREFIX half of the corpus (quantizerOn's
+  * append-only seed invariant — a modular split like the dedup probe's
+  * would trip assertPrefixSeeds), deltas = 8 contiguous id slices of the
+  * upper half, exactly an append-only ingest's batches. Queries are
+  * `vec_id < 10`, all in main, so [[IndexLifecycle.servedAnnSearchFrom]]
+  * serves the IDENTICAL query rows at every depth — the real serving
+  * path, fixed query volume.
   *
   * Usage: runMain graft.tools.AnnGenerationDepthStress [copies]
   * (after `ScaleStress <copies>` has built /tmp/graft_scale_x<copies>)
@@ -34,40 +34,34 @@ object AnnGenerationDepthStress {
     val spark = Stress2.session()
     val emb = graft.Tables.t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val m16 = pmod(col("vec_id"), lit(16L))
+    val maxId = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val half = maxId / 2
+    val slice = (maxId - half) / 8
 
-    // main = half the corpus (m16 in 8..15), 8 equal deltas (m16 = 0..7) —
-    // the deltas assign through main's FROZEN codebook (zero retraining)
+    // main = id-prefix half; 8 contiguous append slices as deltas,
+    // assigned through main's FROZEN codebook (zero retraining)
     val tw0 = System.nanoTime()
     IndexLifecycle.writeAnnIndexFor(
-      spark, emb.filter(m16 >= 8L), s"agd_main_$copies", 16)
+      spark, emb.filter(col("vec_id") < half), s"agd_main_$copies", 16)
     val writeSec = (System.nanoTime() - tw0) / 1e9
     val tu0 = System.nanoTime()
     (0 until 8).foreach { i =>
-      IndexLifecycle.upsertAnnCells(spark, emb.filter(m16 === i.toLong),
+      val lo = half + i * slice
+      val hi = if (i == 7) maxId else half + (i + 1) * slice
+      IndexLifecycle.upsertAnnCells(spark,
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
         s"agd_main_$copies", s"agd_d${i}_$copies", 16)
     }
     val upsertSec = (System.nanoTime() - tu0) / 1e9
     println(f"""{"probe":"ann_gen_setup","copies":$copies,""" +
       f""""write_sec":$writeSec%.2f,"upsert8_sec":$upsertSec%.2f}""")
 
-    /** Min-of-2 warm serve over the given live generations; queries are
-      * the 10 lowest main-range ids — identical rows at every depth. */
+    /** Min-of-2 warm serve over the given live generations through the
+      * REAL serving path; queries (vec_id < 10) live in main at every
+      * depth, so the query rows are identical across configurations. */
     def serveOver(mainPrefix: String, prefixes: Seq[String]): Double = {
-      val cells = prefixes.map(p => spark.table(s"${p}_ann_cells"))
-        .reduce(_.unionByName(_))
-      val qz = IndexLifecycle.readAnnQuantizer(spark, mainPrefix)
-      val queries = spark.table(s"agd_main_${copies}_ann_cells")
-        .filter(col("vec_id") < 16L * 10)
-        .select(col("vec_id"), col("embedding"))
-      def once(): Long = {
-        val q = qz.probe(spark, queries, 4)
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-            col("cid"))
-        val cand = cells.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("ne"), col("cid"))
-        graft.operators.Ann.annSearchFrom(spark, q, cand).count()
-      }
+      def once(): Long = IndexLifecycle
+        .servedAnnSearchFrom(spark, mainPrefix, prefixes, 10, 4).count()
       once() // warm
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9

@@ -159,7 +159,7 @@ object ProductStress {
           col("cid"))
         .persist()
       asg.count()
-      for (np <- Seq(4, 16, 64)) {
+      for (np <- Seq(4, 16, 32, 64)) {
         val probe = qzAny.probe(spark, eDf.filter(col("vec_id") < nQ), np)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("cid"))
