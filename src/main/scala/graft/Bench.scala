@@ -294,6 +294,11 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rt = Runtime.getRuntime
     val loadPost = loadAvg()
+    // one post-run anchor sample (round 11): the pre-pass calibration can
+    // read a fast box that then degrades mid-run (observed: calib 4.32
+    // before passes that ran 1.6x the quiet rate, load_post 6.2) — a
+    // start/end anchor pair lets a reader adjudicate drift WITHIN the run
+    val calibPost = calibOnce(spark)
     val calibSpread = calibRuns.last / calibRuns.head
     val passSkew = skewOf(passes, failed)
     val minSkew = minSkewOf(passes, failed)
@@ -309,7 +314,8 @@ object Bench {
         s""""calib_spread":$calibSpread,"pass_skew":$passSkew,""" +
         s""""min_pass_skew":$minSkew,"passes":${passes.size},""" +
         s""""calib_retried":$calibRetried,""" +
-        s""""calib_sec":$calib,"calib_anchor":"${calibAnchorId(cpus)}",""" +
+        s""""calib_sec":$calib,"calib_post":$calibPost,""" +
+        s""""calib_anchor":"${calibAnchorId(cpus)}",""" +
         s""""calib_runs":${calibRuns.mkString("[", ",", "]")}"""
     val retimedJson = fmt(retimed)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
