@@ -326,9 +326,16 @@ object Bench {
     val passQueriesJson = passes.zipWithIndex
       .map { case (p, i) => s""""queries${i + 1}":${fmt(p)}""" }
       .mkString(",")
+    // Round-11 ADVICE: the folded total_min mixes sampling methodologies
+    // (a query can improve merely by being re-timed) — also emit the
+    // PRE-RETIME min-of-passes total so cross-round readers have a
+    // fixed-depth figure under the pass methodology alone, beside the
+    // fixed-two-pass total_fastest2.
+    val preRetime = totalOf(minPass)
     val full =
       s"""{"sf":"$sfDir","cpus":$cpus,""" +
         s""""total_min":${totalOf(finalMin)},""" +
+        s""""total_preretime":$preRetime,""" +
         s""""total_fastest2":${totalOf(min2Pass)},$passTotalsJson,""" +
         s""""failed":$failedJson,""" +
         s""""jvm_max_mem_mb":${rt.maxMemory() / 1048576},$guardJson,""" +
@@ -339,6 +346,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${totalOf(finalMin)},"unit":"sec",""" +
         s""""sf":"$sfDir","pass":"min-of-${passes.size}","nq":${pass1.size},""" +
+        s""""total_preretime":$preRetime,""" +
         s""""total_fastest2":${totalOf(min2Pass)},"retimed_n":${retimed.size},""" +
         s"""$passTotalsJson,""" +
         s""""queries":${fmt(worst10)},""" +

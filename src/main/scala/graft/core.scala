@@ -92,8 +92,18 @@ object Caches {
   }
 
   /** `persist(MEMORY_AND_DISK)` + track — in the current thread's open
-    * [[Scope]] if one exists, else in the session registry. */
+    * [[Scope]] if one exists, else in the session registry.
+    *
+    * IDEMPOTENT per plan (round 12, VERDICT item 6): two operators built in
+    * one session may route the SAME sub-plan through persist (observed:
+    * q_stats_ks and q_stats_mannwhitney share the counts agg — building
+    * both plans logged `Asked to cache already cached data`). Spark's
+    * CacheManager would WARN and keep the first entry, so the second call
+    * is skipped outright — and deliberately NOT tracked: the cache has
+    * exactly one owner (the first caller's scope/registry entry), whose
+    * release drops the one entry; a later re-run simply re-persists. */
   def persist(df: DataFrame): DataFrame = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) return df
     val scope = current.get()
     if (scope != null) scope.dfs.add(df)
     else tracked.computeIfAbsent(df.sparkSession,

@@ -63,8 +63,17 @@ import org.apache.spark.sql.types._
   * half-distance — the round-9 3-per-side pool made a cell ranked 4th on
   * one axis unreachable, the 0.80 recall@3 plateau ProductStress
   * recorded at the 512k/k=4096 geometry. Distance work per row is
-  * unchanged (all kA + kB half-distances were computed regardless); only
-  * the insert arrays grow, and the consumer still joins pSide² cells.
+  * unchanged (all kA + kB half-distances were computed regardless), but
+  * the MERGE loop is not (round-11 ADVICE): with per-side pools of w
+  * candidates the product merge runs w² iterations, each an O(topN)
+  * insertion-sort insert — at w = topN = nprobe that is O(nprobe³) per
+  * row (~4096 inserts into 64-wide arrays at nprobe = 64). Fine for the
+  * QUERY-side row counts this expression serves (probes are per-query,
+  * not per-corpus; assignment passes w = topN = 1); a whole-corpus scan
+  * at large nprobe should replace the brute product merge with the
+  * standard multi-sequence heap traversal (Babenko & Lempitsky's
+  * frontier walk — O(topN·log w) per row) before widening further.
+  * The consumer still joins pSide² cells.
   * The frontier is the bounded shortlist; the consumer's exact
   * quantized-cosine top-k over its members is the rescore stage (the PQ
   * r7 pattern).

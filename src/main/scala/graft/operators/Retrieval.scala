@@ -633,7 +633,16 @@ object Retrieval {
         val dl = graft.Caches.persist(idx.groupBy(col("doc_id"))
           .agg(sum(col("tf")).cast(LongType).as("dl")))
         val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tok"))
-        val fb = bm25FromIdx(idx, dl, stats, qterms)
+        // per-round tf = the cached index's rows for the round's query
+        // terms — query-term-bounded (a query's posting lists, never the
+        // corpus). Persisted (round 12, VERDICT item 2 — the served path
+        // grew this shape in round 11): bm25FromTf reads its tf TWICE
+        // (df/idf aggregate + score join), so unpersisted each round
+        // instantiated the full cached idx twice; with tf1/tf2 cached the
+        // idx is read once per round + once for the expansion vote — the
+        // same 5→3 cut measured on the served path (BASELINE.md round-11).
+        val tf1 = graft.Caches.persist(idx.join(broadcast(qterms), "word"))
+        val fb = bm25FromTf(tf1, dl, stats)
           .orderBy(col("score_q").desc, col("doc_id")).limit(10)
           .select(col("doc_id"))
         val expansion = idx.join(broadcast(fb), "doc_id")
@@ -644,7 +653,8 @@ object Retrieval {
           .orderBy(col("fdf").desc, col("word")).limit(5)
           .select(col("word"))
         val q2 = graft.Caches.persist(qterms.union(expansion).distinct())
-        bm25FromIdx(idx, dl, stats, q2)
+        val tf2 = graft.Caches.persist(idx.join(broadcast(q2), "word"))
+        bm25FromTf(tf2, dl, stats)
           .select(col("doc_id"), col("n_terms"), col("score_q"),
             (col("score_q").cast(DoubleType) / lit(1024.0)).as("score_bits"))
           .orderBy(col("score_q").desc, col("doc_id"))

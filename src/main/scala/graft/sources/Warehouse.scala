@@ -55,6 +55,17 @@ object Warehouse {
     // contract ("the bucketed write IS the shuffle, paid once"): the
     // exchange now actually exists at write time, and every serving scan
     // opens `buckets` files instead of hundreds.
+    //
+    // PARALLELISM CAP (round-11 ADVICE): the repartition also caps the
+    // write stage at exactly `buckets` tasks — the deliberate price of
+    // the one-file-per-bucket contract. At the 8–16 buckets these
+    // query-bounded indexes use that is fine on any box, but a 100 TB
+    // compaction must scale `buckets` with data volume (buckets ≈
+    // volume / healthy-file-size keeps per-task output bounded AND
+    // preserves consolidation — bucket count is a table property chosen
+    // at write time, not a fixed constant of this method), or pre-shuffle
+    // wider and sortWithinPartitions if a skewed bucket outgrows one
+    // task's memory; callers pass `buckets`, so the dial already exists.
     df.repartition(buckets, keys.map(df.col): _*)
       .write
       .mode(SaveMode.Overwrite)

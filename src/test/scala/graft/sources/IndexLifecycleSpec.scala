@@ -156,6 +156,33 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"word-keyed exchange over the bucketed index:\n$plan")
     assert(hasBucketedScan(plan), s"no bucketed scan in the served plan:\n$plan")
+
+    // round-11 ADVICE: the offender check's shallow walker rests on the
+    // prose argument that cached relations here are query-bounded —
+    // machine-check it. Any cached relation that scans the BUCKETED
+    // postings must embed the broadcast query-term join (the cache then
+    // holds a query's posting lists, never the corpus-sized index): a
+    // regression that caches an unjoined index scan — or re-shuffles the
+    // index inside a cache build — now fails the spec instead of hiding
+    // from the shallow walker.
+    val cachedOverPostings = collectPlanDeep(plan).collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan
+    }.distinct.filter(cp => collectPlanDeep(cp).exists {
+      case f: FileSourceScanExec => f.bucketedScan
+      case _ => false
+    })
+    assert(cachedOverPostings.nonEmpty,
+      s"expected the per-round tf caches over the bucketed postings:\n$plan")
+    cachedOverPostings.foreach { cp =>
+      val qtermBounded = collectPlanDeep(cp).exists {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case _ => false
+      }
+      assert(qtermBounded,
+        s"cached postings scan without the query-term broadcast join " +
+          s"(a corpus-sized cache):\n$cp")
+    }
   }
 
   test("written ANN index: rebuilt quantizer bit-identical, zero retraining, cid never re-shuffles") {

@@ -30,7 +30,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * three-file fixture.
   */
 class StreamAppendRestartSpec extends AnyFunSuite {
-  private val spark = TestSpark.spark
+  // own session with checkpoint-checksum verification off (round 12,
+  // VERDICT item 5) — same rationale as StreamStatefulRestartSpec: real
+  // per-test temp checkpoints, and the default verifier WARNs on every
+  // checksum-less checkpoint file class, burying the WARNs that matter.
+  private val spark = {
+    val ss = TestSpark.spark.newSession()
+    ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    ss
+  }
   import spark.implicits._
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
