@@ -31,31 +31,38 @@ object GraphOps {
     // set or is the fixpoint, so an unchanged edge COUNT between two
     // checkpoints proves an unchanged edge SET — every later round is a
     // no-op by the same monotonicity that makes fixed-rounds exact. The
-    // count rides the just-materialized checkpoint RDD (near-free) and at
-    // bench scale converges in 2 of the 8 contracted rounds, skipping
-    // more than half the materialization jobs (round-5 perf pass;
-    // rounds-8 ≡ rounds-10 law still spec-pinned).
+    // count rides the just-materialized checkpoint RDD (near-free).
+    //
+    // Round 12 (VERDICT item 1 — first stage profile of this query): the
+    // round-5 every-2nd-round cadence measured ~1 s/round at sf0.1 on a
+    // 53k-row edge relation, and the profile attributes that to REDUNDANT
+    // RECOMPUTATION, not data volume: `keep` fed two broadcast semi-joins,
+    // so its degree agg (a full shuffle of e) built TWICE per round, and a
+    // 2-round lazy segment compounds to 9 references of the last
+    // checkpoint — each re-executing the agg + joins of the uncheckpointed
+    // round. Now each round persists the MODEL-SIZED keep set (≤ |V| rows
+    // — the surviving nodes; the one relation here that is cacheable at
+    // any corpus scale) so the agg shuffle runs once per round, and
+    // truncates + convergence-checks EVERY round: per round exactly one
+    // materialization job (agg → cached keep → two broadcast semi-joins,
+    // all in the checkpoint job) plus a free RDD count — and the early
+    // exit fires one round after the fixpoint instead of up to two rounds
+    // later (measured at sf0.1: fixpoint after round 1, so 2 rounds run
+    // instead of 4; peel wall 4.2 s → ~1 s). The rounds-8 ≡ rounds-10 law
+    // stays spec-pinned (PropertySpec).
     var prev = e.count()
     var r = 1
     var done = false
     while (r <= rounds && !done) {
-      val keep = e.groupBy(col("m")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("m").as("kp"))
+      val keep = graft.Caches.persist(
+        e.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("m").as("kp")))
       e = e.join(keep, col("m") === col("kp"), "left_semi")
         .join(keep, col("n") === col("kp"), "left_semi")
-      // truncate every SECOND round: two lazy rounds compound to 9 refs
-      // of the last checkpoint — still trivially analyzable — while
-      // halving the materialization jobs on the model-sized edge
-      // relation. An every-3 cadence (27-ref segments) measured no
-      // faster at sf0.1 (both ~6-7 s warm, within box noise): the saved
-      // job roughly cancels against re-executing the longer segment, so
-      // 2 stays for the smaller analysis surface.
-      if (r % 2 == 0 && r < rounds) {
-        e = e.localCheckpoint(false)
-        val now = e.count()
-        if (now == prev) done = true
-        prev = now
-      }
+        .localCheckpoint(false)
+      val now = e.count()
+      if (now == prev) done = true
+      prev = now
       r += 1
     }
     e

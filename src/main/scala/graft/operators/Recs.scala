@@ -25,23 +25,45 @@ object Recs {
 
   private[graft] def itemCf(
       s: org.apache.spark.sql.SparkSession, d: String): ItemCf = {
-    // li feeds the self-join twice plus the margins; pairs feeds both
-    // union directions — persist each so the corpus distinct and the
-    // basket self-join run once (the q_graph_linkpred pattern).
-    // ONE exchange serves both the dedup and the self-join: hash(o)
-    // co-locates every (o, p) of an order, so dropDuplicates(o, p)
-    // runs partition-local (ClusteredDistribution(o, p) is satisfied
-    // by the o-partitioning) and the order-keyed self-join reuses the
-    // SAME partitioning — a plain distinct() would shuffle by (o, p)
-    // and force a second corpus-wide exchange for the join
-    val li = graft.Caches.persist(Tables.t(s, d, "lineitem")
+    // ONE exchange serves the dedup, the self-join, and the margins:
+    // hash(o) co-locates every (o, p) of an order, so dropDuplicates(o, p)
+    // runs partition-local (ClusteredDistribution(o, p) is satisfied by
+    // the o-partitioning) and the order-keyed self-join reuses the SAME
+    // partitioning — a plain distinct() would shuffle by (o, p) and force
+    // a second corpus-wide exchange for the join.
+    //
+    // NOT persisted (round 12, VERDICT item 1 — first stage profile):
+    // li and pairs are CORPUS-DERIVED relations (the exact class the
+    // repo's caching lore bans from memory at 100 TB), and both previous
+    // persists were also the query's wall-clock cost — two cache-write
+    // barriers serializing the DAG (full cold 4.3–4.8 s with, 2.2–2.9 s
+    // without, Explain ×4 + stage profile at sf0.1). Multi-consumer reuse
+    // comes from EXCHANGE REUSE instead: all three li consumers (x side,
+    // y side, degree margins) and both pairs union branches share
+    // canonical sub-plans, so the final adaptive plan runs ONE lineitem
+    // scan + ONE repartition(o) exchange (ReusedExchange over it) and
+    // ONE basket self-join + pair agg (the second union branch is a
+    // ReusedExchange of the agg's shuffle) — verified in the executed
+    // final plan (tools/ProfileRecsGraph dumps it). Shuffle reuse is the
+    // honest 100 TB shape: disk-backed, no executor-memory corpus cache.
+    //
+    // The explicit null-key filter is load-bearing for that reuse: the
+    // join sides INFER isnotnull(o) and push it to their scans while the
+    // margins branch (which drops o) would not — a different pushed
+    // filter breaks sub-plan canonical equality and forced a second
+    // corpus scan for the margins (measured in the final plan). The
+    // oracle carries the identical WHERE (lockstep), and null order/part
+    // keys cannot reach the output either way (every output row passes
+    // through the o-equi-join and the item/rec joins).
+    val li = Tables.t(s, d, "lineitem")
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .repartition(col("o"))
-      .dropDuplicates("o", "p"))
-    val pairs = graft.Caches.persist(li.as("x")
+      .dropDuplicates("o", "p")
+    val pairs = li.as("x")
       .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("n_ab")))
+      .agg(count(lit(1)).as("n_ab"))
     val deg = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
     val sym = pairs.select(col("a").as("item"), col("b").as("rec"),
         col("n_ab"))
@@ -91,7 +113,8 @@ object Recs {
       "q_recs_itemcf",
       (s, d) => itemCf(s, d).top,
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-             |  FROM lineitem),
+             |  FROM lineitem
+             |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
              |pr AS (SELECT x.p AS a, y.p AS b, COUNT(*) AS n_ab
              |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
              |  GROUP BY 1, 2),

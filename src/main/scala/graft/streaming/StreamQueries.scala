@@ -111,6 +111,31 @@ object StreamQueries {
     // the stream sessions only (per-session conf; the batch surface and
     // any user checkpoints are untouched).
     ss.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // Round 12 (VERDICT item 4): opt-in per-micro-batch progress dump for
+    // the checkpoint-cost profiler (tools/StreamCkptProfile) — each
+    // batch's durationMs breakdown (triggerExecution / addBatch /
+    // walCommit / commitOffsets / latestOffset / queryPlanning) and the
+    // state operators' update/commit times, the evidence that attributes
+    // a ckpt query's wall time to batch scheduling vs state-store commits
+    // vs the sink's transaction log. Off unless the system property is
+    // set; declared-query behavior is unchanged.
+    if (sys.props.get("graft.stream.profile").contains("1"))
+      ss.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit =
+            println(s"[sq] started run=${e.runId}")
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val st = p.stateOperators.map(o =>
+              s"${o.operatorName}:rows=${o.numRowsTotal},upd=${o.allUpdatesTimeMs}ms," +
+                s"rm=${o.allRemovalsTimeMs}ms,commit=${o.commitTimeMs}ms").mkString(" ")
+            println(s"[sq] batch=${p.batchId} in=${p.numInputRows} " +
+              s"durs=${p.durationMs} $st")
+          }
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            println(s"[sq] terminated run=${e.runId}")
+        })
     ss
   }
 

@@ -48,7 +48,20 @@ object ProfileRecsGraph {
       tick("top3")(cf.top.count())
       spark.catalog.clearCache()
       graft.Caches.release(spark)
-      tick("full")(graft.Registry.byName("q_recs_itemcf").run(spark, sfDir).count())
+      val fullDf = graft.Registry.byName("q_recs_itemcf").run(spark, sfDir)
+      tick("full")(fullDf.collect().length.toLong)
+      // runtime reuse evidence: the static plan carries one lineitem scan
+      // site per consumer lineage; AQE must collapse the identical
+      // exchanges into ReusedExchange/stage reuse at execution. collect()
+      // above executed THIS QueryExecution, so the adaptive plan is final.
+      val ep = fullDf.queryExecution.executedPlan.toString
+      def cnt(pat: String) = pat.r.findAllIn(ep).size
+      println(s"[rg] executed final=${ep.contains("isFinalPlan=true")} " +
+        s"scans=${cnt("Scan parquet|FileScan parquet")} " +
+        s"reused=${cnt("ReusedExchange|reuses_operator_id")} " +
+        s"exchanges=${cnt("Exchange (hash|Round|range)")}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/recs_executed_$rep.txt"), ep)
       tick("full-warm")(graft.Registry.byName("q_recs_itemcf").run(spark, sfDir).count())
 
       println(s"[rg] kcore pass $rep")

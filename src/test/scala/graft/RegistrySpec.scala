@@ -83,6 +83,7 @@ class RegistrySpec extends AnyFunSuite {
   // validation-only extra pass).
   private val scanAllowlist: Map[String, Int] = Map(
     "q_merge_upsert" -> 3, // base/updates/inserts: three DIFFERENT filters of one feed
+    "q_recs_itemcf" -> 6, // static sites only: all six lineages share ONE canonical scan+repartition(o) exchange — the executed final plan runs 1 scan + ReusedExchange x4 (round-12 profile; in-source note)
     "q_dedup_minhash_pairs" -> 4, // round-4 A/B: scan-side KGrams recompute beats the cache barrier
     "q_dedup_lsh_verify" -> 4, // same A/B (candidates + exact rescore share the shingle scan)
     "q_dedup_containment" -> 4, // same A/B
