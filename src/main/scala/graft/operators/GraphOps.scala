@@ -491,9 +491,24 @@ object GraphOps {
           .partitionBy(col("m")).orderBy(col("sw").desc, col("label"))
         var labels = sym.select(col("m")).distinct()
           .select(col("m"), col("m").as("label"))
+        // One exchange per round, not two (round 12): the label-mass agg
+        // keys by (m, label) and the argmax window by m, so left alone
+        // each round pays Exchange(m, label) + Exchange(m). The join is a
+        // BROADCAST of the model-sized labels (no shuffle), so forcing the
+        // post-join distribution to hash(m) serves BOTH consumers —
+        // HashPartitioning(m) satisfies ClusteredDistribution(m, label)
+        // for the agg and ClusteredDistribution(m) for the window — and
+        // the round runs join → one Exchange(m) → partial+final agg →
+        // WindowGroupLimit → window, all in one stage after the shuffle.
+        // The bytes moved are the raw |E|-row join output instead of the
+        // partially-agged (m, label) pairs — early rounds compact little
+        // (labels are ~distinct per node), so the volume is the same
+        // class; the saved exchange + stage barrier is the win (guide
+        // §2.4; A/B in plans/r12/q_graph_community_{before,after}.txt).
         for (_ <- 1 to 4)
           labels = sym.as("e")
             .join(labels.as("l"), col("l.m") === col("e.n"))
+            .repartition(col("e.m"))
             .groupBy(col("e.m").as("m"), col("l.label").as("label"))
             .agg(sum(col("e.w")).as("sw"))
             .withColumn("rn", row_number().over(byMass))
