@@ -12,6 +12,23 @@ import org.apache.spark.sql.types._
   */
 object GraphOps {
 
+  /** The family's shared edge generator (round 13): one row per
+    * overlapping-bigram pair `(g1, g2)` inside each corpus trigram, self
+    * pairs dropped — the input of every weighted-bigram edge aggregate
+    * below. One codegen'd scan-side expression
+    * ([[graft.functions.BigramPairs]]) replaces the round-4..12
+    * `kgrams(text, 3)` → `split` → 2×`concat_ws` chain, which built every
+    * trigram string only to re-split it and re-join its halves (guide
+    * §1.2 step 2; A/B in OPTIMIZATION_r13.md — emitted rows are
+    * byte-identical, the oracle SQL is untouched). */
+  private[graft] def bigramPairEdges(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.BigramPairs.register(docs.sparkSession)
+    docs.select(explode(expr("bigram_pairs(`text`)")).as("z"))
+      .select(col("z.g1").as("g1"), col("z.g2").as("g2"))
+      .filter(col("g1") =!= col("g2"))
+  }
+
   /** Synchronous fixed-round k-core peel over a symmetrized edge list
     * `(m, n)`: each round recomputes induced degrees and drops every
     * node with degree < k in parallel, returning the surviving edges.
@@ -78,12 +95,7 @@ object GraphOps {
 
   private[graft] def kcoreState(
       s: org.apache.spark.sql.SparkSession, d: String): KcoreState = {
-    val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
-      .select(split(col("item"), " ").as("p"))
-      .filter(size(col("p")) === 3)
-      .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
-        concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
-      .filter(col("g1") =!= col("g2"))
+    val tg = bigramPairEdges(Tables.t(s, d, "documents"))
     val pj = graft.Caches.persist(tg
       .select(least(col("g1"), col("g2")).as("a"),
         greatest(col("g1"), col("g2")).as("b"))
@@ -213,12 +225,7 @@ object GraphOps {
     GQ(
       "q_graph_pagerank",
       (s, d) => {
-        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 3)
-          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
-            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
-          .filter(col("g1") =!= col("g2"))
+        val tg = bigramPairEdges(Tables.t(s, d, "documents"))
         val pj = tg
           .select(least(col("g1"), col("g2")).as("a"),
             greatest(col("g1"), col("g2")).as("b"))
@@ -313,12 +320,7 @@ object GraphOps {
     GQ(
       "q_graph_linkpred",
       (s, d) => {
-        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 3)
-          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
-            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
-          .filter(col("g1") =!= col("g2"))
+        val tg = bigramPairEdges(Tables.t(s, d, "documents"))
         val pj = graft.Caches.persist(tg
           .select(least(col("g1"), col("g2")).as("a"),
             greatest(col("g1"), col("g2")).as("b"))
@@ -474,12 +476,7 @@ object GraphOps {
     GQ(
       "q_graph_community",
       (s, d) => {
-        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 3)
-          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
-            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
-          .filter(col("g1") =!= col("g2"))
+        val tg = bigramPairEdges(Tables.t(s, d, "documents"))
         val pj = tg.select(least(col("g1"), col("g2")).as("a"),
             greatest(col("g1"), col("g2")).as("b"))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
@@ -494,8 +491,10 @@ object GraphOps {
         // One exchange per round, not two (round 12): the label-mass agg
         // keys by (m, label) and the argmax window by m, so left alone
         // each round pays Exchange(m, label) + Exchange(m). The join is a
-        // BROADCAST of the model-sized labels (no shuffle), so forcing the
-        // post-join distribution to hash(m) serves BOTH consumers —
+        // BROADCAST join — no shuffle; Spark picks which side to build
+        // (the committed after-plan broadcasts labels in rounds 1-2 and
+        // the persisted sym relation in rounds 3-4) — so forcing the
+        // post-join distribution to hash(m) serves BOTH consumers:
         // HashPartitioning(m) satisfies ClusteredDistribution(m, label)
         // for the agg and ClusteredDistribution(m) for the window — and
         // the round runs join → one Exchange(m) → partial+final agg →
@@ -505,6 +504,14 @@ object GraphOps {
         // (labels are ~distinct per node), so the volume is the same
         // class; the saved exchange + stage barrier is the win (guide
         // §2.4; A/B in plans/r12/q_graph_community_{before,after}.txt).
+        // Skew caveat (round-12 ADVICE): keying the exchange by m alone
+        // also drops the map-side partial agg / partial WindowGroupLimit
+        // that the (m, label) exchange ran before shuffling, so a
+        // high-degree node's raw |E| join rows now land unaggregated on
+        // one hash(m) partition. Fine at the vocab-bounded degrees
+        // measured here; if the edge relation's degree distribution grows
+        // a heavy tail, the (m, label)-keyed two-exchange form is the
+        // skew-safe fallback.
         for (_ <- 1 to 4)
           labels = sym.as("e")
             .join(labels.as("l"), col("l.m") === col("e.n"))
@@ -573,12 +580,7 @@ object GraphOps {
     GQ(
       "q_graph_assortativity",
       (s, d) => {
-        val tg = Grams.kgramRows(Tables.t(s, d, "documents"), 3, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 3)
-          .select(concat_ws(" ", col("p")(0), col("p")(1)).as("g1"),
-            concat_ws(" ", col("p")(1), col("p")(2)).as("g2"))
-          .filter(col("g1") =!= col("g2"))
+        val tg = bigramPairEdges(Tables.t(s, d, "documents"))
         val pj = graft.Caches.persist(tg
           .select(least(col("g1"), col("g2")).as("a"),
             greatest(col("g1"), col("g2")).as("b"))
