@@ -27,4 +27,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Round-13 JVM posture, measured on the full 230-query bench (see
+  // OPTIMIZATION_r13.md "Engine-wide"):
+  //  - codegen.cache.maxEntries (STATIC conf, so set JVM-wide here): the
+  //    Spark default caches only 100 generated classes; the big declared
+  //    plans alone compile 70-120 whole-stage units per run, so every run
+  //    of every query recompiled its codegen from scratch (measured: ~8 s
+  //    of Janino per llm-pipeline run; 0 recompiles at 20k entries).
+  //    Size-independent driver-health knob, not a data-size tunable.
+  //  - ParallelGC: under G1 the bench JVM hit 30-45 s full-GC storms on
+  //    random queries (measured via per-task jvmGCTime), the source of the
+  //    rounds-9..12 "box noise" retiming churn; with ParallelGC the same
+  //    profile shows 0.8-2.8 s GC per run and pass_skew fell to 1.01.
+  "-Dspark.sql.codegen.cache.maxEntries=20000",
+  "-XX:+UseParallelGC",
 )

@@ -186,8 +186,23 @@ object Tables {
 object XHash {
   import org.apache.spark.sql.functions.{conv, md5, substring}
 
-  /** Spark side: `h60(c)` over the UTF-8 bytes of `c`'s string form. */
+  /** Spark side: `h60(c)` over the UTF-8 bytes of `c`'s string form.
+    * Round 13: routed through the native [[graft.functions.Md5Prefix60]]
+    * kernel — same MD5 digest, top 60 bits read straight from the digest
+    * bytes instead of the hex-encode → substring → `conv` re-parse the
+    * column formula paid per row on the per-shingle hot path.
+    * [[h60Legacy]] keeps the original formula for the equivalence spec. */
   def h60(c: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.Registry.registerOnce(s, "graft_h60")(h60Expr _ compose (_.head))
+        org.apache.spark.sql.functions.call_function("graft_h60", c)
+      case None => h60Legacy(c) // plan built off-session: keep the slow-but-equal form
+    }
+
+  /** The round-1..12 column formula, retained as the spec's ground truth
+    * (XHashEquivalenceSpec pins h60 ≡ h60Legacy on edge-case strings). */
+  private[graft] def h60Legacy(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
   /** DuckDB side: identical value for the same string expression. */
@@ -197,11 +212,8 @@ object XHash {
   /** Raw-Expression form for [[graft.GraftExtensions]]' SQL `h60(expr)`. */
   def h60Expr(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
-    Cast(
-      Conv(Substring(Md5(Cast(e, BinaryType)), Literal(1), Literal(15)),
-        Literal(16), Literal(10)),
-      LongType)
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    graft.functions.Md5Prefix60(Cast(e, BinaryType))
   }
 }
 

@@ -27,4 +27,17 @@ object Grams {
       col("doc_id") +: carry.map(col) :+
         posexplode(expr(s"kgrams(`text`, $k)")).as(Seq("pos", "item")): _*)
   }
+
+  /** Adjacent word pairs `(w1, w2)` — the bigram collocation stream of
+    * q_text_pmi / q_text_llr / q_text_textrank / q_graph_triangles
+    * (round 13): one codegen'd [[graft.functions.KGramPairs]] projection
+    * replaces the `kgrams(text, 2)` → `split(item, ' ')` → element-pick
+    * chain, which built every bigram string only to re-split it. Emitted
+    * pairs are byte-identical (docs with < 2 words contribute nothing,
+    * exactly as the old `size(split(item)) === 2` filter arranged). */
+  def wordPairRows(docsWithText: DataFrame): DataFrame = {
+    graft.functions.KGramPairs.register(docsWithText.sparkSession)
+    docsWithText.select(explode(expr("gram_pairs(`text`, 1)")).as("z"))
+      .select(col("z.g1").as("w1"), col("z.g2").as("w2"))
+  }
 }

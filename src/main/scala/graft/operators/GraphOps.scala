@@ -16,15 +16,15 @@ object GraphOps {
     * overlapping-bigram pair `(g1, g2)` inside each corpus trigram, self
     * pairs dropped — the input of every weighted-bigram edge aggregate
     * below. One codegen'd scan-side expression
-    * ([[graft.functions.BigramPairs]]) replaces the round-4..12
+    * ([[graft.functions.KGramPairs]]) replaces the round-4..12
     * `kgrams(text, 3)` → `split` → 2×`concat_ws` chain, which built every
     * trigram string only to re-split it and re-join its halves (guide
     * §1.2 step 2; A/B in OPTIMIZATION_r13.md — emitted rows are
     * byte-identical, the oracle SQL is untouched). */
   private[graft] def bigramPairEdges(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    graft.functions.BigramPairs.register(docs.sparkSession)
-    docs.select(explode(expr("bigram_pairs(`text`)")).as("z"))
+    graft.functions.KGramPairs.register(docs.sparkSession)
+    docs.select(explode(expr("gram_pairs(`text`, 2)")).as("z"))
       .select(col("z.g1").as("g1"), col("z.g2").as("g2"))
       .filter(col("g1") =!= col("g2"))
   }
@@ -142,11 +142,10 @@ object GraphOps {
         // degree agg and both withDeg joins — each consumer would re-run
         // the corpus shingling AND the distinct shuffle (ScanAudit catch)
         val pj = graft.Caches.persist(
-          Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
-            .select(split(col("item"), " ").as("p"))
-            .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
-            .select(least(col("p")(0), col("p")(1)).as("a"),
-              greatest(col("p")(0), col("p")(1)).as("b"))
+          Grams.wordPairRows(Tables.t(s, d, "documents"))
+            .filter(col("w1") =!= col("w2"))
+            .select(least(col("w1"), col("w2")).as("a"),
+              greatest(col("w1"), col("w2")).as("b"))
             .distinct())
         val deg = pj.select(col("a").as("word"))
           .union(pj.select(col("b").as("word")))
@@ -320,6 +319,16 @@ object GraphOps {
     GQ(
       "q_graph_linkpred",
       (s, d) => {
+        // Round 13: a hashed-wedge rewrite (xxhash64 node proxies through
+        // the Σ deg² self-join + pair agg, strings re-attached at the
+        // top-k boundary — guide §2.3/§8) was built and MEASURED SLOWER
+        // (3.7-4.7 s vs 1.6-2.1 s warm at sf0.1): with the round-13 GC fix
+        // the string wedge agg's apparent 32 task-seconds deflated to ~10
+        // (most was GC time charged to the tasks), and the rewrite's extra
+        // persist barrier + threshold/dictionary joins cost more than the
+        // narrower keys save at this model size — the same verdict as the
+        // round-5 dense-id dictionary. At a vocabulary where the wedge
+        // exchange dominates, the proxy shape is the known fallback.
         val tg = bigramPairEdges(Tables.t(s, d, "documents"))
         val pj = graft.Caches.persist(tg
           .select(least(col("g1"), col("g2")).as("a"),

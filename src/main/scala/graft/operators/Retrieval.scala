@@ -287,10 +287,9 @@ object Retrieval {
       "q_text_textrank",
       (s, d) => {
         val Scale = 1000000000L
-        val pj = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 2 && col("p")(0) =!= col("p")(1))
-          .select(col("p")(0).as("a"), col("p")(1).as("b"))
+        val pj = Grams.wordPairRows(Tables.t(s, d, "documents"))
+          .filter(col("w1") =!= col("w2"))
+          .select(col("w1").as("a"), col("w2").as("b"))
         val ed = pj.select(col("a").as("src"), col("b").as("dst"))
           .union(pj.select(col("b").as("src"), col("a").as("dst")))
           .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
@@ -380,10 +379,8 @@ object Retrieval {
         val uni = graft.Caches.persist(
           words.groupBy(col("word")).agg(count(lit(1)).as("cx")))
         val tot = uni.agg(sum(col("cx")).as("n"))
-        val bg = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 2)
-          .select(col("p")(0).as("word1"), col("p")(1).as("word2"))
+        val bg = Grams.wordPairRows(Tables.t(s, d, "documents"))
+          .select(col("w1").as("word1"), col("w2").as("word2"))
           .groupBy(col("word1"), col("word2"))
           .agg(count(lit(1)).as("cxy"))
           .filter(col("cxy") >= 5)
@@ -852,10 +849,7 @@ object Retrieval {
       (s, d) => {
         val M = 1L << 30
         val Hb = 1L << 31
-        val bg = Grams.kgramRows(Tables.t(s, d, "documents"), 2, Seq())
-          .select(split(col("item"), " ").as("p"))
-          .filter(size(col("p")) === 2)
-          .select(col("p")(0).as("w1"), col("p")(1).as("w2"))
+        val bg = Grams.wordPairRows(Tables.t(s, d, "documents"))
         val cxy = graft.Caches.persist(
           bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("k11")))
         val ca = cxy.groupBy(col("w1")).agg(sum(col("k11")).as("ca"))
