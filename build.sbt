@@ -41,4 +41,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   //    profile shows 0.8-2.8 s GC per run and pass_skew fell to 1.01.
   "-Dspark.sql.codegen.cache.maxEntries=20000",
   "-XX:+UseParallelGC",
+  //  - canChangeCachedPlanOutputPartitioning: lets AQE coalesce the output
+  //    partitioning of cached plans (off by default only to keep cached
+  //    layouts stable for consumers that depend on partition COUNT; ours
+  //    depend on hash CLUSTERING, which coalescing preserves). Without it
+  //    every Caches.persist materialized at the static 32-partition
+  //    shuffle layout however tiny the relation, and each downstream
+  //    exchange then wrote map×reduce tiny shuffle files — thread dumps
+  //    showed executor task time dominated by BypassMergeSortShuffleWriter
+  //    file churn (q_graph_kcore: 90 task-seconds for a 53k-row peel).
+  //    With AQE sizing cached output by bytes (64 MB advisory), model-sized
+  //    caches collapse to O(1) partitions and corpus-sized ones keep their
+  //    parallelism — the scale-adaptive behavior guide §2 prescribes.
+  "-Dspark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true",
 )

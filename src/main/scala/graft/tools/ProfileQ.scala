@@ -44,11 +44,8 @@ object ProfileQ {
     val stageToJob = mutable.HashMap[Int, Int]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
-        val desc = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .orElse(Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))))
-          .getOrElse("")
+        val desc = e.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+          .mkString(" | ").take(120)
         jobs(e.jobId) = JobRec(e.jobId, e.time, desc = desc)
         e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
       }
